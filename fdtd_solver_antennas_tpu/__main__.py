@@ -1,0 +1,155 @@
+"""CLI frontend.
+
+Feature parity with the reference CLI (``antenna_sim/__main__.py:11-59``,
+the ``simulate`` subcommand with identical flags) plus the TPU-native
+extras the reference never had: ``fdtd`` (full 3D FDTD run with S11 sweep
+and far-field) and ``s11`` (S11 sweep only).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import numpy as np
+
+
+def _add_common_antenna_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--frequency-ghz", type=float, required=True)
+    p.add_argument("--er", type=float, required=True)
+    p.add_argument("--h-mm", type=float, required=True)
+    p.add_argument("--L-mm", type=float, default=None)
+    p.add_argument("--W-mm", type=float, default=None)
+    p.add_argument("--metal", type=str, default="copper")
+    p.add_argument("--loss-tangent", type=float, default=0.0)
+    p.add_argument("--outdir", type=str, default="outputs")
+
+
+def _params_from_args(args):
+    from .models.params import PatchAntennaParams
+
+    return PatchAntennaParams.from_user_units(
+        frequency_ghz=args.frequency_ghz,
+        er=args.er,
+        h_mm=args.h_mm,
+        L_mm=args.L_mm,
+        W_mm=args.W_mm,
+        metal=args.metal,
+        loss_tangent=args.loss_tangent,
+    )
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(
+        description="TPU-native patch antenna simulator"
+    )
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    sim_p = sub.add_parser(
+        "simulate", help="Analytical simulation; saves cuts.png + pattern_3d.png"
+    )
+    _add_common_antenna_args(sim_p)
+
+    fdtd_p = sub.add_parser(
+        "fdtd", help="Full 3D FDTD run: S11 sweep, far-field cuts, dBi grid"
+    )
+    _add_common_antenna_args(fdtd_p)
+    fdtd_p.add_argument(
+        "--solver", choices=["fixed", "microstrip"], default="fixed"
+    )
+    fdtd_p.add_argument("--feed-direction", type=str, default="-X")
+    fdtd_p.add_argument("--boundary", type=str, default="MUR")
+    fdtd_p.add_argument("--steps-max", type=int, default=30_000)
+
+    s11_p = sub.add_parser("s11", help="FDTD S11 frequency sweep only")
+    _add_common_antenna_args(s11_p)
+    s11_p.add_argument(
+        "--solver", choices=["fixed", "microstrip"], default="microstrip"
+    )
+    s11_p.add_argument("--feed-direction", type=str, default="-X")
+    s11_p.add_argument("--steps-max", type=int, default=30_000)
+
+    args = parser.parse_args()
+    outdir = Path(args.outdir)
+    outdir.mkdir(parents=True, exist_ok=True)
+    params = _params_from_args(args)
+
+    if args.cmd == "simulate":
+        from .solvers.analytical import AnalyticalPatchSolver
+        from .viz.plotting import plot_3d_pattern, plot_cross_sections
+
+        solver = AnalyticalPatchSolver(params)
+        print("Design:")
+        for k, v in solver.summary().items():
+            print(f"  {k}: {v}")
+        fig_cuts = plot_cross_sections(solver)
+        fig_3d = plot_3d_pattern(solver)
+        cuts_path = outdir / "cuts.png"
+        p3d_path = outdir / "pattern_3d.png"
+        fig_cuts.savefig(cuts_path, dpi=160, bbox_inches="tight")
+        fig_3d.savefig(p3d_path, dpi=160, bbox_inches="tight")
+        print(f"Saved: {cuts_path}")
+        print(f"Saved: {p3d_path}")
+        return
+
+    # FDTD paths
+    if args.solver == "fixed":
+        from .solvers.patch_fixed import prepare_patch_fixed, run_prepared_fixed
+
+        prepared = prepare_patch_fixed(
+            params, n_steps_max=args.steps_max, verbose=1,
+            boundary=getattr(args, "boundary", "MUR"),
+        )
+        runner = run_prepared_fixed
+    else:
+        from .solvers.microstrip import (
+            FeedDirection,
+            prepare_microstrip_patch,
+            run_prepared_microstrip,
+        )
+
+        prepared = prepare_microstrip_patch(
+            params,
+            feed_direction=FeedDirection(args.feed_direction),
+            n_steps_max=args.steps_max,
+            verbose=1,
+        )
+        runner = run_prepared_microstrip
+    if not prepared.ok:
+        raise SystemExit(f"prepare failed: {prepared.message}")
+
+    result = runner(prepared, frequency_hz=params.frequency_hz, verbose=1)
+    if not result.ok:
+        raise SystemExit(f"run failed: {result.message}")
+
+    s11_db = 20 * np.log10(np.maximum(np.abs(result.s11), 1e-12))
+    summary = {
+        "f_res_ghz": result.f_res_hz / 1e9,
+        "s11_min_db": float(s11_db.min()),
+        "Dmax_dbi": 10 * np.log10(result.Dmax) if result.Dmax else None,
+        "steps": result.steps_run,
+        "wall_time_s": result.wall_time_s,
+        "mcells_per_s": result.mcells_per_s,
+    }
+    print(json.dumps(summary, indent=2))
+    np.savez(
+        outdir / "s11.npz", freq_hz=result.freq, s11=result.s11, z_in=result.z_in
+    )
+    print(f"Saved: {outdir / 's11.npz'}")
+
+    if args.cmd == "fdtd":
+        from .viz.plotting import plot_3d_pattern_from_grid
+
+        fig = plot_3d_pattern_from_grid(
+            result.theta,
+            result.phi,
+            10 ** (np.asarray(result.intensity) / 10.0),
+            colors_db=result.intensity,
+        )
+        fig.savefig(outdir / "pattern_fdtd.png", dpi=160, bbox_inches="tight")
+        print(f"Saved: {outdir / 'pattern_fdtd.png'}")
+
+
+if __name__ == "__main__":
+    main()

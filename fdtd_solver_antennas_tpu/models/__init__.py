@@ -1,0 +1,31 @@
+from .params import (
+    Metal,
+    MetalProperties,
+    metal_defaults,
+    PatchAntennaParams,
+    HornAntennaParams,
+)
+from .scene import (
+    Material,
+    PEC,
+    Box,
+    LumpedPortSpec,
+    NF2FFBoxSpec,
+    Scene,
+    rotation_matrix,
+)
+
+__all__ = [
+    "Metal",
+    "MetalProperties",
+    "metal_defaults",
+    "PatchAntennaParams",
+    "HornAntennaParams",
+    "Material",
+    "PEC",
+    "Box",
+    "LumpedPortSpec",
+    "NF2FFBoxSpec",
+    "Scene",
+    "rotation_matrix",
+]

@@ -1,0 +1,676 @@
+"""TPU-native Yee-grid FDTD engine (XLA path).
+
+This module replaces the openEMS C++ time stepper the reference drives via
+``FDTD.Run`` (``solver_fdtd_openems_fixed.py:171,280``):
+
+- staggered (Ex..Hz) leapfrog update on a graded mesh, expressed as fused
+  elementwise XLA ops with per-axis inverse-spacing vectors (the non-uniform
+  mesh costs nothing inside the loop);
+- first-order MUR absorbing walls (the reference's default,
+  ``fixed.py:173``) or PEC walls;
+- lumped resistive port folded into the E-update as an equivalent edge
+  conductivity + soft current source (``AddLumpedPort`` analog), with V/I
+  probes and in-loop DFT accumulation → S11 without any disk I/O (the
+  reference engine writes field dumps and re-reads them, ``fixed.py:222-227``);
+- Huygens-box surface DFT accumulation for NF2FF (replaces
+  ``CreateNF2FFBox``/``CalcNF2FF`` file round-trip);
+- ``EndCriteria``-style energy-decay early exit via a chunked
+  ``lax.while_loop`` (data-dependent exit with static shapes).
+
+Everything is compiled once per grid shape; geometry changes only swap
+coefficient arrays, which makes ``vmap`` geometry sweeps one program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..physics import C0, EPS0, MU0
+from ..models.scene import LumpedPortSpec, Scene
+from .mesh import YeeGrid
+from .source import gaussian_excitation, source_active_steps
+from .voxelize import VoxelizedScene, cell_to_edge_average, voxelize
+
+_AXIS_OF = {"x": 0, "y": 1, "z": 2}
+
+
+# ---------------------------------------------------------------------------
+# small shape helpers
+# ---------------------------------------------------------------------------
+
+def _bdiff(a, axis):
+    """Backward difference a[i] − a[i−1]; index 0 yields a[0]."""
+    pad = [(0, 0)] * a.ndim
+    pad[axis] = (1, 0)
+    sl = [slice(None)] * a.ndim
+    sl[axis] = slice(0, -1)
+    return a - jnp.pad(a, pad)[tuple(sl)]
+
+
+def _fdiff(a, axis):
+    """Forward difference a[i+1] − a[i]; last index yields −a[last]."""
+    pad = [(0, 0)] * a.ndim
+    pad[axis] = (0, 1)
+    sl = [slice(None)] * a.ndim
+    sl[axis] = slice(1, None)
+    return jnp.pad(a, pad)[tuple(sl)] - a
+
+
+def _bvec(v: np.ndarray, axis: int) -> jnp.ndarray:
+    """1D vector broadcast along ``axis`` of a 3D array."""
+    shape = [1, 1, 1]
+    shape[axis] = len(v)
+    return jnp.asarray(v, jnp.float32).reshape(shape)
+
+
+def _plane(a, axis: int, idx: int):
+    sl = [slice(None)] * 3
+    sl[axis] = idx
+    return a[tuple(sl)]
+
+
+def _set_plane(a, axis: int, idx: int, val):
+    sl = [slice(None)] * 3
+    sl[axis] = idx
+    return a.at[tuple(sl)].set(val)
+
+
+# ---------------------------------------------------------------------------
+# configuration / prepared-simulation containers
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class FDTDConfig:
+    """Run controls (reference analogs: NrTS / EndCriteria / boundary)."""
+
+    n_steps_max: int = 30_000
+    end_criteria: float = 1e-4
+    boundary: str = "MUR"  # 'MUR' | 'PEC' (CPML lands in a later layer)
+    check_every: int = 500
+    courant: float = 0.95
+    dtype: str = "float32"
+
+
+@dataclasses.dataclass
+class PortRuntime:
+    """Static port geometry consumed by the traced step function."""
+
+    spec: LumpedPortSpec
+    axis: int
+    sl: Tuple  # index tuple selecting the port's E-edge column
+    dl_m: np.ndarray  # (n_edges,) edge lengths
+    src_col: np.ndarray  # (n_edges,) source coefficient (× s(t) each step)
+    # current probe: 4 static gather tuples + 2 dual lengths
+    i_gather: List[Tuple]
+    i_lengths: Tuple[float, float]
+
+
+@dataclasses.dataclass
+class FaceRuntime:
+    """One Huygens-box face: slicing recipe + geometry for the transform."""
+
+    name: str
+    axis: int
+    m: int  # node index of the face plane along `axis`
+    u_axis: int
+    v_axis: int
+    u0: int
+    u1: int
+    v0: int
+    v1: int
+    normal: np.ndarray  # outward unit normal (3,)
+    centers_m: np.ndarray  # (nu, nv, 3) face-cell centers, meters (grid frame)
+    areas_m2: np.ndarray  # (nu, nv)
+
+
+@dataclasses.dataclass
+class PreparedSimulation:
+    """Compiled simulation: coefficients + jitted chunked time loop.
+
+    The TPU-native analog of the reference's ``OpenEMSPrepared`` payload
+    (an FDTD object plus a sim_path); here it is a pure-array program.
+    """
+
+    grid: YeeGrid
+    dt: float
+    cfg: FDTDConfig
+    coeffs: Dict[str, jnp.ndarray]
+    waveform: np.ndarray
+    ports: List[PortRuntime]
+    faces: List[FaceRuntime]
+    port_freqs_hz: np.ndarray
+    nf_freqs_hz: np.ndarray
+    n_source_steps: int
+    f0: float
+    fc: float
+    field_sharding: object = None  # optional jax.sharding.NamedSharding
+    _run_fn: object = None
+    _aux: tuple = None  # (inv_p, inv_d, mur_coef) kept for run-fn rebuilds
+
+    @property
+    def shape(self) -> Tuple[int, int, int]:
+        return self.grid.shape
+
+    def run(self):
+        args = (
+            self.coeffs,
+            jnp.asarray(self.waveform),
+            jnp.asarray(2 * math.pi * self.port_freqs_hz, jnp.float32),
+            jnp.asarray(2 * math.pi * self.nf_freqs_hz, jnp.float32),
+        )
+        out = self._run_fn(*args)
+        jax.block_until_ready(out["steps"])
+        host = jax.device_get(out)
+        cplx = lambda a: a[0] + 1j * a[1]
+        host["uf"] = cplx(host["uf"])
+        host["if_"] = cplx(host["if_"])
+        host["nf_e"] = [cplx(a) for a in host["nf_e"]]
+        host["nf_h"] = [cplx(a) for a in host["nf_h"]]
+        return host
+
+
+# ---------------------------------------------------------------------------
+# builders
+# ---------------------------------------------------------------------------
+
+def _build_port_runtime(
+    spec: LumpedPortSpec,
+    grid: YeeGrid,
+    sigma_edges: Dict[str, np.ndarray],
+) -> PortRuntime:
+    """Resolve a port spec to grid edges; folds its resistance into the
+    edge conductivity arrays (mutates ``sigma_edges``) — the Piket-May
+    lumped-element formulation: a resistor R across edges of length dl and
+    dual area A is exactly an added conductivity σ_p = L_total/(R·A)."""
+    axis = _AXIS_OF[spec.direction]
+    axes = [0, 1, 2]
+    t_axes = [a for a in axes if a != axis]
+    lines = [grid.x, grid.y, grid.z]
+
+    def nearest(ax: int, val: float) -> int:
+        return int(np.argmin(np.abs(lines[ax] - val)))
+
+    start = np.asarray(spec.start, float)
+    stop = np.asarray(spec.stop, float)
+    ti = [nearest(a, start[a]) for a in t_axes]
+    e0 = nearest(axis, min(start[axis], stop[axis]))
+    e1 = nearest(axis, max(start[axis], stop[axis]))
+    n_edges = max(1, e1 - e0)
+
+    d_axis = np.diff(lines[axis]) * grid.unit  # primary spacings (m)
+    dl = d_axis[e0 : e0 + n_edges]
+    dd = [grid.dual_deltas_m("xyz"[a]) for a in range(3)]
+    area = dd[t_axes[0]][ti[0]] * dd[t_axes[1]][ti[1]]
+
+    # port edge index tuple
+    sl: List = [None, None, None]
+    sl[axis] = slice(e0, e0 + n_edges)
+    sl[t_axes[0]] = ti[0]
+    sl[t_axes[1]] = ti[1]
+    sl = tuple(sl)
+
+    # fold resistor conductivity into the E-edge sigma for this component
+    comp = "e" + spec.direction
+    sigma_p = dl.sum() / (spec.resistance * area)
+    sigma_edges[comp][sl] += sigma_p
+
+    # current probe: H loop around the middle edge. With (a, u, v) a cyclic
+    # right-handed triple, I = ΔH_v·dd_v − ΔH_u·dd_u  (curl_a × dual area).
+    u, v = (axis + 1) % 3, (axis + 2) % 3
+    k_mid = e0 + n_edges // 2
+    idx = [0, 0, 0]
+    idx[axis] = k_mid
+    for a, t in zip(t_axes, ti):
+        idx[a] = t
+
+    def tup(base, ax, off):
+        t2 = list(base)
+        t2[ax] += off
+        return tuple(t2)
+
+    # curl_a = dH_v/du − dH_u/dv ⇒ I = (Hv[idx]−Hv[idx−û])·dd_u? No:
+    # I = (Hv[idx]−Hv[idx−û])·(dd_v?) — lengths pair with the *other* axis:
+    # ∮H·dl = (ΔHv/dd_u)·dd_u·dd_v − (ΔHu/dd_v)·dd_u·dd_v
+    #       = ΔHv·dd_v ... careful: (∂Hv/∂u)·A/dd_u·... A = dd_u·dd_v so
+    # (ΔHv/dd_u)·A = ΔHv·dd_v and (ΔHu/dd_v)·A = ΔHu·dd_u.
+    i_gather = [
+        tup(idx, u, 0),  # Hv at idx        (+)
+        tup(idx, u, -1),  # Hv at idx − û   (−)
+        tup(idx, v, 0),  # Hu at idx        (−)
+        tup(idx, v, -1),  # Hu at idx − v̂   (+)
+    ]
+    i_lengths = (float(dd[v][idx[v]]), float(dd[u][idx[u]]))
+
+    return PortRuntime(
+        spec=spec,
+        axis=axis,
+        sl=sl,
+        dl_m=dl,
+        src_col=np.zeros_like(dl, dtype=np.float32),  # filled after cb known
+        i_gather=i_gather,
+        i_lengths=i_lengths,
+    )
+
+
+def _build_faces(
+    grid: YeeGrid, box_idx: Tuple[int, int, int, int, int, int]
+) -> List[FaceRuntime]:
+    i0, i1, j0, j1, k0, k1 = box_idx
+    lines_m = [grid.x * grid.unit, grid.y * grid.unit, grid.z * grid.unit]
+    d_m = [np.diff(l) for l in lines_m]
+    centers_m = [0.5 * (l[:-1] + l[1:]) for l in lines_m]
+    lo = {0: i0, 1: j0, 2: k0}
+    hi = {0: i1, 1: j1, 2: k1}
+    faces: List[FaceRuntime] = []
+    for axis in range(3):
+        u_axis, v_axis = [a for a in range(3) if a != axis]
+        u0, u1 = lo[u_axis], hi[u_axis]
+        v0, v1 = lo[v_axis], hi[v_axis]
+        cu = centers_m[u_axis][u0:u1]
+        cv = centers_m[v_axis][v0:v1]
+        dA = np.outer(d_m[u_axis][u0:u1], d_m[v_axis][v0:v1])
+        for side, m in (("lo", lo[axis]), ("hi", hi[axis])):
+            normal = np.zeros(3)
+            normal[axis] = -1.0 if side == "lo" else 1.0
+            cpts = np.zeros((len(cu), len(cv), 3))
+            cpts[..., axis] = lines_m[axis][m]
+            cpts[..., u_axis] = cu[:, None]
+            cpts[..., v_axis] = cv[None, :]
+            faces.append(
+                FaceRuntime(
+                    name=f"{'xyz'[axis]}_{side}",
+                    axis=axis,
+                    m=m,
+                    u_axis=u_axis,
+                    v_axis=v_axis,
+                    u0=u0,
+                    u1=u1,
+                    v0=v0,
+                    v1=v1,
+                    normal=normal,
+                    centers_m=cpts,
+                    areas_m2=dA,
+                )
+            )
+    return faces
+
+
+def _face_slab(arr, face: FaceRuntime, a_idx: int, u_off: int, v_off: int):
+    """Slice arr at plane ``a_idx`` over the face's (u, v) cell window,
+    offset by (u_off, v_off)."""
+    sl = [None, None, None]
+    sl[face.axis] = a_idx
+    sl[face.u_axis] = slice(face.u0 + u_off, face.u1 + u_off)
+    sl[face.v_axis] = slice(face.v0 + v_off, face.v1 + v_off)
+    return arr[tuple(sl)]
+
+
+def _face_tangential(E, H, face: FaceRuntime):
+    """Interpolate tangential E and H onto face-cell centers.
+
+    Returns (E_u, E_v, H_u, H_v), each (nu, nv). E_u is the E component
+    along the face's u axis, etc. Second-order staggering-aware averages.
+    """
+    Eu_arr, Ev_arr = E[face.u_axis], E[face.v_axis]
+    Hu_arr, Hv_arr = H[face.u_axis], H[face.v_axis]
+    m = face.m
+    # E_u: cell-centered along u already; average the two v-nodes.
+    E_u = 0.5 * (
+        _face_slab(Eu_arr, face, m, 0, 0) + _face_slab(Eu_arr, face, m, 0, 1)
+    )
+    E_v = 0.5 * (
+        _face_slab(Ev_arr, face, m, 0, 0) + _face_slab(Ev_arr, face, m, 1, 0)
+    )
+    # H_u: cell-centered along v and along `axis`; average axis (m−1, m)
+    # and the two u-nodes.
+    H_u = 0.25 * (
+        _face_slab(Hu_arr, face, m - 1, 0, 0)
+        + _face_slab(Hu_arr, face, m, 0, 0)
+        + _face_slab(Hu_arr, face, m - 1, 1, 0)
+        + _face_slab(Hu_arr, face, m, 1, 0)
+    )
+    H_v = 0.25 * (
+        _face_slab(Hv_arr, face, m - 1, 0, 0)
+        + _face_slab(Hv_arr, face, m, 0, 0)
+        + _face_slab(Hv_arr, face, m - 1, 0, 1)
+        + _face_slab(Hv_arr, face, m, 0, 1)
+    )
+    return E_u, E_v, H_u, H_v
+
+
+def build_simulation(
+    scene: Scene,
+    grid: YeeGrid,
+    *,
+    f0: float,
+    fc: float,
+    cfg: FDTDConfig = FDTDConfig(),
+    port_freqs_hz: Optional[np.ndarray] = None,
+    nf_freqs_hz: Optional[np.ndarray] = None,
+    nf_margin_cells: int = 4,
+    nf_box_idx: Optional[Tuple[int, int, int, int, int, int]] = None,
+) -> PreparedSimulation:
+    """Voxelize + coefficients + jitted chunked time loop (prepare phase)."""
+    Px, Py, Pz = grid.shape
+    dt = grid.courant_dt(cfg.courant)
+
+    vox = voxelize(scene, grid)
+
+    # --- per-edge material arrays -----------------------------------------
+    sigma_edges = {
+        "ex": cell_to_edge_average(vox.sigma, "ex"),
+        "ey": cell_to_edge_average(vox.sigma, "ey"),
+        "ez": cell_to_edge_average(vox.sigma, "ez"),
+    }
+    eps_edges = {
+        c: cell_to_edge_average(vox.eps_r, c) * EPS0 for c in ("ex", "ey", "ez")
+    }
+
+    # --- ports fold their resistance into sigma ---------------------------
+    ports = [_build_port_runtime(p, grid, sigma_edges) for p in scene.ports]
+
+    # --- Ca/Cb per component ----------------------------------------------
+    pec = {"ex": vox.pec_ex, "ey": vox.pec_ey, "ez": vox.pec_ez}
+    coeffs: Dict[str, jnp.ndarray] = {}
+    mur = cfg.boundary.upper().startswith("MUR")
+    for comp, d_axis in (("ex", 0), ("ey", 1), ("ez", 2)):
+        eps_a = eps_edges[comp]
+        sig_a = sigma_edges[comp]
+        beta = sig_a * dt / (2.0 * eps_a)
+        ca = (1.0 - beta) / (1.0 + beta)
+        cb = (dt / eps_a) / (1.0 + beta)
+        # invalid trailing slot along the component's own axis
+        sl = [slice(None)] * 3
+        sl[d_axis] = -1
+        ca[tuple(sl)] = 0.0
+        cb[tuple(sl)] = 0.0
+        # outer boundary planes tangential to this component
+        for b_axis in (a for a in range(3) if a != d_axis):
+            for idx in (0, grid.shape[b_axis] - 1):
+                slb = [slice(None)] * 3
+                slb[b_axis] = idx
+                cb[tuple(slb)] = 0.0
+                ca[tuple(slb)] = 1.0 if mur else 0.0
+        # PEC objects win last
+        ca[pec[comp]] = 0.0
+        cb[pec[comp]] = 0.0
+        coeffs["ca_" + comp] = jnp.asarray(ca, jnp.float32)
+        coeffs["cb_" + comp] = jnp.asarray(cb, jnp.float32)
+
+    # --- port source columns (need cb) ------------------------------------
+    for prt in ports:
+        comp = "e" + prt.spec.direction
+        cb_host = np.asarray(coeffs["cb_" + comp])
+        cb_col = cb_host[prt.sl]
+        t_axes = [a for a in range(3) if a != prt.axis]
+        dd = [grid.dual_deltas_m("xyz"[a]) for a in range(3)]
+        idx_probe = prt.i_gather[0]
+        area = dd[t_axes[0]][idx_probe[t_axes[0]]] * dd[t_axes[1]][idx_probe[t_axes[1]]]
+        prt.src_col = (
+            cb_col * prt.spec.excite / (prt.spec.resistance * area)
+        ).astype(np.float32)
+
+    # --- inverse spacing vectors -------------------------------------------
+    inv_p, inv_d = {}, {}
+    for a, name in enumerate("xyz"):
+        d = grid.deltas_m(name)
+        ip = np.zeros(grid.shape[a], np.float32)
+        ip[: len(d)] = 1.0 / d
+        inv_p[a] = ip
+        inv_d[a] = (1.0 / grid.dual_deltas_m(name)).astype(np.float32)
+
+    # --- MUR face coefficients ----------------------------------------------
+    mur_coef = {}
+    for a, name in enumerate("xyz"):
+        d = grid.deltas_m(name)
+        mur_coef[(a, 0)] = float((C0 * dt - d[0]) / (C0 * dt + d[0]))
+        mur_coef[(a, 1)] = float((C0 * dt - d[-1]) / (C0 * dt + d[-1]))
+
+    # --- NF2FF faces ----------------------------------------------------------
+    if nf_box_idx is None:
+        m = nf_margin_cells
+        nf_box_idx = (m, Px - 1 - m, m, Py - 1 - m, m, Pz - 1 - m)
+    faces = _build_faces(grid, nf_box_idx)
+
+    # --- excitation ------------------------------------------------------------
+    t_half = (np.arange(cfg.n_steps_max) + 0.5) * dt
+    from .source import gaussian_source_params
+
+    sigma_t, t0 = gaussian_source_params(f0, fc)
+    env = np.exp(-0.5 * ((t_half - t0) / sigma_t) ** 2)
+    waveform = (np.cos(2 * math.pi * f0 * (t_half - t0)) * env).astype(np.float32)
+    n_src = source_active_steps(f0, fc, dt)
+
+    if port_freqs_hz is None:
+        port_freqs_hz = np.linspace(max(1e8, f0 * 0.5), f0 * 1.5, 201)
+    if nf_freqs_hz is None:
+        nf_freqs_hz = np.linspace(f0 * 0.85, f0 * 1.15, 11)
+    port_freqs_hz = np.asarray(port_freqs_hz, np.float64)
+    nf_freqs_hz = np.asarray(nf_freqs_hz, np.float64)
+
+    sim = PreparedSimulation(
+        grid=grid,
+        dt=dt,
+        cfg=cfg,
+        coeffs=coeffs,
+        waveform=waveform,
+        ports=ports,
+        faces=faces,
+        port_freqs_hz=port_freqs_hz,
+        nf_freqs_hz=nf_freqs_hz,
+        n_source_steps=n_src,
+        f0=f0,
+        fc=fc,
+    )
+    sim._aux = (inv_p, inv_d, mur_coef)
+    sim._run_fn = jax.jit(_make_run_fn(sim, inv_p, inv_d, mur_coef))
+    return sim
+
+
+def rebuild_run_fn(sim: "PreparedSimulation") -> None:
+    """Re-jit the run function (e.g. after attaching a field sharding)."""
+    inv_p, inv_d, mur_coef = sim._aux
+    sim._run_fn = jax.jit(_make_run_fn(sim, inv_p, inv_d, mur_coef))
+
+
+# ---------------------------------------------------------------------------
+# the time loop
+# ---------------------------------------------------------------------------
+
+def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef):
+    grid = sim.grid
+    Px, Py, Pz = grid.shape
+    cfg = sim.cfg
+    dt = sim.dt
+    dtmu = np.float32(dt / MU0)
+    mur = cfg.boundary.upper().startswith("MUR")
+    ports = sim.ports
+    faces = sim.faces
+    n_ports = len(ports)
+    n_src = sim.n_source_steps
+    chunk = int(cfg.check_every)
+    n_chunks_max = int(math.ceil(cfg.n_steps_max / chunk))
+
+    ix_p, iy_p, iz_p = (_bvec(inv_p[a], a) for a in range(3))
+    ix_d, iy_d, iz_d = (_bvec(inv_d[a], a) for a in range(3))
+
+    port_sl = [p.sl for p in ports]
+    port_dl = [jnp.asarray(p.dl_m, jnp.float32) for p in ports]
+    port_src = [jnp.asarray(p.src_col, jnp.float32) for p in ports]
+
+    def h_update(E, H):
+        Ex, Ey, Ez = E
+        Hx, Hy, Hz = H
+        Hx = Hx - dtmu * (_fdiff(Ez, 1) * iy_p - _fdiff(Ey, 2) * iz_p)
+        Hy = Hy - dtmu * (_fdiff(Ex, 2) * iz_p - _fdiff(Ez, 0) * ix_p)
+        Hz = Hz - dtmu * (_fdiff(Ey, 0) * ix_p - _fdiff(Ex, 1) * iy_p)
+        return (Hx, Hy, Hz)
+
+    def e_update(E, H, coeffs, s_val):
+        Ex, Ey, Ez = E
+        Hx, Hy, Hz = H
+        Ex_n = coeffs["ca_ex"] * Ex + coeffs["cb_ex"] * (
+            _bdiff(Hz, 1) * iy_d - _bdiff(Hy, 2) * iz_d
+        )
+        Ey_n = coeffs["ca_ey"] * Ey + coeffs["cb_ey"] * (
+            _bdiff(Hx, 2) * iz_d - _bdiff(Hz, 0) * ix_d
+        )
+        Ez_n = coeffs["ca_ez"] * Ez + coeffs["cb_ez"] * (
+            _bdiff(Hy, 0) * ix_d - _bdiff(Hx, 1) * iy_d
+        )
+        En = [Ex_n, Ey_n, Ez_n]
+        # lumped-port soft sources
+        for pi, prt in enumerate(ports):
+            comp = prt.axis
+            En[comp] = En[comp].at[port_sl[pi]].add(port_src[pi] * s_val)
+        if mur:
+            Eo = [Ex, Ey, Ez]
+            for b_axis in range(3):
+                for side, (idx, nb) in enumerate(
+                    (((0), 1), ((grid.shape[b_axis] - 1), grid.shape[b_axis] - 2))
+                ):
+                    c = np.float32(mur_coef[(b_axis, side)])
+                    for comp in range(3):
+                        if comp == b_axis:
+                            continue
+                        new = _plane(Eo[comp], b_axis, nb) + c * (
+                            _plane(En[comp], b_axis, nb)
+                            - _plane(Eo[comp], b_axis, idx)
+                        )
+                        En[comp] = _set_plane(En[comp], b_axis, idx, new)
+        return tuple(En)
+
+    def port_voltage(E):
+        # U = −∫E·dl along the port direction
+        return jnp.stack(
+            [-(E[p.axis][port_sl[pi]] * port_dl[pi]).sum() for pi, p in enumerate(ports)]
+        ) if n_ports else jnp.zeros((0,), jnp.float32)
+
+    def port_current(H):
+        vals = []
+        for p in ports:
+            Hv = H[(p.axis + 2) % 3]
+            Hu = H[(p.axis + 1) % 3]
+            dv, du = p.i_lengths
+            i_val = (Hv[p.i_gather[0]] - Hv[p.i_gather[1]]) * np.float32(dv) - (
+                Hu[p.i_gather[2]] - Hu[p.i_gather[3]]
+            ) * np.float32(du)
+            vals.append(i_val)
+        return jnp.stack(vals) if n_ports else jnp.zeros((0,), jnp.float32)
+
+    nf_shapes = [
+        (face.u1 - face.u0, face.v1 - face.v0) for face in faces
+    ]
+
+    def init_carry(coeffs, n_nf_freqs, n_port_freqs):
+        def zeros():
+            z = jnp.zeros((Px, Py, Pz), jnp.float32)
+            if sim.field_sharding is not None:
+                z = jax.lax.with_sharding_constraint(z, sim.field_sharding)
+            return z
+
+        fields = tuple(zeros() for _ in range(6))
+        uf = jnp.zeros((n_ports, n_port_freqs), jnp.complex64)
+        if_ = jnp.zeros((n_ports, n_port_freqs), jnp.complex64)
+        nf_e = [
+            jnp.zeros((n_nf_freqs, 2, nu, nv), jnp.complex64) for nu, nv in nf_shapes
+        ]
+        nf_h = [
+            jnp.zeros((n_nf_freqs, 2, nu, nv), jnp.complex64) for nu, nv in nf_shapes
+        ]
+        return dict(
+            fields=fields,
+            uf=uf,
+            if_=if_,
+            nf_e=nf_e,
+            nf_h=nf_h,
+            n=jnp.int32(0),
+            e_max=jnp.float32(0.0),
+            e_ratio=jnp.float32(1.0),
+            done=jnp.bool_(False),
+        )
+
+    def run(coeffs, waveform, w_port, w_nf):
+        n_port_freqs = w_port.shape[0]
+        n_nf_freqs = w_nf.shape[0]
+
+        def one_step(carry_in, n):
+            E = carry_in["fields"][:3]
+            H = carry_in["fields"][3:]
+            Hn = h_update(E, H)
+            t_h = (n.astype(jnp.float32) + 0.5) * np.float32(dt)
+            # H-time DFT phases
+            ph_h_port = jnp.exp(-1j * w_port * t_h)
+            ph_h_nf = jnp.exp(-1j * w_nf * t_h)
+            i_vals = port_current(Hn)
+            if_ = carry_in["if_"] + i_vals[:, None] * ph_h_port[None, :]
+
+            s_val = waveform[n]
+            En = e_update(E, Hn, coeffs, s_val)
+            t_e = (n.astype(jnp.float32) + 1.0) * np.float32(dt)
+            ph_e_port = jnp.exp(-1j * w_port * t_e)
+            ph_e_nf = jnp.exp(-1j * w_nf * t_e)
+            v_vals = port_voltage(En)
+            uf = carry_in["uf"] + v_vals[:, None] * ph_e_port[None, :]
+
+            nf_e = list(carry_in["nf_e"])
+            nf_h = list(carry_in["nf_h"])
+            for fi, face in enumerate(faces):
+                E_u, E_v, H_u, H_v = _face_tangential(En, Hn, face)
+                e_st = jnp.stack([E_u, E_v])  # (2, nu, nv)
+                h_st = jnp.stack([H_u, H_v])
+                nf_e[fi] = nf_e[fi] + e_st[None] * ph_e_nf[:, None, None, None]
+                nf_h[fi] = nf_h[fi] + h_st[None] * ph_h_nf[:, None, None, None]
+
+            carry_out = dict(
+                carry_in,
+                fields=tuple(En) + tuple(Hn),
+                uf=uf,
+                if_=if_,
+                nf_e=nf_e,
+                nf_h=nf_h,
+            )
+            return carry_out
+
+        def chunk_body(carry):
+            def body(_, c):
+                c2 = one_step(c, c["n"])
+                c2["n"] = c["n"] + 1
+                return c2
+
+            carry = jax.lax.fori_loop(0, chunk, body, carry)
+            E = carry["fields"][:3]
+            energy = sum(jnp.sum(e * e) for e in E)
+            e_max = jnp.maximum(carry["e_max"], energy)
+            ratio = jnp.where(e_max > 0, energy / e_max, jnp.float32(1.0))
+            done = (ratio < np.float32(cfg.end_criteria)) & (
+                carry["n"] > np.int32(n_src)
+            )
+            carry = dict(carry, e_max=e_max, e_ratio=ratio, done=done)
+            return carry
+
+        def cond(carry):
+            return (~carry["done"]) & (carry["n"] < np.int32(cfg.n_steps_max))
+
+        carry = init_carry(coeffs, n_nf_freqs, n_port_freqs)
+        carry = jax.lax.while_loop(cond, chunk_body, carry)
+        # Complex arrays are returned as stacked (real, imag) float32 —
+        # some PJRT transports cannot transfer complex64 to the host.
+        ri = lambda x: jnp.stack([jnp.real(x), jnp.imag(x)])
+        return dict(
+            uf=ri(carry["uf"]),
+            if_=ri(carry["if_"]),
+            nf_e=[ri(a) for a in carry["nf_e"]],
+            nf_h=[ri(a) for a in carry["nf_h"]],
+            steps=carry["n"],
+            e_ratio=carry["e_ratio"],
+            fields=carry["fields"],
+        )
+
+    return run

@@ -1,0 +1,157 @@
+"""Voxelizer: declarative scene → material arrays on the staggered Yee grid.
+
+TPU-native replacement for CSXCAD's rasterization of ``AddMetal``/
+``AddMaterial``/``AddBox`` primitives with priorities and rigid transforms
+(reference invocations: ``solver_fdtd_openems_fixed.py:189-210``,
+``solver_fdtd_openems_microstrip_multi_3d.py:334-456``). Produces:
+
+- ``eps_r`` / ``sigma`` on primary cells (paint-by-priority, cell centers),
+- boolean PEC masks on Ex/Ey/Ez edge locations (edge-midpoint containment,
+  with degenerate box axes inflated so zero-thickness sheets — the patch and
+  ground metallization — capture the edges lying in their plane).
+
+Everything here is host-side NumPy run once at ``prepare`` time; the output
+feeds the coefficient builder in ``ops.fdtd``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Tuple
+
+import numpy as np
+
+from ..models.scene import Box, Material, PEC, Scene
+from .mesh import YeeGrid
+
+# Inflation (mm) applied to degenerate box axes so edges lying exactly in a
+# zero-thickness sheet's plane test as contained despite float rounding.
+_SHEET_TOL_MM = 1e-6
+
+
+@dataclass
+class VoxelizedScene:
+    """Raster output; all arrays are full padded shape (Px, Py, Pz) except
+    the cell-centered material arrays which are (Px-1, Py-1, Pz-1)."""
+
+    eps_r: np.ndarray
+    sigma: np.ndarray
+    pec_ex: np.ndarray
+    pec_ey: np.ndarray
+    pec_ez: np.ndarray
+
+
+def _inflated_contains(box: Box, pts: np.ndarray) -> np.ndarray:
+    """Containment with degenerate axes inflated by a sheet tolerance."""
+    local = box.to_local(pts)
+    lo, hi = box.lo.copy(), box.hi.copy()
+    for ax in range(3):
+        if hi[ax] - lo[ax] < _SHEET_TOL_MM:
+            lo[ax] -= _SHEET_TOL_MM
+            hi[ax] += _SHEET_TOL_MM
+        else:
+            lo[ax] -= 1e-9
+            hi[ax] += 1e-9
+    return np.all((local >= lo) & (local <= hi), axis=-1)
+
+
+def _edge_midpoints(grid: YeeGrid, component: str) -> np.ndarray:
+    """World-frame midpoints (mm) of all E-edge slots, shape (Px,Py,Pz,3).
+
+    Invalid trailing slots (e.g. Ex at i = Px−1) are placed at the last
+    valid coordinate; they never become PEC=True incorrectly because the
+    coefficient builder zeroes them via validity masks anyway.
+    """
+    x, y, z = grid.x, grid.y, grid.z
+
+    def centers_padded(lines: np.ndarray) -> np.ndarray:
+        c = 0.5 * (lines[:-1] + lines[1:])
+        return np.concatenate([c, c[-1:]])  # pad trailing slot
+
+    if component == "ex":
+        xs, ys, zs = centers_padded(x), y, z
+    elif component == "ey":
+        xs, ys, zs = x, centers_padded(y), z
+    elif component == "ez":
+        xs, ys, zs = x, y, centers_padded(z)
+    else:
+        raise ValueError(component)
+    X, Y, Z = np.meshgrid(xs, ys, zs, indexing="ij")
+    return np.stack([X, Y, Z], axis=-1)
+
+
+def voxelize(scene: Scene, grid: YeeGrid, background_eps: float = 1.0) -> VoxelizedScene:
+    """Rasterize the scene. Boxes are painted in ascending priority order
+    (stable), so the highest priority (and latest insertion among equals)
+    wins — matching CSXCAD overlap resolution."""
+    Px, Py, Pz = grid.shape
+    cx, cy, cz = grid.centers("x"), grid.centers("y"), grid.centers("z")
+    CX, CY, CZ = np.meshgrid(cx, cy, cz, indexing="ij")
+    cell_pts = np.stack([CX, CY, CZ], axis=-1)
+
+    eps = np.full((Px - 1, Py - 1, Pz - 1), background_eps, dtype=np.float64)
+    sigma = np.zeros_like(eps)
+
+    ordered = sorted(
+        enumerate(scene.boxes), key=lambda t: (t[1].priority, t[0])
+    )
+    for _, box in ordered:
+        if isinstance(box.prop, Material):
+            mask = _inflated_contains(box, cell_pts)
+            eps[mask] = box.prop.epsilon
+            sigma[mask] = box.prop.kappa
+
+    pec = {}
+    for comp in ("ex", "ey", "ez"):
+        pts = _edge_midpoints(grid, comp)
+        m = np.zeros(pts.shape[:-1], dtype=bool)
+        for _, box in ordered:
+            if isinstance(box.prop, PEC):
+                m |= _inflated_contains(box, pts)
+        pec[comp] = m
+
+    return VoxelizedScene(
+        eps_r=eps,
+        sigma=sigma,
+        pec_ex=pec["ex"],
+        pec_ey=pec["ey"],
+        pec_ez=pec["ez"],
+    )
+
+
+def cell_to_edge_average(cell: np.ndarray, component: str) -> np.ndarray:
+    """Average a cell-centered quantity onto E-edge locations.
+
+    An Ex edge at (x_{i+1/2}, y_j, z_k) is shared by the up-to-4 cells
+    (i, j−1..j, k−1..k); the standard material average for the staggered
+    grid. Output has the full padded shape (Px, Py, Pz) with trailing
+    invalid slots filled by replication (masked out later).
+    """
+    nx, ny, nz = cell.shape
+
+    def avg_along(a: np.ndarray, axis: int) -> np.ndarray:
+        # node values = mean of adjacent cells; ends replicate.
+        pad = [(0, 0)] * 3
+        pad[axis] = (1, 1)
+        ap = np.pad(a, pad, mode="edge")
+        sl_lo = [slice(None)] * 3
+        sl_hi = [slice(None)] * 3
+        sl_lo[axis] = slice(0, a.shape[axis] + 1)
+        sl_hi[axis] = slice(1, a.shape[axis] + 2)
+        return 0.5 * (ap[tuple(sl_lo)] + ap[tuple(sl_hi)])
+
+    def pad_trailing(a: np.ndarray, axis: int) -> np.ndarray:
+        pad = [(0, 0)] * 3
+        pad[axis] = (0, 1)
+        return np.pad(a, pad, mode="edge")
+
+    if component == "ex":
+        out = avg_along(avg_along(cell, 1), 2)  # (nx, ny+1, nz+1)
+        return pad_trailing(out, 0)
+    if component == "ey":
+        out = avg_along(avg_along(cell, 0), 2)
+        return pad_trailing(out, 1)
+    if component == "ez":
+        out = avg_along(avg_along(cell, 0), 1)
+        return pad_trailing(out, 2)
+    raise ValueError(component)

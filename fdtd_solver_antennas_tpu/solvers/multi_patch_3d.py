@@ -1,0 +1,367 @@
+"""Multi-patch scene solver: N rotated/translated patches in one FDTD run.
+
+Parity with ``solver_fdtd_openems_microstrip_multi_3d.py:98-663``:
+
+- per-instance substrate/ground/patch/feed-strip primitives with full 3D
+  rotations (row-vector world transform ``world = local @ (Rz·Ry·Rx)ᵀ + T``,
+  reference :41-57), handled natively by the scene model's oriented boxes —
+  no CSXCAD ``AddTransform`` chain needed;
+- lumped port per instance along the rotated substrate normal's dominant
+  axis (reference :472-541), all ports excited equally in phase (:122-124);
+- mesh-quality → ppw map 1..10 (:221-225), NrTS budget scaling 30k→160k
+  with the thin-copper bump capped at 220k (:228-269) — except ours derives
+  the excitation-step count from the *actual* Courant dt instead of an
+  estimate;
+- EndCriteria from a dB value clamped to [−80, −10] via 10^(dB/20) (:275-282);
+- auto/manual sim box from oriented world bounds (:147-198);
+- NF2FF phase center 'origin' or 'centroid' (:574-580);
+- mesh-plane densification for rotated thin metals (:306-324) as extra
+  fixed lines over each rotated instance's world bounding box.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+
+from ..models.params import PatchAntennaParams
+from ..models.scene import Box, Scene, rotation_matrix
+from ..ops.fdtd import FDTDConfig, build_simulation
+from ..ops.mesh import MeshBuilder
+from ..physics import C0, design_patch_for_frequency, substrate_conductivity
+from ..post.nf2ff import nf2ff_transform
+from ..post.ports import find_resonance, port_spectra
+from .base import FDTDSolverResult, SolverPrepared
+from .microstrip import FeedDirection, calculate_microstrip_width
+
+PPW_MAP_10 = {
+    1: 12.0, 2: 16.0, 3: 20.0, 4: 25.0, 5: 32.0,
+    6: 40.0, 7: 50.0, 8: 65.0, 9: 80.0, 10: 100.0,
+}
+NRTS_MAP = {6: 50_000, 7: 70_000, 8: 100_000, 9: 130_000, 10: 160_000}
+
+
+@dataclasses.dataclass
+class PatchLike:
+    """Duck-typed patch instance (reference: multi_3d.py:18-31). Any object
+    with these attributes works — the GUI/designer instances do."""
+
+    name: str
+    params: PatchAntennaParams
+    center_x_m: float = 0.0
+    center_y_m: float = 0.0
+    center_z_m: float = 0.0
+    feed_direction: FeedDirection = FeedDirection.NEG_X
+    rot_x_deg: float = 0.0
+    rot_y_deg: float = 0.0
+    rot_z_deg: float = 0.0
+
+
+def _patch_dims_mm(params: PatchAntennaParams) -> Tuple[float, float, float]:
+    if params.patch_length_m and params.patch_width_m:
+        return params.patch_width_m * 1e3, params.patch_length_m * 1e3, params.h_m * 1e3
+    L_m, W_m, _ = design_patch_for_frequency(
+        params.frequency_hz, params.eps_r, params.h_m
+    )
+    return W_m * 1e3, L_m * 1e3, params.h_m * 1e3
+
+
+def _instance_local_geometry(inst: PatchLike, feed_line_length_mm: float):
+    """Local (unrotated) boxes + port line for one instance, in mm.
+
+    Same per-instance geometry as the single microstrip solver: substrate
+    sized patch + 2×30 mm margin + feed length along the feed axis.
+    """
+    fd = FeedDirection(inst.feed_direction)
+    patch_W, patch_L, h = _patch_dims_mm(inst.params)
+    fw = calculate_microstrip_width(
+        inst.params.frequency_hz, inst.params.eps_r, inst.params.h_m
+    ) * 1e3
+    margin, fl = 30.0, float(feed_line_length_mm)
+    if fd in (FeedDirection.POS_X, FeedDirection.NEG_X):
+        sub_W, sub_L = patch_W + 2 * margin + fl, patch_L + 2 * margin
+    else:
+        sub_W, sub_L = patch_W + 2 * margin, patch_L + 2 * margin + fl
+
+    if fd == FeedDirection.NEG_X:
+        feed_lo, feed_hi = [-sub_W / 2, -fw / 2, h], [-patch_W / 2, fw / 2, h]
+        fp = (-patch_W / 2, 0.0)
+    elif fd == FeedDirection.POS_X:
+        feed_lo, feed_hi = [patch_W / 2, -fw / 2, h], [sub_W / 2, fw / 2, h]
+        fp = (patch_W / 2, 0.0)
+    elif fd == FeedDirection.NEG_Y:
+        feed_lo, feed_hi = [-fw / 2, -sub_L / 2, h], [fw / 2, -patch_L / 2, h]
+        fp = (0.0, -patch_L / 2)
+    else:
+        feed_lo, feed_hi = [-fw / 2, patch_L / 2, h], [fw / 2, sub_L / 2, h]
+        fp = (0.0, patch_L / 2)
+
+    boxes = dict(
+        substrate=([-sub_W / 2, -sub_L / 2, 0.0], [sub_W / 2, sub_L / 2, h]),
+        ground=([-sub_W / 2, -sub_L / 2, 0.0], [sub_W / 2, sub_L / 2, 0.0]),
+        patch=([-patch_W / 2, -patch_L / 2, h], [patch_W / 2, patch_L / 2, h]),
+        feed=(feed_lo, feed_hi),
+    )
+    port_line = (np.array([fp[0], fp[1], 0.0]), np.array([fp[0], fp[1], h]))
+    dims = dict(patch_W=patch_W, patch_L=patch_L, h=h, sub_W=sub_W, sub_L=sub_L,
+                feed_width=fw)
+    return boxes, port_line, dims
+
+
+def prepare_multi_patch_3d(
+    patches: Sequence[PatchLike],
+    *,
+    dll_dir: str = "",  # parity arg, ignored
+    boundary: str = "MUR",
+    theta_step_deg: float = 2.0,
+    phi_step_deg: float = 5.0,
+    mesh_quality: int = 3,
+    nf_center_mode: str = "origin",  # 'origin' | 'centroid'
+    simbox_mode: str = "auto",  # 'auto' | 'manual'
+    auto_margin_mm: Tuple[float, float, float] = (80.0, 80.0, 160.0),
+    manual_size_mm: Optional[Tuple[float, float, float]] = None,
+    feed_line_length_mm: float = 20.0,
+    port_mode: str = "lumped",  # parity arg; MSL is force-disabled upstream too
+    end_criteria_db: float = -25.0,
+    work_dir: str = "",  # parity arg, ignored
+    cleanup: bool = True,  # parity arg, ignored
+    verbose: int = 0,
+    log_cb: Optional[Callable[[str], None]] = None,
+) -> SolverPrepared:
+    try:
+        if not patches:
+            return SolverPrepared(False, "No patch instances provided.")
+
+        def _log(msg: str) -> None:
+            if log_cb is not None:
+                try:
+                    log_cb(msg)
+                    return
+                except Exception:
+                    pass
+            if verbose:
+                print(msg)
+
+        f0 = max(float(p.params.frequency_hz) for p in patches)
+        fc = f0 / 2.0
+        q = max(1, min(10, int(mesh_quality)))
+        ppw = PPW_MAP_10.get(q, 20.0)
+        mesh_res = C0 / (f0 + fc) / 1e-3 / ppw
+
+        scene = Scene()
+        mb = MeshBuilder()
+        centers = []
+        port_axes = []
+        for idx, inst in enumerate(patches):
+            boxes, port_line, dims = _instance_local_geometry(
+                inst, feed_line_length_mm
+            )
+            R = rotation_matrix(inst.rot_x_deg, inst.rot_y_deg, inst.rot_z_deg)
+            rotated = not np.allclose(R, np.eye(3), atol=1e-9)
+            T = np.array(
+                [inst.center_x_m, inst.center_y_m, inst.center_z_m]
+            ) * 1e3  # mm
+            centers.append(T)
+            kw = dict(rotation=R if rotated else None, translation=tuple(T))
+
+            kappa = substrate_conductivity(
+                inst.params.frequency_hz, inst.params.eps_r,
+                inst.params.loss_tangent,
+            )
+            scene.add_material_box(
+                f"substrate_{idx}", inst.params.eps_r, kappa, *boxes["substrate"],
+                priority=0, **kw,
+            )
+            scene.add_metal_box(f"ground_{idx}", *boxes["ground"], priority=10, **kw)
+            scene.add_metal_box(f"patch_{idx}", *boxes["patch"], priority=10, **kw)
+            scene.add_metal_box(f"feed_{idx}", *boxes["feed"], priority=10, **kw)
+
+            # port along the rotated substrate normal's dominant axis
+            p0 = port_line[0] @ R.T + T
+            p1 = port_line[1] @ R.T + T
+            n_world = R @ np.array([0.0, 0.0, 1.0])
+            axis = int(np.argmax(np.abs(n_world)))
+            port_axes.append(axis)
+            # project the port line onto the chosen grid axis
+            mid = 0.5 * (p0 + p1)
+            span = abs((p1 - p0)[axis])
+            lo, hi = mid.copy(), mid.copy()
+            lo[axis] = mid[axis] - span / 2
+            hi[axis] = mid[axis] + span / 2
+            scene.add_lumped_port(
+                idx + 1, 50.0, lo, hi, direction="xyz"[axis], excite=1.0
+            )
+            _log(
+                f"port {idx + 1}: axis {'xyz'[axis]}, span {span:.3f} mm, "
+                f"center ({mid[0]:.1f}, {mid[1]:.1f}, {mid[2]:.1f}) mm"
+            )
+
+            # mesh lines
+            if not rotated:
+                mb.add_metal_edges(
+                    [b + t for b, t in zip(boxes["patch"][0], T)],
+                    [b + t for b, t in zip(boxes["patch"][1], T)],
+                    dirs="xy", metal_edge_res=mesh_res / 2,
+                )
+                mb.add_metal_edges(
+                    [b + t for b, t in zip(boxes["ground"][0], T)],
+                    [b + t for b, t in zip(boxes["ground"][1], T)], dirs="xy",
+                )
+                mb.add_metal_edges(
+                    [b + t for b, t in zip(boxes["feed"][0], T)],
+                    [b + t for b, t in zip(boxes["feed"][1], T)],
+                    dirs="xy", metal_edge_res=mesh_res / 2,
+                )
+                mb.add_line("z", np.linspace(T[2], T[2] + dims["h"], 5))
+                mb.add_line("x", [lo[0]])
+                mb.add_line("y", [lo[1]])
+            else:
+                # densify over the rotated instance's world bounding box
+                # (reference workaround for rotated thin metals, :306-324)
+                sub_box = Box(
+                    None, boxes["substrate"][0], boxes["substrate"][1],
+                    rotation=R, translation=tuple(T),
+                )
+                lo_w = sub_box.world_corners().min(axis=0)
+                hi_w = sub_box.world_corners().max(axis=0)
+                for a, nm in enumerate("xyz"):
+                    n_lines = max(3, int(np.ceil((hi_w[a] - lo_w[a]) / (mesh_res / 2))))
+                    mb.add_line(nm, np.linspace(lo_w[a], hi_w[a], n_lines + 1))
+                mb.add_line("xyz"[axis], [lo[axis], hi[axis], 0.5 * (lo + hi)[axis]])
+
+        # simulation box
+        lo_b, hi_b = scene.world_bounds()
+        if simbox_mode == "manual" and manual_size_mm is not None:
+            c = 0.5 * (lo_b + hi_b)
+            half = np.asarray(manual_size_mm, float) / 2
+            box_lo, box_hi = c - half, c + half
+        else:
+            m = np.asarray(auto_margin_mm, float) / 2
+            box_lo, box_hi = lo_b - m, hi_b + m
+        for a, nm in enumerate("xyz"):
+            mb.add_line(nm, [box_lo[a], box_hi[a]])
+        grid = mb.build(mesh_res, ratio=1.4)
+
+        # timestep budget (reference heuristics :228-269, with exact dt)
+        nr_ts = NRTS_MAP.get(q, 30_000)
+        dt = grid.courant_dt(0.95)
+        from ..ops.source import source_active_steps
+
+        exc_steps = source_active_steps(f0, fc, dt)
+        nr_ts = max(nr_ts, min(220_000, int(2.2 * exc_steps)))
+        ec_db = max(-80.0, min(-10.0, float(end_criteria_db)))
+        ec_lin = 10.0 ** (ec_db / 20.0)
+        _log(
+            f"Mesh q={q} → ppw={ppw:g}, res={mesh_res:.3f} mm, grid {grid.shape} "
+            f"({grid.num_cells} cells); NrTS={nr_ts}, EndCriteria {ec_db:g} dB"
+        )
+
+        cfg = FDTDConfig(
+            n_steps_max=nr_ts, end_criteria=ec_lin, boundary=boundary
+        )
+        sim = build_simulation(
+            scene, grid, f0=f0, fc=fc, cfg=cfg,
+            port_freqs_hz=np.linspace(max(1e9, f0 * 0.7), f0 * 1.3, 201),
+        )
+
+        t_step = max(0.5, float(theta_step_deg))
+        p_step = max(1.0, float(phi_step_deg))
+        theta = np.arange(0.0, 181.0, t_step)
+        phi = np.arange(0.0, 360.0 + p_step, p_step)
+        if nf_center_mode == "centroid":
+            nf_center = np.mean(np.stack(centers), axis=0) * 1e-3
+        else:
+            nf_center = np.zeros(3)
+
+        return SolverPrepared(
+            True,
+            f"Multi-patch prepared: {len(patches)} instance(s), grid {grid.shape}",
+            sim=sim,
+            theta=theta,
+            phi=phi,
+            nf_center=nf_center,
+            diagnostics=dict(port_axes=port_axes, n_instances=len(patches)),
+        )
+    except Exception as e:
+        return SolverPrepared(False, f"Multi-patch prepare failed: {e}")
+
+
+def run_prepared_multi_patch_3d(
+    prepared: SolverPrepared,
+    *,
+    frequency_hz: float,
+    verbose: int = 1,
+) -> FDTDSolverResult:
+    """Run the scene; full-sphere dBi grid (reference runner: :596-663)."""
+    try:
+        if not prepared.ok or prepared.sim is None:
+            return FDTDSolverResult(False, prepared.message)
+        sim = prepared.sim
+
+        t_start = time.perf_counter()
+        out = sim.run()
+        jax.block_until_ready(out["uf"])
+        steps = int(out["steps"])
+        wall = time.perf_counter() - t_start
+
+        all_s11 = []
+        for pi in range(len(sim.ports)):
+            sp = port_spectra(
+                sim.port_freqs_hz,
+                np.asarray(out["uf"][pi]),
+                np.asarray(out["if_"][pi]),
+                sim.dt,
+                z_ref=50.0,
+            )
+            all_s11.append(sp)
+        f_res, s11_db_res = find_resonance(all_s11[0], frequency_hz)
+
+        fi = int(np.argmin(np.abs(sim.nf_freqs_hz - f_res)))
+        theta = np.asarray(prepared.theta)
+        phi = np.asarray(prepared.phi)
+        ff = nf2ff_transform(
+            sim.faces,
+            [np.asarray(a) for a in out["nf_e"]],
+            [np.asarray(a) for a in out["nf_h"]],
+            sim.dt,
+            sim.nf_freqs_hz[fi : fi + 1],
+            theta,
+            phi,
+            center_m=prepared.nf_center,
+        )
+        return FDTDSolverResult(
+            True,
+            "Multi-patch 3D pattern computed",
+            theta=np.deg2rad(theta),
+            phi=np.deg2rad(phi),
+            intensity=ff.intensity_dbi(0),
+            is_dBi=True,
+            freq=all_s11[0].freq_hz,
+            s11=all_s11[0].s11,
+            z_in=all_s11[0].z_in,
+            f_res_hz=f_res,
+            Dmax=float(ff.Dmax[0]),
+            radiated_power_w=float(ff.P_rad[0]),
+            steps_run=steps,
+            wall_time_s=wall,
+            mcells_per_s=sim.grid.num_cells * steps / wall / 1e6,
+            diagnostics={
+                "s11_db_at_res": s11_db_res,
+                "s11_all_ports": [sp.s11 for sp in all_s11],
+                "nf2ff_freq_hz": float(sim.nf_freqs_hz[fi]),
+                "energy_ratio": float(out["e_ratio"]),
+            },
+        )
+    except Exception as e:
+        return FDTDSolverResult(False, f"Multi-patch run failed: {e}")
+
+
+# Reference-parity aliases
+prepare_openems_microstrip_multi_3d = prepare_multi_patch_3d
+run_prepared_openems_microstrip_multi_3d = run_prepared_multi_patch_3d
