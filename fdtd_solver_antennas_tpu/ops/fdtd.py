@@ -149,6 +149,7 @@ class PreparedSimulation:
     n_source_steps: int
     f0: float
     fc: float
+    padded_shape: Tuple[int, int, int] = None  # array shape incl. zero pad
     field_sharding: object = None  # optional jax.sharding.NamedSharding
     _run_fn: object = None
     _aux: tuple = None  # (inv_p, inv_d, mur_coef) kept for run-fn rebuilds
@@ -355,8 +356,15 @@ def build_simulation(
     nf_freqs_hz: Optional[np.ndarray] = None,
     nf_margin_cells: int = 4,
     nf_box_idx: Optional[Tuple[int, int, int, int, int, int]] = None,
+    pad_multiple: Tuple[int, int, int] = (1, 1, 1),
 ) -> PreparedSimulation:
-    """Voxelize + coefficients + jitted chunked time loop (prepare phase)."""
+    """Voxelize + coefficients + jitted chunked time loop (prepare phase).
+
+    ``pad_multiple`` zero-pads every 3D array so each axis is a multiple of
+    the given value — physics is unaffected (Ca=Cb=0 and zero inverse
+    spacings in the pad keep fields identically zero there). Used for
+    device-count divisibility when sharding and for TPU lane alignment.
+    """
     Px, Py, Pz = grid.shape
     dt = grid.courant_dt(cfg.courant)
 
@@ -416,14 +424,28 @@ def build_simulation(
             cb_col * prt.spec.excite / (prt.spec.resistance * area)
         ).astype(np.float32)
 
+    # --- zero padding for shard divisibility / lane alignment --------------
+    padded_shape = tuple(
+        int(-(-grid.shape[a] // pad_multiple[a]) * pad_multiple[a])
+        for a in range(3)
+    )
+    if padded_shape != grid.shape:
+        pads = tuple(padded_shape[a] - grid.shape[a] for a in range(3))
+        coeffs = {
+            k: jnp.pad(v, [(0, pads[0]), (0, pads[1]), (0, pads[2])])
+            for k, v in coeffs.items()
+        }
+
     # --- inverse spacing vectors -------------------------------------------
     inv_p, inv_d = {}, {}
     for a, name in enumerate("xyz"):
         d = grid.deltas_m(name)
-        ip = np.zeros(grid.shape[a], np.float32)
+        ip = np.zeros(padded_shape[a], np.float32)
         ip[: len(d)] = 1.0 / d
         inv_p[a] = ip
-        inv_d[a] = (1.0 / grid.dual_deltas_m(name)).astype(np.float32)
+        idv = np.zeros(padded_shape[a], np.float32)
+        idv[: grid.shape[a]] = 1.0 / grid.dual_deltas_m(name)
+        inv_d[a] = idv
 
     # --- MUR face coefficients ----------------------------------------------
     mur_coef = {}
@@ -467,6 +489,7 @@ def build_simulation(
         n_source_steps=n_src,
         f0=f0,
         fc=fc,
+        padded_shape=padded_shape,
     )
     sim._aux = (inv_p, inv_d, mur_coef)
     sim._run_fn = jax.jit(_make_run_fn(sim, inv_p, inv_d, mur_coef))
@@ -479,13 +502,40 @@ def rebuild_run_fn(sim: "PreparedSimulation") -> None:
     sim._run_fn = jax.jit(_make_run_fn(sim, inv_p, inv_d, mur_coef))
 
 
+def make_single_step(sim: "PreparedSimulation"):
+    """Expose one jittable leapfrog step + its example arguments.
+
+    Returns ``(step_fn, example_args)`` where
+    ``step_fn(carry, n, coeffs, waveform, w_port, w_nf) -> carry`` is the
+    full per-iteration computation (H/E updates, MUR, port source, DFT
+    accumulation). Used by the driver's compile check and by sharding
+    dry runs.
+    """
+    inv_p, inv_d, mur_coef = sim._aux
+    one_step, init_carry = _make_run_fn(
+        sim, inv_p, inv_d, mur_coef, _expose_step=True
+    )
+    n_pf = len(sim.port_freqs_hz)
+    n_nf = len(sim.nf_freqs_hz)
+    carry = init_carry(sim.coeffs, n_nf, n_pf)
+    args = (
+        carry,
+        jnp.int32(0),
+        sim.coeffs,
+        jnp.asarray(sim.waveform),
+        jnp.asarray(2 * math.pi * sim.port_freqs_hz, jnp.float32),
+        jnp.asarray(2 * math.pi * sim.nf_freqs_hz, jnp.float32),
+    )
+    return one_step, args
+
+
 # ---------------------------------------------------------------------------
 # the time loop
 # ---------------------------------------------------------------------------
 
-def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef):
+def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, _expose_step=False):
     grid = sim.grid
-    Px, Py, Pz = grid.shape
+    Px, Py, Pz = sim.padded_shape or grid.shape
     cfg = sim.cfg
     dt = sim.dt
     dtmu = np.float32(dt / MU0)
@@ -575,14 +625,20 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef):
                 z = jax.lax.with_sharding_constraint(z, sim.field_sharding)
             return z
 
+        # DFT accumulators are stacked (re, im) float32 — complex64 is kept
+        # off every jit boundary (some PJRT backends cannot allocate or
+        # transfer complex buffers), and TPU decomposes complex math into
+        # real pairs anyway.
         fields = tuple(zeros() for _ in range(6))
-        uf = jnp.zeros((n_ports, n_port_freqs), jnp.complex64)
-        if_ = jnp.zeros((n_ports, n_port_freqs), jnp.complex64)
+        uf = jnp.zeros((2, n_ports, n_port_freqs), jnp.float32)
+        if_ = jnp.zeros((2, n_ports, n_port_freqs), jnp.float32)
         nf_e = [
-            jnp.zeros((n_nf_freqs, 2, nu, nv), jnp.complex64) for nu, nv in nf_shapes
+            jnp.zeros((2, n_nf_freqs, 2, nu, nv), jnp.float32)
+            for nu, nv in nf_shapes
         ]
         nf_h = [
-            jnp.zeros((n_nf_freqs, 2, nu, nv), jnp.complex64) for nu, nv in nf_shapes
+            jnp.zeros((2, n_nf_freqs, 2, nu, nv), jnp.float32)
+            for nu, nv in nf_shapes
         ]
         return dict(
             fields=fields,
@@ -596,51 +652,61 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef):
             done=jnp.bool_(False),
         )
 
+    def one_step(carry_in, n, coeffs, waveform, w_port, w_nf):
+        """One leapfrog iteration: H half-step, E half-step with port
+        source and MUR, plus in-loop DFT accumulation."""
+        E = carry_in["fields"][:3]
+        H = carry_in["fields"][3:]
+        Hn = h_update(E, H)
+        # e^{-jωt} accumulated as (re += x·cos ωt, im −= x·sin ωt)
+        t_h = (n.astype(jnp.float32) + 0.5) * np.float32(dt)
+        cos_h_port, sin_h_port = jnp.cos(w_port * t_h), jnp.sin(w_port * t_h)
+        cos_h_nf, sin_h_nf = jnp.cos(w_nf * t_h), jnp.sin(w_nf * t_h)
+        i_vals = port_current(Hn)
+        if_ = carry_in["if_"] + jnp.stack(
+            [i_vals[:, None] * cos_h_port, -i_vals[:, None] * sin_h_port]
+        )
+
+        s_val = waveform[n]
+        En = e_update(E, Hn, coeffs, s_val)
+        t_e = (n.astype(jnp.float32) + 1.0) * np.float32(dt)
+        cos_e_port, sin_e_port = jnp.cos(w_port * t_e), jnp.sin(w_port * t_e)
+        cos_e_nf, sin_e_nf = jnp.cos(w_nf * t_e), jnp.sin(w_nf * t_e)
+        v_vals = port_voltage(En)
+        uf = carry_in["uf"] + jnp.stack(
+            [v_vals[:, None] * cos_e_port, -v_vals[:, None] * sin_e_port]
+        )
+
+        phase_e = jnp.stack([cos_e_nf, -sin_e_nf])[:, :, None, None, None]
+        phase_h = jnp.stack([cos_h_nf, -sin_h_nf])[:, :, None, None, None]
+        nf_e = list(carry_in["nf_e"])
+        nf_h = list(carry_in["nf_h"])
+        for fi, face in enumerate(faces):
+            E_u, E_v, H_u, H_v = _face_tangential(En, Hn, face)
+            e_st = jnp.stack([E_u, E_v])[None, None]  # (1, 1, 2, nu, nv)
+            h_st = jnp.stack([H_u, H_v])[None, None]
+            nf_e[fi] = nf_e[fi] + e_st * phase_e
+            nf_h[fi] = nf_h[fi] + h_st * phase_h
+
+        return dict(
+            carry_in,
+            fields=tuple(En) + tuple(Hn),
+            uf=uf,
+            if_=if_,
+            nf_e=nf_e,
+            nf_h=nf_h,
+        )
+
+    if _expose_step:
+        return one_step, init_carry
+
     def run(coeffs, waveform, w_port, w_nf):
         n_port_freqs = w_port.shape[0]
         n_nf_freqs = w_nf.shape[0]
 
-        def one_step(carry_in, n):
-            E = carry_in["fields"][:3]
-            H = carry_in["fields"][3:]
-            Hn = h_update(E, H)
-            t_h = (n.astype(jnp.float32) + 0.5) * np.float32(dt)
-            # H-time DFT phases
-            ph_h_port = jnp.exp(-1j * w_port * t_h)
-            ph_h_nf = jnp.exp(-1j * w_nf * t_h)
-            i_vals = port_current(Hn)
-            if_ = carry_in["if_"] + i_vals[:, None] * ph_h_port[None, :]
-
-            s_val = waveform[n]
-            En = e_update(E, Hn, coeffs, s_val)
-            t_e = (n.astype(jnp.float32) + 1.0) * np.float32(dt)
-            ph_e_port = jnp.exp(-1j * w_port * t_e)
-            ph_e_nf = jnp.exp(-1j * w_nf * t_e)
-            v_vals = port_voltage(En)
-            uf = carry_in["uf"] + v_vals[:, None] * ph_e_port[None, :]
-
-            nf_e = list(carry_in["nf_e"])
-            nf_h = list(carry_in["nf_h"])
-            for fi, face in enumerate(faces):
-                E_u, E_v, H_u, H_v = _face_tangential(En, Hn, face)
-                e_st = jnp.stack([E_u, E_v])  # (2, nu, nv)
-                h_st = jnp.stack([H_u, H_v])
-                nf_e[fi] = nf_e[fi] + e_st[None] * ph_e_nf[:, None, None, None]
-                nf_h[fi] = nf_h[fi] + h_st[None] * ph_h_nf[:, None, None, None]
-
-            carry_out = dict(
-                carry_in,
-                fields=tuple(En) + tuple(Hn),
-                uf=uf,
-                if_=if_,
-                nf_e=nf_e,
-                nf_h=nf_h,
-            )
-            return carry_out
-
         def chunk_body(carry):
             def body(_, c):
-                c2 = one_step(c, c["n"])
+                c2 = one_step(c, c["n"], coeffs, waveform, w_port, w_nf)
                 c2["n"] = c["n"] + 1
                 return c2
 
@@ -660,14 +726,11 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef):
 
         carry = init_carry(coeffs, n_nf_freqs, n_port_freqs)
         carry = jax.lax.while_loop(cond, chunk_body, carry)
-        # Complex arrays are returned as stacked (real, imag) float32 —
-        # some PJRT transports cannot transfer complex64 to the host.
-        ri = lambda x: jnp.stack([jnp.real(x), jnp.imag(x)])
         return dict(
-            uf=ri(carry["uf"]),
-            if_=ri(carry["if_"]),
-            nf_e=[ri(a) for a in carry["nf_e"]],
-            nf_h=[ri(a) for a in carry["nf_h"]],
+            uf=carry["uf"],
+            if_=carry["if_"],
+            nf_e=carry["nf_e"],
+            nf_h=carry["nf_h"],
             steps=carry["n"],
             e_ratio=carry["e_ratio"],
             fields=carry["fields"],
