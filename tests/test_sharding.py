@@ -1,0 +1,77 @@
+"""Multi-chip correctness: sharded execution must reproduce the
+single-device run (SURVEY §4: sharded vs single-chip field evolution to
+tight tolerance, on a virtual CPU mesh)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from fdtd_solver_antennas_tpu.models.scene import Scene
+from fdtd_solver_antennas_tpu.ops.fdtd import FDTDConfig, build_simulation
+from fdtd_solver_antennas_tpu.ops.mesh import MeshBuilder
+from fdtd_solver_antennas_tpu.parallel.sharding import (
+    make_device_mesh,
+    shard_simulation,
+)
+
+
+def _build(pad_x=1, pad_y=1):
+    mb = MeshBuilder()
+    mb.add_line("x", [-40, 40, 0.0, -6.0])
+    mb.add_line("y", [-40, 40, 0.0])
+    mb.add_line("z", [-20, 30])
+    mb.add_line("z", np.linspace(0, 1.6, 3))
+    grid = mb.build(4.0)
+    scene = Scene()
+    scene.add_material_box("sub", 4.3, 0.005, [-20, -20, 0], [20, 20, 1.6], 0)
+    scene.add_metal_box("patch", [-15, -12, 1.6], [15, 12, 1.6], priority=10)
+    scene.add_metal_box("gnd", [-20, -20, 0], [20, 20, 0], priority=10)
+    scene.add_lumped_port(1, 50.0, [-6, 0, 0], [-6, 0, 1.6], direction="z")
+    cfg = FDTDConfig(n_steps_max=300, check_every=100, end_criteria=1e-12)
+    return build_simulation(
+        scene, grid, f0=2.45e9, fc=1.225e9, cfg=cfg,
+        port_freqs_hz=np.linspace(2e9, 3e9, 21),
+        nf_freqs_hz=np.array([2.45e9]),
+        pad_multiple=(pad_x, pad_y, 1),
+    )
+
+
+def test_eight_device_mesh_available():
+    assert len(jax.devices()) >= 8  # conftest forces 8 virtual CPU devices
+
+
+def test_sharded_matches_single_device():
+    n_dev = 8
+    ref = _build(pad_x=n_dev).run()
+
+    sim = _build(pad_x=n_dev)
+    mesh = make_device_mesh((n_dev,), ("x",))
+    shard_simulation(sim, mesh)
+    got = sim.run()
+
+    def close(a, b, rtol=1e-3):
+        a, b = np.asarray(a), np.asarray(b)
+        # float32 + SPMD reduction reordering → scale-aware tolerance
+        atol = 1e-4 * max(np.abs(b).max(), 1e-20)
+        np.testing.assert_allclose(a, b, rtol=rtol, atol=atol)
+
+    assert int(got["steps"]) == int(ref["steps"])
+    close(got["uf"], ref["uf"])
+    close(got["if_"], ref["if_"])
+    for a, b in zip(got["nf_e"], ref["nf_e"]):
+        close(a, b)
+    for fa, fb in zip(got["fields"], ref["fields"]):
+        close(fa, fb)
+
+
+def test_two_axis_mesh():
+    """2D spatial decomposition (x × y) also reproduces the reference."""
+    ref = _build(pad_x=4, pad_y=2).run()
+    sim = _build(pad_x=4, pad_y=2)
+    mesh = make_device_mesh((4, 2), ("x", "y"))
+    shard_simulation(sim, mesh)
+    got = sim.run()
+    np.testing.assert_allclose(
+        np.asarray(got["uf"]), np.asarray(ref["uf"]), rtol=1e-4, atol=1e-12
+    )

@@ -1,0 +1,105 @@
+"""Voxelizer tests: priority painting, PEC sheet capture, rotated boxes."""
+
+import numpy as np
+import pytest
+
+from fdtd_solver_antennas_tpu.models.scene import Box, PEC, Scene, rotation_matrix
+from fdtd_solver_antennas_tpu.ops.mesh import MeshBuilder, YeeGrid
+from fdtd_solver_antennas_tpu.ops.voxelize import cell_to_edge_average, voxelize
+
+
+def _grid(res=2.0, half=10.0):
+    mb = MeshBuilder()
+    for a in "xyz":
+        mb.add_line(a, [-half, half])
+    return mb.build(res)
+
+
+def test_material_painting_and_priority():
+    g = _grid()
+    s = Scene()
+    s.add_material_box("a", 4.0, 0.1, [-10, -10, -10], [10, 10, 10], priority=0)
+    s.add_material_box("b", 2.0, 0.0, [-4, -4, -4], [4, 4, 4], priority=5)
+    v = voxelize(s, g)
+    cx = g.centers("x")
+    inner = np.abs(cx) < 4
+    # inner region overridden by higher priority
+    assert np.all(v.eps_r[np.ix_(inner, inner, inner)] == 2.0)
+    assert np.all(v.sigma[np.ix_(inner, inner, inner)] == 0.0)
+    # outer region keeps the base material
+    assert v.eps_r[0, 0, 0] == 4.0
+    assert v.sigma[0, 0, 0] == 0.1
+
+
+def test_priority_order_over_insertion():
+    g = _grid()
+    s = Scene()
+    s.add_material_box("later_low", 2.0, 0.0, [-4, -4, -4], [4, 4, 4], priority=0)
+    s.add_material_box("first_high", 3.0, 0.0, [-10, -10, -10], [10, 10, 10], priority=1)
+    v = voxelize(s, g)
+    # higher priority wins even though it encloses everything
+    assert np.all(v.eps_r == 3.0)
+
+
+def test_pec_sheet_captures_tangential_edges():
+    g = _grid(res=2.0)
+    s = Scene()
+    s.add_metal_box("sheet", [-6, -6, 0.0], [6, 6, 0.0], priority=10)
+    v = voxelize(s, g)
+    k0 = int(np.argmin(np.abs(g.z)))  # z = 0 plane index
+    # Ex edges in the sheet plane, inside the footprint → PEC
+    i_in = np.where(np.abs(g.centers("x")) < 6)[0]
+    j_in = np.where(np.abs(g.y) < 6 + 1e-9)[0]
+    assert v.pec_ex[np.ix_(i_in, j_in, [k0])].all()
+    # normal Ez edges must NOT be PEC (zero-thickness sheet)
+    assert not v.pec_ez[:, :, k0].any()
+    # edges outside the footprint unaffected
+    assert not v.pec_ex[0, 0, k0]
+
+
+def test_volumetric_pec_captures_all_components():
+    g = _grid(res=2.0)
+    s = Scene()
+    s.add_metal_box("block", [-4, -4, -4], [4, 4, 4], priority=10)
+    v = voxelize(s, g)
+    mid = len(g.x) // 2
+    assert v.pec_ex[mid, mid, mid]
+    assert v.pec_ey[mid, mid, mid]
+    assert v.pec_ez[mid, mid, mid]
+
+
+def test_rotated_box_containment():
+    # 45° z-rotated square sheet: corners reach sqrt(2)·half along axes
+    R = rotation_matrix(0, 0, 45)
+    b = Box(PEC("m"), (-5, -5, 0), (5, 5, 0), rotation=R)
+    pts = np.array(
+        [
+            [0, 0, 0],  # center → inside
+            [6.5, 0, 0],  # along x beyond unrotated half-width but < 5√2
+            [5.1, 5.1, 0],  # old corner direction → now outside
+            [0, 0, 1.0],  # off-plane → outside
+        ]
+    )
+    got = b.contains(pts, tol=1e-6)
+    assert got.tolist() == [True, True, False, False]
+
+
+def test_world_transform_roundtrip():
+    R = rotation_matrix(20, 30, 40)
+    b = Box(PEC("m"), (-3, -2, 0), (3, 2, 1), rotation=R, translation=(5, -4, 2))
+    pts = np.random.default_rng(0).uniform(-3, 3, size=(50, 3))
+    back = b.to_local(b.to_world(pts))
+    np.testing.assert_allclose(back, pts, atol=1e-12)
+
+
+def test_cell_to_edge_average():
+    cell = np.zeros((2, 2, 2))
+    cell[0] = 1.0
+    cell[1] = 3.0
+    out = cell_to_edge_average(cell, "ey")  # averages along x and z
+    # interior x-node (i=1) averages cells 0 and 1 → 2.0
+    assert out[1, 0, 1] == pytest.approx(2.0)
+    # boundary x-node replicates
+    assert out[0, 0, 1] == pytest.approx(1.0)
+    assert out[2, 0, 1] == pytest.approx(3.0)
+    assert out.shape == (3, 3, 3)
