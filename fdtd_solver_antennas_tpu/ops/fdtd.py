@@ -87,14 +87,29 @@ def _set_plane(a, axis: int, idx: int, val):
 
 @dataclasses.dataclass(frozen=True)
 class FDTDConfig:
-    """Run controls (reference analogs: NrTS / EndCriteria / boundary)."""
+    """Run controls (reference analogs: NrTS / EndCriteria / boundary).
+
+    ``boundary``: 'MUR' (first-order ABC, the reference default),
+    'PEC' (closed box), or 'PML_N' (N-cell CPML, e.g. 'PML_8' — the
+    reference's alternative, solver_fdtd_openems.py:188).
+    """
 
     n_steps_max: int = 30_000
     end_criteria: float = 1e-4
-    boundary: str = "MUR"  # 'MUR' | 'PEC' (CPML lands in a later layer)
+    boundary: str = "MUR"
     check_every: int = 500
     courant: float = 0.95
     dtype: str = "float32"
+
+    def pml_cells(self) -> int:
+        """0 when not a PML boundary, else the slab thickness in cells."""
+        b = self.boundary.upper()
+        if not b.startswith("PML"):
+            return 0
+        try:
+            return int(b.split("_")[-1])
+        except ValueError:
+            return 8
 
 
 @dataclasses.dataclass
@@ -174,6 +189,70 @@ class PreparedSimulation:
         host["nf_e"] = [cplx(a) for a in host["nf_e"]]
         host["nf_h"] = [cplx(a) for a in host["nf_h"]]
         return host
+
+
+# ---------------------------------------------------------------------------
+# CPML (convolutional PML) profiles
+# ---------------------------------------------------------------------------
+
+def _cpml_profiles(
+    grid: YeeGrid,
+    padded_shape: Tuple[int, int, int],
+    dt: float,
+    npml: int,
+    m: float = 3.0,
+    r0: float = 1e-8,
+    alpha_max: float = 0.05,
+):
+    """Per-axis recursive-convolution coefficients b, c at node and half
+    positions (Roden–Gedney CPML, κ = 1).
+
+    σ is polynomially graded over the *physical* slab depth, so the graded
+    mesh needs no special casing; σ_max = −(m+1)·ln(R0)/(2·η0·L_slab) per
+    side. α is linearly graded from α_max at the inner interface to 0 at
+    the wall (CFS term for low-frequency/evanescent absorption).
+    """
+    from ..physics import ETA0
+
+    out = {}
+    for a, name in enumerate("xyz"):
+        lines = grid.lines[name] * grid.unit  # meters
+        Q = len(lines)
+        P = padded_shape[a]
+        if npml * 2 + 4 > Q:
+            raise ValueError(
+                f"grid axis {name} too small for {npml}-cell PML"
+            )
+        x_lo, x_hi = lines[npml], lines[Q - 1 - npml]
+        L_lo = x_lo - lines[0]
+        L_hi = lines[-1] - x_hi
+        s_max_lo = -(m + 1.0) * math.log(r0) / (2.0 * ETA0 * L_lo)
+        s_max_hi = -(m + 1.0) * math.log(r0) / (2.0 * ETA0 * L_hi)
+
+        prof = {}
+        for kind in ("node", "half"):
+            pos = np.full(P, 0.5 * (x_lo + x_hi))  # pad slots → interior
+            if kind == "node":
+                pos[:Q] = lines
+            else:
+                pos[: Q - 1] = 0.5 * (lines[:-1] + lines[1:])
+            d = np.zeros(P)
+            s_max = np.zeros(P)
+            lo = pos < x_lo
+            hi = pos > x_hi
+            d[lo] = (x_lo - pos[lo]) / L_lo
+            s_max[lo] = s_max_lo
+            d[hi] = (pos[hi] - x_hi) / L_hi
+            s_max[hi] = s_max_hi
+            d = np.clip(d, 0.0, 1.0)
+            sigma = s_max * d**m
+            alpha = alpha_max * (1.0 - d) * (d > 0)
+            b = np.exp(-(sigma + alpha) * dt / EPS0)
+            denom = sigma + alpha
+            c = np.where(denom > 0, sigma / np.maximum(denom, 1e-30) * (b - 1.0), 0.0)
+            prof[kind] = (b.astype(np.float32), c.astype(np.float32))
+        out[a] = prof
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -454,9 +533,15 @@ def build_simulation(
         mur_coef[(a, 0)] = float((C0 * dt - d[0]) / (C0 * dt + d[0]))
         mur_coef[(a, 1)] = float((C0 * dt - d[-1]) / (C0 * dt + d[-1]))
 
+    # --- CPML profiles -------------------------------------------------------
+    npml = cfg.pml_cells()
+    pml = (
+        _cpml_profiles(grid, padded_shape, dt, npml) if npml > 0 else None
+    )
+
     # --- NF2FF faces ----------------------------------------------------------
     if nf_box_idx is None:
-        m = nf_margin_cells
+        m = max(nf_margin_cells, npml + 3)  # keep the box out of the PML
         nf_box_idx = (m, Px - 1 - m, m, Py - 1 - m, m, Pz - 1 - m)
     faces = _build_faces(grid, nf_box_idx)
 
@@ -491,15 +576,15 @@ def build_simulation(
         fc=fc,
         padded_shape=padded_shape,
     )
-    sim._aux = (inv_p, inv_d, mur_coef)
-    sim._run_fn = jax.jit(_make_run_fn(sim, inv_p, inv_d, mur_coef))
+    sim._aux = (inv_p, inv_d, mur_coef, pml)
+    sim._run_fn = jax.jit(_make_run_fn(sim, inv_p, inv_d, mur_coef, pml))
     return sim
 
 
 def rebuild_run_fn(sim: "PreparedSimulation") -> None:
     """Re-jit the run function (e.g. after attaching a field sharding)."""
-    inv_p, inv_d, mur_coef = sim._aux
-    sim._run_fn = jax.jit(_make_run_fn(sim, inv_p, inv_d, mur_coef))
+    inv_p, inv_d, mur_coef, pml = sim._aux
+    sim._run_fn = jax.jit(_make_run_fn(sim, inv_p, inv_d, mur_coef, pml))
 
 
 def make_single_step(sim: "PreparedSimulation"):
@@ -511,9 +596,9 @@ def make_single_step(sim: "PreparedSimulation"):
     accumulation). Used by the driver's compile check and by sharding
     dry runs.
     """
-    inv_p, inv_d, mur_coef = sim._aux
+    inv_p, inv_d, mur_coef, pml = sim._aux
     one_step, init_carry = _make_run_fn(
-        sim, inv_p, inv_d, mur_coef, _expose_step=True
+        sim, inv_p, inv_d, mur_coef, pml, _expose_step=True
     )
     n_pf = len(sim.port_freqs_hz)
     n_nf = len(sim.nf_freqs_hz)
@@ -533,7 +618,7 @@ def make_single_step(sim: "PreparedSimulation"):
 # the time loop
 # ---------------------------------------------------------------------------
 
-def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, _expose_step=False):
+def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None, _expose_step=False):
     grid = sim.grid
     Px, Py, Pz = sim.padded_shape or grid.shape
     cfg = sim.cfg
@@ -554,26 +639,72 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, _expose_step=F
     port_dl = [jnp.asarray(p.dl_m, jnp.float32) for p in ports]
     port_src = [jnp.asarray(p.src_col, jnp.float32) for p in ports]
 
-    def h_update(E, H):
-        Ex, Ey, Ez = E
-        Hx, Hy, Hz = H
-        Hx = Hx - dtmu * (_fdiff(Ez, 1) * iy_p - _fdiff(Ey, 2) * iz_p)
-        Hy = Hy - dtmu * (_fdiff(Ex, 2) * iz_p - _fdiff(Ez, 0) * ix_p)
-        Hz = Hz - dtmu * (_fdiff(Ey, 0) * ix_p - _fdiff(Ex, 1) * iy_p)
-        return (Hx, Hy, Hz)
+    # CPML recursive-convolution coefficients: E-side derivatives live on
+    # node positions, H-side on half positions, broadcast along their axis.
+    if pml is not None:
+        bh = {a: _bvec(pml[a]["half"][0], a) for a in range(3)}
+        ch = {a: _bvec(pml[a]["half"][1], a) for a in range(3)}
+        be = {a: _bvec(pml[a]["node"][0], a) for a in range(3)}
+        ce = {a: _bvec(pml[a]["node"][1], a) for a in range(3)}
 
-    def e_update(E, H, coeffs, s_val):
+    def h_update(E, H, psi_h):
         Ex, Ey, Ez = E
         Hx, Hy, Hz = H
-        Ex_n = coeffs["ca_ex"] * Ex + coeffs["cb_ex"] * (
-            _bdiff(Hz, 1) * iy_d - _bdiff(Hy, 2) * iz_d
-        )
-        Ey_n = coeffs["ca_ey"] * Ey + coeffs["cb_ey"] * (
-            _bdiff(Hx, 2) * iz_d - _bdiff(Hz, 0) * ix_d
-        )
-        Ez_n = coeffs["ca_ez"] * Ez + coeffs["cb_ez"] * (
-            _bdiff(Hy, 0) * ix_d - _bdiff(Hx, 1) * iy_d
-        )
+        dEz_y = _fdiff(Ez, 1) * iy_p
+        dEy_z = _fdiff(Ey, 2) * iz_p
+        dEx_z = _fdiff(Ex, 2) * iz_p
+        dEz_x = _fdiff(Ez, 0) * ix_p
+        dEy_x = _fdiff(Ey, 0) * ix_p
+        dEx_y = _fdiff(Ex, 1) * iy_p
+        if pml is not None:
+            psi_h = dict(
+                xy=bh[1] * psi_h["xy"] + ch[1] * dEz_y,
+                xz=bh[2] * psi_h["xz"] + ch[2] * dEy_z,
+                yz=bh[2] * psi_h["yz"] + ch[2] * dEx_z,
+                yx=bh[0] * psi_h["yx"] + ch[0] * dEz_x,
+                zx=bh[0] * psi_h["zx"] + ch[0] * dEy_x,
+                zy=bh[1] * psi_h["zy"] + ch[1] * dEx_y,
+            )
+            Hx = Hx - dtmu * ((dEz_y + psi_h["xy"]) - (dEy_z + psi_h["xz"]))
+            Hy = Hy - dtmu * ((dEx_z + psi_h["yz"]) - (dEz_x + psi_h["yx"]))
+            Hz = Hz - dtmu * ((dEy_x + psi_h["zx"]) - (dEx_y + psi_h["zy"]))
+        else:
+            Hx = Hx - dtmu * (dEz_y - dEy_z)
+            Hy = Hy - dtmu * (dEx_z - dEz_x)
+            Hz = Hz - dtmu * (dEy_x - dEx_y)
+        return (Hx, Hy, Hz), psi_h
+
+    def e_update(E, H, coeffs, s_val, psi_e):
+        Ex, Ey, Ez = E
+        Hx, Hy, Hz = H
+        dHz_y = _bdiff(Hz, 1) * iy_d
+        dHy_z = _bdiff(Hy, 2) * iz_d
+        dHx_z = _bdiff(Hx, 2) * iz_d
+        dHz_x = _bdiff(Hz, 0) * ix_d
+        dHy_x = _bdiff(Hy, 0) * ix_d
+        dHx_y = _bdiff(Hx, 1) * iy_d
+        if pml is not None:
+            psi_e = dict(
+                xy=be[1] * psi_e["xy"] + ce[1] * dHz_y,
+                xz=be[2] * psi_e["xz"] + ce[2] * dHy_z,
+                yz=be[2] * psi_e["yz"] + ce[2] * dHx_z,
+                yx=be[0] * psi_e["yx"] + ce[0] * dHz_x,
+                zx=be[0] * psi_e["zx"] + ce[0] * dHy_x,
+                zy=be[1] * psi_e["zy"] + ce[1] * dHx_y,
+            )
+            Ex_n = coeffs["ca_ex"] * Ex + coeffs["cb_ex"] * (
+                (dHz_y + psi_e["xy"]) - (dHy_z + psi_e["xz"])
+            )
+            Ey_n = coeffs["ca_ey"] * Ey + coeffs["cb_ey"] * (
+                (dHx_z + psi_e["yz"]) - (dHz_x + psi_e["yx"])
+            )
+            Ez_n = coeffs["ca_ez"] * Ez + coeffs["cb_ez"] * (
+                (dHy_x + psi_e["zx"]) - (dHx_y + psi_e["zy"])
+            )
+        else:
+            Ex_n = coeffs["ca_ex"] * Ex + coeffs["cb_ex"] * (dHz_y - dHy_z)
+            Ey_n = coeffs["ca_ey"] * Ey + coeffs["cb_ey"] * (dHx_z - dHz_x)
+            Ez_n = coeffs["ca_ez"] * Ez + coeffs["cb_ez"] * (dHy_x - dHx_y)
         En = [Ex_n, Ey_n, Ez_n]
         # lumped-port soft sources
         for pi, prt in enumerate(ports):
@@ -594,7 +725,7 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, _expose_step=F
                             - _plane(Eo[comp], b_axis, idx)
                         )
                         En[comp] = _set_plane(En[comp], b_axis, idx, new)
-        return tuple(En)
+        return tuple(En), psi_e
 
     def port_voltage(E):
         # U = −∫E·dl along the port direction
@@ -640,12 +771,17 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, _expose_step=F
             jnp.zeros((2, n_nf_freqs, 2, nu, nv), jnp.float32)
             for nu, nv in nf_shapes
         ]
+        keys = ("xy", "xz", "yz", "yx", "zx", "zy")
+        psi_e = {k: zeros() for k in keys} if pml is not None else {}
+        psi_h = {k: zeros() for k in keys} if pml is not None else {}
         return dict(
             fields=fields,
             uf=uf,
             if_=if_,
             nf_e=nf_e,
             nf_h=nf_h,
+            psi_e=psi_e,
+            psi_h=psi_h,
             n=jnp.int32(0),
             e_max=jnp.float32(0.0),
             e_ratio=jnp.float32(1.0),
@@ -657,7 +793,7 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, _expose_step=F
         source and MUR, plus in-loop DFT accumulation."""
         E = carry_in["fields"][:3]
         H = carry_in["fields"][3:]
-        Hn = h_update(E, H)
+        Hn, psi_h = h_update(E, H, carry_in["psi_h"])
         # e^{-jωt} accumulated as (re += x·cos ωt, im −= x·sin ωt)
         t_h = (n.astype(jnp.float32) + 0.5) * np.float32(dt)
         cos_h_port, sin_h_port = jnp.cos(w_port * t_h), jnp.sin(w_port * t_h)
@@ -668,7 +804,7 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, _expose_step=F
         )
 
         s_val = waveform[n]
-        En = e_update(E, Hn, coeffs, s_val)
+        En, psi_e = e_update(E, Hn, coeffs, s_val, carry_in["psi_e"])
         t_e = (n.astype(jnp.float32) + 1.0) * np.float32(dt)
         cos_e_port, sin_e_port = jnp.cos(w_port * t_e), jnp.sin(w_port * t_e)
         cos_e_nf, sin_e_nf = jnp.cos(w_nf * t_e), jnp.sin(w_nf * t_e)
@@ -695,6 +831,8 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, _expose_step=F
             if_=if_,
             nf_e=nf_e,
             nf_h=nf_h,
+            psi_e=psi_e,
+            psi_h=psi_h,
         )
 
     if _expose_step:
