@@ -53,10 +53,25 @@ from .solvers.microstrip_3d import (
     run_prepared_openems_microstrip_3d,
 )
 from .solvers.multi_patch_3d import (
+    PatchLike,
     prepare_multi_patch_3d,
     run_prepared_multi_patch_3d,
     prepare_openems_microstrip_multi_3d,
     run_prepared_openems_microstrip_multi_3d,
+)
+from .solvers.patch_legacy import (
+    probe_openems,
+    prepare_patch_legacy,
+    run_prepared_legacy,
+    prepare_openems_patch,
+    run_prepared_openems,
+)
+from .solvers.patch_2d import (
+    Prepared2D,
+    OpenEMS2DPrepared,
+    prepare_patch_2d,
+    run_prepared_2d,
+    prepare_openems_patch_2d,
 )
 from .viz.plotting import (
     plot_cross_sections,
@@ -106,10 +121,23 @@ __all__ = [
     "prepare_openems_microstrip_patch_3d",
     "run_prepared_openems_microstrip_3d",
     # Multi-patch solver
+    "PatchLike",
     "prepare_multi_patch_3d",
     "run_prepared_multi_patch_3d",
     "prepare_openems_microstrip_multi_3d",
     "run_prepared_openems_microstrip_multi_3d",
+    # Legacy full-sphere solver
+    "probe_openems",
+    "prepare_patch_legacy",
+    "run_prepared_legacy",
+    "prepare_openems_patch",
+    "run_prepared_openems",
+    # Quasi-2D solver
+    "Prepared2D",
+    "OpenEMS2DPrepared",
+    "prepare_patch_2d",
+    "run_prepared_2d",
+    "prepare_openems_patch_2d",
     # Plotting
     "plot_cross_sections",
     "plot_3d_pattern",

@@ -1,0 +1,221 @@
+"""Batched geometry sweeps: many designs, one compiled program.
+
+The reference explores designs by serially re-``prepare``/re-``Run``-ing
+the C++ engine per variant (GUI reruns; BASELINE.json config #5 names the
+"vmapped geometry sweep" as this framework's replacement). Here every
+variant is voxelized onto one *shared canonical grid* (the union of all
+variants' mesh-refinement lines, per SURVEY §7's ragged-grid resolution:
+geometry differences live purely in coefficient arrays), the coefficient
+pytrees are stacked on a batch axis, and the full chunked time loop runs
+under ``jax.vmap`` — an S11 sweep over N designs is a single XLA program
+on the MXU/VPU instead of N engine launches.
+
+Early-exit note: under vmap the while_loop runs until *all* variants meet
+the energy criterion; already-converged variants keep stepping, which only
+adds negligible (decayed-field) DFT contributions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..models.params import PatchAntennaParams
+from ..models.scene import Scene
+from ..ops.fdtd import FDTDConfig, _make_run_fn, build_simulation
+from ..ops.mesh import MeshBuilder
+from ..physics import C0, design_patch_for_frequency, substrate_conductivity
+from ..post.ports import PortSpectra, find_resonance, port_spectra
+from .base import SolverPrepared
+
+
+@dataclasses.dataclass
+class SweepPrepared:
+    ok: bool
+    message: str
+    sim: object = None  # base PreparedSimulation (variant 0)
+    batched_coeffs: Optional[Dict[str, jnp.ndarray]] = None
+    variants: Optional[List[PatchAntennaParams]] = None
+    _vrun: object = None
+
+
+@dataclasses.dataclass
+class SweepResult:
+    ok: bool
+    message: str
+    spectra: Optional[List[PortSpectra]] = None
+    f_res_hz: Optional[np.ndarray] = None
+    s11_min_db: Optional[np.ndarray] = None
+    steps_run: int = 0
+    wall_time_s: float = 0.0
+    mcells_per_s: float = 0.0
+
+
+def _patch_dims_mm(p: PatchAntennaParams):
+    if p.patch_length_m and p.patch_width_m:
+        return p.patch_width_m * 1e3, p.patch_length_m * 1e3
+    L_m, W_m, _ = design_patch_for_frequency(p.frequency_hz, p.eps_r, p.h_m)
+    return W_m * 1e3, L_m * 1e3
+
+
+def _variant_scene(p: PatchAntennaParams, feed_pos: float) -> Scene:
+    """Canonical fixed-solver scene for one variant (60×60 substrate)."""
+    W, L = _patch_dims_mm(p)
+    h = p.h_m * 1e3
+    kappa = substrate_conductivity(p.frequency_hz, p.eps_r, p.loss_tangent)
+    scene = Scene()
+    scene.add_material_box(
+        "substrate", p.eps_r, kappa, [-30, -30, 0.0], [30, 30, h], priority=0
+    )
+    scene.add_metal_box("patch", [-W / 2, -L / 2, h], [W / 2, L / 2, h], 10)
+    scene.add_metal_box("gnd", [-30, -30, 0.0], [30, 30, 0.0], 10)
+    scene.add_lumped_port(
+        1, 50.0, [feed_pos, 0.0, 0.0], [feed_pos, 0.0, h], direction="z"
+    )
+    return scene
+
+
+def prepare_patch_geometry_sweep(
+    variants: Sequence[PatchAntennaParams],
+    *,
+    feed_pos_mm: float = -6.0,
+    n_steps_max: int = 16_000,
+    end_criteria: float = 1e-4,
+    boundary: str = "MUR",
+    verbose: int = 0,
+) -> SweepPrepared:
+    """Build the shared grid + stacked coefficients for a design sweep.
+
+    All variants must share substrate thickness (the grid's z lines).
+    """
+    try:
+        variants = list(variants)
+        if not variants:
+            return SweepPrepared(False, "No variants provided.")
+        h0 = variants[0].h_m
+        if any(abs(v.h_m - h0) > 1e-12 for v in variants):
+            return SweepPrepared(
+                False, "All sweep variants must share substrate thickness h."
+            )
+        f0 = max(v.frequency_hz for v in variants)
+        fc = f0 / 2.0
+        h = h0 * 1e3
+        mesh_res = C0 / (f0 + fc) / 1e-3 / 20.0
+
+        # union mesh: every variant's metal edges refine the shared grid
+        mb = MeshBuilder()
+        mb.add_line("x", [-100.0, 100.0])
+        mb.add_line("y", [-100.0, 100.0])
+        mb.add_line("z", [-50.0, 100.0])
+        mb.add_line("z", np.linspace(0.0, h, 5))
+        mb.add_line("x", [feed_pos_mm])
+        mb.add_line("y", [0.0])
+        mb.add_metal_edges([-30, -30, 0], [30, 30, 0], dirs="xy")
+        for v in variants:
+            W, L = _patch_dims_mm(v)
+            mb.add_metal_edges(
+                [-W / 2, -L / 2, h], [W / 2, L / 2, h], dirs="xy",
+                metal_edge_res=mesh_res / 2,
+            )
+        grid = mb.build(mesh_res, ratio=1.4)
+
+        cfg = FDTDConfig(
+            n_steps_max=n_steps_max, end_criteria=end_criteria,
+            boundary=boundary,
+        )
+        port_freqs = np.linspace(max(1e8, f0 * 0.5), f0 * 1.5, 201)
+        nf_freqs = np.array([f0])  # sweeps are S11-centric; keep NF light
+
+        sims = [
+            build_simulation(
+                _variant_scene(v, feed_pos_mm), grid, f0=f0, fc=fc, cfg=cfg,
+                port_freqs_hz=port_freqs, nf_freqs_hz=nf_freqs,
+            )
+            for v in variants
+        ]
+        base = sims[0]
+        batched = {
+            k: jnp.stack([s.coeffs[k] for s in sims]) for k in base.coeffs
+        }
+        run_raw = _make_run_fn(base, *base._aux)
+        vrun = jax.jit(jax.vmap(run_raw, in_axes=(0, None, None, None)))
+        if verbose:
+            print(
+                f"sweep prepared: {len(variants)} variants on shared grid "
+                f"{grid.shape} ({grid.num_cells} cells)"
+            )
+        return SweepPrepared(
+            True,
+            f"Sweep prepared: {len(variants)} variants, grid {grid.shape}",
+            sim=base,
+            batched_coeffs=batched,
+            variants=variants,
+            _vrun=vrun,
+        )
+    except Exception as e:
+        return SweepPrepared(False, f"sweep prepare failed: {e}")
+
+
+def run_patch_geometry_sweep(
+    prepared: SweepPrepared, *, verbose: int = 0
+) -> SweepResult:
+    """Execute the batched sweep; per-variant S11 spectra and resonances."""
+    try:
+        if not prepared.ok or prepared.sim is None:
+            return SweepResult(False, prepared.message)
+        sim = prepared.sim
+        import math
+
+        args = (
+            prepared.batched_coeffs,
+            jnp.asarray(sim.waveform),
+            jnp.asarray(2 * math.pi * sim.port_freqs_hz, jnp.float32),
+            jnp.asarray(2 * math.pi * sim.nf_freqs_hz, jnp.float32),
+        )
+        t0 = time.perf_counter()
+        out = prepared._vrun(*args)
+        jax.block_until_ready(out["steps"])
+        wall = time.perf_counter() - t0
+        steps = int(np.max(np.asarray(out["steps"])))
+        n_var = len(prepared.variants)
+
+        uf = np.asarray(out["uf"])  # (B, 2, n_ports, Nf)
+        if_ = np.asarray(out["if_"])
+        spectra, f_res, s11_min = [], [], []
+        for b, v in enumerate(prepared.variants):
+            sp = port_spectra(
+                sim.port_freqs_hz,
+                uf[b, 0, 0] + 1j * uf[b, 1, 0],
+                if_[b, 0, 0] + 1j * if_[b, 1, 0],
+                sim.dt,
+            )
+            fr, _ = find_resonance(sp, v.frequency_hz)
+            spectra.append(sp)
+            f_res.append(fr)
+            s11_min.append(
+                float(20 * np.log10(np.maximum(np.abs(sp.s11), 1e-30)).min())
+            )
+        rate = sim.grid.num_cells * steps * n_var / wall / 1e6
+        if verbose:
+            print(
+                f"sweep: {n_var} variants × {steps} steps in {wall:.2f}s "
+                f"→ {rate:.0f} Mcells/s aggregate"
+            )
+        return SweepResult(
+            True,
+            f"Sweep completed: {n_var} variants",
+            spectra=spectra,
+            f_res_hz=np.array(f_res),
+            s11_min_db=np.array(s11_min),
+            steps_run=steps,
+            wall_time_s=wall,
+            mcells_per_s=rate,
+        )
+    except Exception as e:
+        return SweepResult(False, f"sweep run failed: {e}")

@@ -1,0 +1,152 @@
+"""Solver-protocol tests: every prepare/run pair honors the 3-phase
+contract with structured ok/message failures (reference defensive style).
+
+Step counts are truncated for CI speed — these validate protocol and
+plumbing; physics accuracy is covered by the oracle/golden tests.
+"""
+
+import numpy as np
+import pytest
+
+from fdtd_solver_antennas_tpu import (
+    FeedDirection,
+    PatchAntennaParams,
+    PatchLike,
+    prepare_microstrip_patch,
+    prepare_microstrip_patch_3d,
+    prepare_multi_patch_3d,
+    prepare_patch_2d,
+    prepare_patch_fixed,
+    prepare_patch_legacy,
+    probe_fdtd,
+    run_prepared_2d,
+    run_prepared_fixed,
+    run_prepared_legacy,
+    run_prepared_microstrip,
+    run_prepared_microstrip_3d,
+    run_prepared_multi_patch_3d,
+)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return PatchAntennaParams.from_user_units(
+        frequency_ghz=2.45, er=4.3, h_mm=1.6, loss_tangent=0.02
+    )
+
+
+def _check_result(res, full_sphere=False):
+    assert res.ok, res.message
+    assert res.is_dBi
+    assert res.intensity is not None
+    assert res.intensity.shape == (len(res.theta), len(res.phi))
+    assert np.isfinite(res.intensity).all()
+    assert res.s11 is not None and np.isfinite(res.s11).all()
+    # truncated CI runs stop before full field decay, so the DFT can
+    # slightly exceed unity at band edges; strict passivity is asserted on
+    # converged runs in test_ports.py
+    assert np.all(np.abs(res.s11) < 1.5)
+    assert res.f_res_hz is not None
+    if full_sphere:
+        assert len(res.phi) > 10
+
+
+def test_probe():
+    probe = probe_fdtd("")
+    assert probe.ok
+    assert "backend" in probe.api
+
+
+def test_fixed_solver_protocol(params):
+    prep = prepare_patch_fixed(params, n_steps_max=1500)
+    assert prep.ok, prep.message
+    assert prep.theta is not None and prep.phi is not None
+    res = run_prepared_fixed(prep, frequency_hz=params.frequency_hz, verbose=0)
+    _check_result(res)
+
+
+def test_microstrip_solver_protocol(params):
+    prep = prepare_microstrip_patch(
+        params, feed_direction=FeedDirection.NEG_X, n_steps_max=1200
+    )
+    assert prep.ok, prep.message
+    res = run_prepared_microstrip(
+        prep, frequency_hz=params.frequency_hz, verbose=0
+    )
+    _check_result(res)
+
+
+@pytest.mark.parametrize("fd", list(FeedDirection))
+def test_microstrip_feed_directions_prepare(params, fd):
+    prep = prepare_microstrip_patch(params, feed_direction=fd, n_steps_max=10)
+    assert prep.ok, prep.message
+
+
+def test_microstrip_3d_protocol(params):
+    prep = prepare_microstrip_patch_3d(
+        params, mesh_quality=1, phi_step_deg=30.0, theta_step_deg=10.0,
+        n_steps_max=1000,
+    )
+    assert prep.ok, prep.message
+    res = run_prepared_microstrip_3d(
+        prep, frequency_hz=params.frequency_hz, verbose=0
+    )
+    _check_result(res, full_sphere=True)
+
+
+def test_multi_patch_protocol(params):
+    patches = [
+        PatchLike(name="a", params=params),
+        PatchLike(
+            name="b", params=params, center_x_m=0.08, rot_z_deg=90.0,
+            feed_direction=FeedDirection.NEG_Y,
+        ),
+    ]
+    prep = prepare_multi_patch_3d(
+        patches, mesh_quality=1, phi_step_deg=30.0, theta_step_deg=10.0,
+    )
+    assert prep.ok, prep.message
+    assert prep.diagnostics["n_instances"] == 2
+    prep.sim.cfg = prep.sim.cfg.__class__(
+        **{**prep.sim.cfg.__dict__, "n_steps_max": 800}
+    )
+    from fdtd_solver_antennas_tpu.ops.fdtd import rebuild_run_fn
+
+    rebuild_run_fn(prep.sim)
+    res = run_prepared_multi_patch_3d(
+        prep, frequency_hz=params.frequency_hz, verbose=0
+    )
+    _check_result(res, full_sphere=True)
+    assert len(res.diagnostics["s11_all_ports"]) == 2
+
+
+def test_multi_patch_empty_fails_structured():
+    prep = prepare_multi_patch_3d([])
+    assert not prep.ok
+    assert "No patch instances" in prep.message
+
+
+def test_legacy_solver_protocol(params):
+    prep = prepare_patch_legacy(params, n_steps_max=1200)
+    assert prep.ok, prep.message
+    # legacy stores radians
+    assert prep.theta.max() <= np.pi + 1e-9
+    res = run_prepared_legacy(prep, frequency_hz=params.frequency_hz, verbose=0)
+    _check_result(res, full_sphere=True)
+
+
+def test_2d_solver_protocol(params):
+    prep = prepare_patch_2d(params, n_steps_max=1200)
+    assert prep.ok, prep.message
+    assert len(prep.phi) == 4  # quasi-2D: 4 azimuth cuts
+    res = run_prepared_2d(prep, frequency_hz=params.frequency_hz, verbose=0)
+    _check_result(res)
+
+
+def test_run_with_failed_prepare_is_structured(params):
+    from fdtd_solver_antennas_tpu.solvers.base import SolverPrepared
+
+    bad = SolverPrepared(False, "boom")
+    res = run_prepared_fixed(bad, frequency_hz=2.45e9)
+    assert not res.ok
+    assert "boom" in res.message

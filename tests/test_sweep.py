@@ -1,0 +1,73 @@
+"""Vmapped geometry sweep: batched designs in one compiled program.
+
+Physics check: each variant's S11 must dip near the cavity-model
+prediction for its fed (x-axis) dimension, and the dips must order
+inversely with patch size.
+"""
+
+import numpy as np
+import pytest
+
+from fdtd_solver_antennas_tpu import PatchAntennaParams
+from fdtd_solver_antennas_tpu.physics import C0, delta_L, effective_eps
+from fdtd_solver_antennas_tpu.solvers.sweep import (
+    prepare_patch_geometry_sweep,
+    run_patch_geometry_sweep,
+)
+
+GEOMS = [(26.0, 33.0), (32.0, 41.0)]  # (L_mm, W_mm); W is the fed x-dim
+
+
+def _predicted(w_mm: float) -> float:
+    w = w_mm * 1e-3
+    eps_eff = effective_eps(4.3, 1.6e-3, w)
+    w_eff = w + 2 * delta_L(eps_eff, 1.6e-3, w)
+    return C0 / (2 * w_eff * np.sqrt(eps_eff))
+
+
+@pytest.fixture(scope="module")
+def sweep_result():
+    variants = [
+        PatchAntennaParams.from_user_units(
+            frequency_ghz=2.45, er=4.3, h_mm=1.6, L_mm=L, W_mm=W
+        )
+        for (L, W) in GEOMS
+    ]
+    prep = prepare_patch_geometry_sweep(variants, n_steps_max=6000)
+    assert prep.ok, prep.message
+    res = run_patch_geometry_sweep(prep)
+    assert res.ok, res.message
+    return variants, prep, res
+
+
+def test_sweep_shapes(sweep_result):
+    variants, prep, res = sweep_result
+    assert len(res.spectra) == len(GEOMS)
+    assert np.isfinite(res.s11_min_db).all()
+
+
+def test_sweep_resonances_near_cavity_model(sweep_result):
+    """Each variant dips within 8% of its cavity-model fundamental."""
+    variants, prep, res = sweep_result
+    dips = []
+    for (L, W), sp in zip(GEOMS, res.spectra):
+        f_pred = _predicted(W)
+        db = 20 * np.log10(np.abs(sp.s11) + 1e-30)
+        win = (sp.freq_hz > 0.85 * f_pred) & (sp.freq_hz < 1.15 * f_pred)
+        assert win.any(), f"prediction {f_pred / 1e9:.2f} GHz out of band"
+        i = np.argmin(np.where(win, db, 0.0))
+        f_dip = sp.freq_hz[i]
+        assert db[i] < -8.0
+        assert f_dip == pytest.approx(f_pred, rel=0.08)
+        dips.append(f_dip)
+    # bigger patch → lower resonance
+    assert dips[0] > dips[1]
+
+
+def test_sweep_validation():
+    assert not prepare_patch_geometry_sweep([]).ok
+    a = PatchAntennaParams.from_user_units(frequency_ghz=2.45, er=4.3, h_mm=1.6)
+    b = PatchAntennaParams.from_user_units(frequency_ghz=2.45, er=4.3, h_mm=0.8)
+    prep = prepare_patch_geometry_sweep([a, b])
+    assert not prep.ok
+    assert "substrate thickness" in prep.message
