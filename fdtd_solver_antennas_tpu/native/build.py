@@ -1,0 +1,74 @@
+"""Build/load the native (C++) voxelizer core via ctypes.
+
+The reference's geometry rasterization lives in CSXCAD.dll (C++); this
+framework keeps the same split — a small C ABI library for the host-side
+containment hot loop — but builds it from in-repo source on first use with
+``g++`` and falls back to the NumPy implementation when no toolchain is
+available. No pybind11: plain ctypes over an ``extern "C"`` interface.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sysconfig
+import threading
+from pathlib import Path
+from typing import Optional
+
+_HERE = Path(__file__).resolve().parent
+_SRC = _HERE / "voxelize.cpp"
+_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+BOX_DOUBLES = 22
+
+
+def _build_library() -> Optional[Path]:
+    out = _HERE / "_libvoxelize.so"
+    if out.exists() and out.stat().st_mtime >= _SRC.stat().st_mtime:
+        return out
+    cmd = [
+        "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+        str(_SRC), "-o", str(out),
+    ]
+    try:
+        subprocess.run(
+            cmd, check=True, capture_output=True, timeout=120
+        )
+        return out
+    except Exception:
+        return None
+
+
+def get_voxelize_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library; None on failure."""
+    global _LIB, _TRIED
+    with _LOCK:
+        if _TRIED:
+            return _LIB
+        _TRIED = True
+        if os.environ.get("FDTD_TPU_DISABLE_NATIVE"):
+            return None
+        path = _build_library()
+        if path is None:
+            return None
+        try:
+            lib = ctypes.CDLL(str(path))
+        except OSError:
+            return None
+        dp = ctypes.POINTER(ctypes.c_double)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i64 = ctypes.c_int64
+        lib.box_contains_or.argtypes = [dp, i64, dp, u8p]
+        lib.box_contains_or.restype = None
+        lib.paint_materials.argtypes = [dp, i64, dp, dp, i64, dp, dp]
+        lib.paint_materials.restype = None
+        _LIB = lib
+        return _LIB
+
+
+def native_available() -> bool:
+    return get_voxelize_lib() is not None

@@ -40,6 +40,14 @@ from .voxelize import VoxelizedScene, cell_to_edge_average, voxelize
 _AXIS_OF = {"x": 0, "y": 1, "z": 2}
 
 
+def nf_to_complex(stacked) -> np.ndarray:
+    """Convert a stacked (re, im)-leading float array to complex on host."""
+    a = np.asarray(stacked)
+    if np.iscomplexobj(a):
+        return a
+    return a[0] + 1j * a[1]
+
+
 # ---------------------------------------------------------------------------
 # small shape helpers
 # ---------------------------------------------------------------------------
@@ -100,6 +108,14 @@ class FDTDConfig:
     check_every: int = 500
     courant: float = 0.95
     dtype: str = "float32"
+    # Probe/DFT sampling stride. None → auto: the largest D keeping the
+    # sampling interval D·dt below 1/(4·(f0+fc)) — a 2x Nyquist margin over
+    # the excitation's -20 dB corner. 1 reproduces per-step sampling.
+    probe_decimation: int | None = None
+    # VMEM-resident Pallas multi-step kernel for the inner D-step loop.
+    # None → auto (on for TPU backends when the boundary is MUR/PEC and the
+    # grid fits VMEM); True/False force it.
+    use_pallas: bool | None = None
 
     def pml_cells(self) -> int:
         """0 when not a PML boundary, else the slab thickness in cells."""
@@ -165,6 +181,8 @@ class PreparedSimulation:
     f0: float
     fc: float
     padded_shape: Tuple[int, int, int] = None  # array shape incl. zero pad
+    probe_decim: int = 1  # probe sampling stride (see FDTDConfig)
+    use_pallas: bool = False  # resolved Pallas-kernel enable flag
     field_sharding: object = None  # optional jax.sharding.NamedSharding
     _run_fn: object = None
     _aux: tuple = None  # (inv_p, inv_d, mur_coef) kept for run-fn rebuilds
@@ -172,6 +190,12 @@ class PreparedSimulation:
     @property
     def shape(self) -> Tuple[int, int, int]:
         return self.grid.shape
+
+    @property
+    def dft_dt(self) -> float:
+        """Effective sampling interval of the DFT sums (dt × decimation);
+        the factor that turns raw DFT sums into Fourier-integral estimates."""
+        return self.dt * self.probe_decim
 
     def run(self):
         args = (
@@ -182,12 +206,12 @@ class PreparedSimulation:
         )
         out = self._run_fn(*args)
         jax.block_until_ready(out["steps"])
-        host = jax.device_get(out)
-        cplx = lambda a: a[0] + 1j * a[1]
-        host["uf"] = cplx(host["uf"])
-        host["if_"] = cplx(host["if_"])
-        host["nf_e"] = [cplx(a) for a in host["nf_e"]]
-        host["nf_h"] = [cplx(a) for a in host["nf_h"]]
+        # Fetch only the small outputs eagerly; fields and NF2FF surface
+        # accumulators stay on device (device→host moves are expensive on
+        # tunneled PJRT backends) and transfer lazily on first np.asarray.
+        host = dict(out)
+        host["uf"] = nf_to_complex(out["uf"])
+        host["if_"] = nf_to_complex(out["if_"])
         return host
 
 
@@ -561,6 +585,12 @@ def build_simulation(
     port_freqs_hz = np.asarray(port_freqs_hz, np.float64)
     nf_freqs_hz = np.asarray(nf_freqs_hz, np.float64)
 
+    if cfg.probe_decimation is not None:
+        probe_decim = max(1, int(cfg.probe_decimation))
+    else:
+        probe_decim = max(1, int(1.0 / (4.0 * (f0 + fc) * dt)))
+    probe_decim = min(probe_decim, max(1, int(cfg.check_every)))
+
     sim = PreparedSimulation(
         grid=grid,
         dt=dt,
@@ -575,15 +605,49 @@ def build_simulation(
         f0=f0,
         fc=fc,
         padded_shape=padded_shape,
+        probe_decim=probe_decim,
     )
     sim._aux = (inv_p, inv_d, mur_coef, pml)
+    sim.use_pallas = _resolve_use_pallas(sim)
     sim._run_fn = jax.jit(_make_run_fn(sim, inv_p, inv_d, mur_coef, pml))
     return sim
+
+
+def _resolve_use_pallas(sim: "PreparedSimulation") -> bool:
+    """Resolve the VMEM-resident-kernel enable flag.
+
+    Auto-on for TPU backends when the kernel applies: MUR/PEC boundary,
+    single chip, z-extent within one lane tile, and the resident working
+    set within the validated VMEM budget. The kernel is bit-exact against
+    the XLA path on hardware (see tests/test_pallas_kernel.py).
+    """
+    cfg = sim.cfg
+    if cfg.use_pallas is not None:
+        enabled = bool(cfg.use_pallas)
+    else:
+        try:
+            backend = jax.default_backend()
+        except Exception:
+            return False
+        enabled = backend in ("tpu", "axon")
+    if not enabled:
+        return False
+    if cfg.pml_cells() > 0 or sim.field_sharding is not None:
+        return False
+    px, py, pz = sim.padded_shape or sim.grid.shape
+    if pz > 128:
+        return False
+    resident = 16 * px * py * 128 * 4  # fields+coeffs+vectors+temporaries
+    if cfg.use_pallas is None and resident > 24 * 1024 * 1024:
+        return False  # auto mode stays inside the validated VMEM budget
+    return True
 
 
 def rebuild_run_fn(sim: "PreparedSimulation") -> None:
     """Re-jit the run function (e.g. after attaching a field sharding)."""
     inv_p, inv_d, mur_coef, pml = sim._aux
+    if sim.field_sharding is not None:
+        sim.use_pallas = False  # sharded runs use the SPMD XLA path
     sim._run_fn = jax.jit(_make_run_fn(sim, inv_p, inv_d, mur_coef, pml))
 
 
@@ -591,13 +655,13 @@ def make_single_step(sim: "PreparedSimulation"):
     """Expose one jittable leapfrog step + its example arguments.
 
     Returns ``(step_fn, example_args)`` where
-    ``step_fn(carry, n, coeffs, waveform, w_port, w_nf) -> carry`` is the
-    full per-iteration computation (H/E updates, MUR, port source, DFT
-    accumulation). Used by the driver's compile check and by sharding
-    dry runs.
+    ``step_fn(carry, n, coeffs, waveform) -> (carry, probes)`` is the full
+    per-iteration field computation (H/E updates, boundary treatment, port
+    source, probe sampling). Used by the driver's compile check and by
+    sharding dry runs.
     """
     inv_p, inv_d, mur_coef, pml = sim._aux
-    one_step, init_carry = _make_run_fn(
+    field_step, init_carry = _make_run_fn(
         sim, inv_p, inv_d, mur_coef, pml, _expose_step=True
     )
     n_pf = len(sim.port_freqs_hz)
@@ -608,10 +672,8 @@ def make_single_step(sim: "PreparedSimulation"):
         jnp.int32(0),
         sim.coeffs,
         jnp.asarray(sim.waveform),
-        jnp.asarray(2 * math.pi * sim.port_freqs_hz, jnp.float32),
-        jnp.asarray(2 * math.pi * sim.nf_freqs_hz, jnp.float32),
     )
-    return one_step, args
+    return field_step, args
 
 
 # ---------------------------------------------------------------------------
@@ -629,7 +691,9 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None, _exp
     faces = sim.faces
     n_ports = len(ports)
     n_src = sim.n_source_steps
-    chunk = int(cfg.check_every)
+    decim = int(sim.probe_decim)
+    n_sub = max(1, int(cfg.check_every) // decim)
+    chunk = n_sub * decim  # steps per termination-check chunk
     n_chunks_max = int(math.ceil(cfg.n_steps_max / chunk))
 
     ix_p, iy_p, iz_p = (_bvec(inv_p[a], a) for a in range(3))
@@ -638,6 +702,15 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None, _exp
     port_sl = [p.sl for p in ports]
     port_dl = [jnp.asarray(p.dl_m, jnp.float32) for p in ports]
     port_src = [jnp.asarray(p.src_col, jnp.float32) for p in ports]
+
+    pallas_step = None
+    _pl_to_flat = _pl_from_flat = None
+    if sim.use_pallas and not _expose_step:
+        from .fdtd_pallas import build_pallas_stepper
+
+        pallas_step, _pl_to_flat, _pl_from_flat = build_pallas_stepper(
+            sim, inv_p, inv_d, mur_coef
+        )
 
     # CPML recursive-convolution coefficients: E-side derivatives live on
     # node positions, H-side on half positions, broadcast along their axis.
@@ -788,67 +861,131 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None, _exp
             done=jnp.bool_(False),
         )
 
-    def one_step(carry_in, n, coeffs, waveform, w_port, w_nf):
-        """One leapfrog iteration: H half-step, E half-step with port
-        source and MUR, plus in-loop DFT accumulation."""
+    def field_step(carry_in, n, coeffs, waveform):
+        """One leapfrog iteration: H half-step, then E half-step with port
+        source + boundary treatment. Returns the new carry plus the probe
+        samples (port V/I and Huygens-face tangential fields) for this
+        step — DFT accumulation happens per chunk as matmuls, not here."""
         E = carry_in["fields"][:3]
         H = carry_in["fields"][3:]
         Hn, psi_h = h_update(E, H, carry_in["psi_h"])
-        # e^{-jωt} accumulated as (re += x·cos ωt, im −= x·sin ωt)
-        t_h = (n.astype(jnp.float32) + 0.5) * np.float32(dt)
-        cos_h_port, sin_h_port = jnp.cos(w_port * t_h), jnp.sin(w_port * t_h)
-        cos_h_nf, sin_h_nf = jnp.cos(w_nf * t_h), jnp.sin(w_nf * t_h)
         i_vals = port_current(Hn)
-        if_ = carry_in["if_"] + jnp.stack(
-            [i_vals[:, None] * cos_h_port, -i_vals[:, None] * sin_h_port]
-        )
-
         s_val = waveform[n]
         En, psi_e = e_update(E, Hn, coeffs, s_val, carry_in["psi_e"])
-        t_e = (n.astype(jnp.float32) + 1.0) * np.float32(dt)
-        cos_e_port, sin_e_port = jnp.cos(w_port * t_e), jnp.sin(w_port * t_e)
-        cos_e_nf, sin_e_nf = jnp.cos(w_nf * t_e), jnp.sin(w_nf * t_e)
         v_vals = port_voltage(En)
-        uf = carry_in["uf"] + jnp.stack(
-            [v_vals[:, None] * cos_e_port, -v_vals[:, None] * sin_e_port]
+        probes = dict(
+            v=v_vals,
+            i=i_vals,
+            faces_e=[],
+            faces_h=[],
         )
-
-        phase_e = jnp.stack([cos_e_nf, -sin_e_nf])[:, :, None, None, None]
-        phase_h = jnp.stack([cos_h_nf, -sin_h_nf])[:, :, None, None, None]
-        nf_e = list(carry_in["nf_e"])
-        nf_h = list(carry_in["nf_h"])
-        for fi, face in enumerate(faces):
+        for face in faces:
             E_u, E_v, H_u, H_v = _face_tangential(En, Hn, face)
-            e_st = jnp.stack([E_u, E_v])[None, None]  # (1, 1, 2, nu, nv)
-            h_st = jnp.stack([H_u, H_v])[None, None]
-            nf_e[fi] = nf_e[fi] + e_st * phase_e
-            nf_h[fi] = nf_h[fi] + h_st * phase_h
-
-        return dict(
+            probes["faces_e"].append(jnp.stack([E_u, E_v]))  # (2, nu, nv)
+            probes["faces_h"].append(jnp.stack([H_u, H_v]))
+        carry_out = dict(
             carry_in,
             fields=tuple(En) + tuple(Hn),
-            uf=uf,
-            if_=if_,
-            nf_e=nf_e,
-            nf_h=nf_h,
             psi_e=psi_e,
             psi_h=psi_h,
         )
+        return carry_out, probes
 
     if _expose_step:
-        return one_step, init_carry
+        return field_step, init_carry
 
     def run(coeffs, waveform, w_port, w_nf):
         n_port_freqs = w_port.shape[0]
         n_nf_freqs = w_nf.shape[0]
 
         def chunk_body(carry):
-            def body(_, c):
-                c2 = one_step(c, c["n"], coeffs, waveform, w_port, w_nf)
+            # --- n_sub probe samples, each after D pure field steps -------
+            # Probes are decimated: fields are band-limited to ~f0+fc while
+            # dt sits at the Courant limit, so sampling every D steps keeps
+            # a >2x Nyquist margin (D chosen in the builder). The openEMS
+            # engine samples its DFTs every step — ~50-100x oversampled.
+            bufs = dict(
+                v=jnp.zeros((n_sub, n_ports), jnp.float32),
+                i=jnp.zeros((n_sub, n_ports), jnp.float32),
+                fe=[jnp.zeros((n_sub, 2, nu, nv), jnp.float32)
+                    for nu, nv in nf_shapes],
+                fh=[jnp.zeros((n_sub, 2, nu, nv), jnp.float32)
+                    for nu, nv in nf_shapes],
+            )
+
+            def step_only(_, c):
+                c2, _probes = field_step(c, c["n"], coeffs, waveform)
                 c2["n"] = c["n"] + 1
                 return c2
 
-            carry = jax.lax.fori_loop(0, chunk, body, carry)
+            def advance_decim(c):
+                if pallas_step is not None:
+                    flat = tuple(_pl_to_flat(f) for f in c["fields"])
+                    wf_chunk = jax.lax.dynamic_slice(
+                        waveform, (c["n"],), (decim,)
+                    )
+                    flat = pallas_step(flat, wf_chunk)
+                    fields = tuple(_pl_from_flat(f) for f in flat)
+                    return dict(c, fields=fields, n=c["n"] + decim)
+                return jax.lax.fori_loop(0, decim, step_only, c)
+
+            def sub_body(j, st):
+                c, b = st
+                c = advance_decim(c)
+                E, H = c["fields"][:3], c["fields"][3:]
+                b_new = dict(
+                    v=b["v"].at[j].set(port_voltage(E)),
+                    i=b["i"].at[j].set(port_current(H)),
+                    fe=list(b["fe"]),
+                    fh=list(b["fh"]),
+                )
+                for fi, face in enumerate(faces):
+                    E_u, E_v, H_u, H_v = _face_tangential(E, H, face)
+                    b_new["fe"][fi] = b_new["fe"][fi].at[j].set(
+                        jnp.stack([E_u, E_v])
+                    )
+                    b_new["fh"][fi] = b_new["fh"][fi].at[j].set(
+                        jnp.stack([H_u, H_v])
+                    )
+                return (c, b_new)
+
+            n0 = carry["n"]
+            carry, bufs = jax.lax.fori_loop(0, n_sub, sub_body, (carry, bufs))
+
+            # --- chunked DFT: phases (Nf, n_sub) @ buffers on the MXU -----
+            # Sample j sits after step n0 + (j+1)·D: E-state at that time,
+            # H-state half a step earlier.
+            j_idx = jnp.arange(n_sub, dtype=jnp.float32)
+            t_e = (n0.astype(jnp.float32) + (j_idx + 1.0) * decim) * np.float32(dt)
+            t_h = t_e - np.float32(0.5 * dt)
+
+            def dft_mats(w, t):
+                ang = w[:, None] * t[None, :]  # (Nf, K)
+                return jnp.cos(ang), jnp.sin(ang)
+
+            ce_p, se_p = dft_mats(w_port, t_e)
+            ch_p, sh_p = dft_mats(w_port, t_h)
+            uf = carry["uf"] + jnp.stack(
+                [ce_p @ bufs["v"], -(se_p @ bufs["v"])]
+            ).transpose(0, 2, 1)
+            if_ = carry["if_"] + jnp.stack(
+                [ch_p @ bufs["i"], -(sh_p @ bufs["i"])]
+            ).transpose(0, 2, 1)
+
+            ce_n, se_n = dft_mats(w_nf, t_e)
+            ch_n, sh_n = dft_mats(w_nf, t_h)
+            nf_e = list(carry["nf_e"])
+            nf_h = list(carry["nf_h"])
+            for fi, (nu, nv) in enumerate(nf_shapes):
+                fe = bufs["fe"][fi].reshape(n_sub, -1)  # (n_sub, 2·nu·nv)
+                fh = bufs["fh"][fi].reshape(n_sub, -1)
+                de = jnp.stack([ce_n @ fe, -(se_n @ fe)])  # (2, Nf, 2·nu·nv)
+                dh = jnp.stack([ch_n @ fh, -(sh_n @ fh)])
+                nf_e[fi] = nf_e[fi] + de.reshape(2, n_nf_freqs, 2, nu, nv)
+                nf_h[fi] = nf_h[fi] + dh.reshape(2, n_nf_freqs, 2, nu, nv)
+            carry = dict(carry, uf=uf, if_=if_, nf_e=nf_e, nf_h=nf_h)
+
+            # --- energy-decay termination check -------------------------
             E = carry["fields"][:3]
             energy = sum(jnp.sum(e * e) for e in E)
             e_max = jnp.maximum(carry["e_max"], energy)

@@ -41,9 +41,7 @@ class VoxelizedScene:
     pec_ez: np.ndarray
 
 
-def _inflated_contains(box: Box, pts: np.ndarray) -> np.ndarray:
-    """Containment with degenerate axes inflated by a sheet tolerance."""
-    local = box.to_local(pts)
+def _inflated_bounds(box: Box):
     lo, hi = box.lo.copy(), box.hi.copy()
     for ax in range(3):
         if hi[ax] - lo[ax] < _SHEET_TOL_MM:
@@ -52,7 +50,30 @@ def _inflated_contains(box: Box, pts: np.ndarray) -> np.ndarray:
         else:
             lo[ax] -= 1e-9
             hi[ax] += 1e-9
+    return lo, hi
+
+
+def _inflated_contains(box: Box, pts: np.ndarray) -> np.ndarray:
+    """Containment with degenerate axes inflated by a sheet tolerance."""
+    local = box.to_local(pts)
+    lo, hi = _inflated_bounds(box)
     return np.all((local >= lo) & (local <= hi), axis=-1)
+
+
+def _pack_box(box: Box) -> np.ndarray:
+    """Pack a Box into the 22-double native record (see native/voxelize.cpp)."""
+    lo, hi = _inflated_bounds(box)
+    rec = np.zeros(22, np.float64)
+    rec[0:3] = lo
+    rec[3:6] = hi
+    if box.rotation is not None:
+        rec[6:15] = np.asarray(box.rotation, float).ravel()
+        rec[21] = 1.0
+    else:
+        rec[6:15] = np.eye(3).ravel()
+    rec[15:18] = box.rotation_origin
+    rec[18:21] = box.translation
+    return rec
 
 
 def _edge_midpoints(grid: YeeGrid, component: str) -> np.ndarray:
@@ -83,7 +104,14 @@ def _edge_midpoints(grid: YeeGrid, component: str) -> np.ndarray:
 def voxelize(scene: Scene, grid: YeeGrid, background_eps: float = 1.0) -> VoxelizedScene:
     """Rasterize the scene. Boxes are painted in ascending priority order
     (stable), so the highest priority (and latest insertion among equals)
-    wins — matching CSXCAD overlap resolution."""
+    wins — matching CSXCAD overlap resolution.
+
+    Uses the native C++ containment core when available (built on demand
+    from ``native/voxelize.cpp``); otherwise pure NumPy.
+    """
+    from ..native import get_voxelize_lib
+
+    lib = get_voxelize_lib()
     Px, Py, Pz = grid.shape
     cx, cy, cz = grid.centers("x"), grid.centers("y"), grid.centers("z")
     CX, CY, CZ = np.meshgrid(cx, cy, cz, indexing="ij")
@@ -95,8 +123,37 @@ def voxelize(scene: Scene, grid: YeeGrid, background_eps: float = 1.0) -> Voxeli
     ordered = sorted(
         enumerate(scene.boxes), key=lambda t: (t[1].priority, t[0])
     )
-    for _, box in ordered:
-        if isinstance(box.prop, Material):
+    mat_boxes = [b for _, b in ordered if isinstance(b.prop, Material)]
+    pec_boxes = [b for _, b in ordered if isinstance(b.prop, PEC)]
+
+    if lib is not None and mat_boxes:
+        import ctypes
+
+        pts_flat = np.ascontiguousarray(cell_pts.reshape(-1, 3), np.float64)
+        recs = np.ascontiguousarray(
+            np.stack([_pack_box(b) for b in mat_boxes]), np.float64
+        )
+        vals = np.ascontiguousarray(
+            np.array(
+                [[b.prop.epsilon, b.prop.kappa] for b in mat_boxes], np.float64
+            )
+        )
+        eps_flat = np.ascontiguousarray(eps.reshape(-1))
+        sig_flat = np.ascontiguousarray(sigma.reshape(-1))
+        dp = ctypes.POINTER(ctypes.c_double)
+        lib.paint_materials(
+            pts_flat.ctypes.data_as(dp),
+            ctypes.c_int64(pts_flat.shape[0]),
+            recs.ctypes.data_as(dp),
+            vals.ctypes.data_as(dp),
+            ctypes.c_int64(len(mat_boxes)),
+            eps_flat.ctypes.data_as(dp),
+            sig_flat.ctypes.data_as(dp),
+        )
+        eps = eps_flat.reshape(eps.shape)
+        sigma = sig_flat.reshape(sigma.shape)
+    else:
+        for box in mat_boxes:
             mask = _inflated_contains(box, cell_pts)
             eps[mask] = box.prop.epsilon
             sigma[mask] = box.prop.kappa
@@ -104,9 +161,25 @@ def voxelize(scene: Scene, grid: YeeGrid, background_eps: float = 1.0) -> Voxeli
     pec = {}
     for comp in ("ex", "ey", "ez"):
         pts = _edge_midpoints(grid, comp)
-        m = np.zeros(pts.shape[:-1], dtype=bool)
-        for _, box in ordered:
-            if isinstance(box.prop, PEC):
+        if lib is not None and pec_boxes:
+            import ctypes
+
+            pts_flat = np.ascontiguousarray(pts.reshape(-1, 3), np.float64)
+            mask8 = np.zeros(pts_flat.shape[0], np.uint8)
+            dp = ctypes.POINTER(ctypes.c_double)
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            for box in pec_boxes:
+                rec = np.ascontiguousarray(_pack_box(box))
+                lib.box_contains_or(
+                    pts_flat.ctypes.data_as(dp),
+                    ctypes.c_int64(pts_flat.shape[0]),
+                    rec.ctypes.data_as(dp),
+                    mask8.ctypes.data_as(u8p),
+                )
+            m = mask8.reshape(pts.shape[:-1]).astype(bool)
+        else:
+            m = np.zeros(pts.shape[:-1], dtype=bool)
+            for box in pec_boxes:
                 m |= _inflated_contains(box, pts)
         pec[comp] = m
 

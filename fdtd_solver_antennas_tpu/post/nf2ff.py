@@ -90,6 +90,17 @@ def nf2ff_transform(
     (nf, 2, nu, nv) complex accumulators for face i (tangential u, v
     components in face order).
     """
+    # accept either complex per-face accumulators or the engine's stacked
+    # (re, im)-leading float format (kept real on device for transfer)
+    def _face_complex(a):
+        a = np.asarray(a)
+        if not np.iscomplexobj(a):
+            a = a[0] + 1j * a[1]
+        return a
+
+    nf_e = [_face_complex(a) for a in nf_e]
+    nf_h = [_face_complex(a) for a in nf_h]
+
     freq_hz = np.atleast_1d(np.asarray(freq_hz, float))
     theta = np.deg2rad(np.asarray(theta_deg, float)).ravel()
     phi = np.deg2rad(np.asarray(phi_deg, float)).ravel()

@@ -244,7 +244,7 @@ def run_prepared_microstrip(
 
         spectra = port_spectra(
             sim.port_freqs_hz, np.asarray(out["uf"][0]), np.asarray(out["if_"][0]),
-            sim.dt, z_ref=50.0,
+            sim.dft_dt, z_ref=50.0,
         )
         f_res, s11_db_res = find_resonance(spectra, frequency_hz)
         if verbose:
@@ -264,9 +264,9 @@ def run_prepared_microstrip(
         phi = np.asarray(prepared.phi)
         ff = nf2ff_transform(
             sim.faces,
-            [np.asarray(a) for a in out["nf_e"]],
-            [np.asarray(a) for a in out["nf_h"]],
-            sim.dt,
+            out["nf_e"],
+            out["nf_h"],
+            sim.dft_dt,
             sim.nf_freqs_hz[fi : fi + 1],
             theta,
             phi,

@@ -316,7 +316,7 @@ def run_prepared_multi_patch_3d(
                 sim.port_freqs_hz,
                 np.asarray(out["uf"][pi]),
                 np.asarray(out["if_"][pi]),
-                sim.dt,
+                sim.dft_dt,
                 z_ref=50.0,
             )
             all_s11.append(sp)
@@ -327,9 +327,9 @@ def run_prepared_multi_patch_3d(
         phi = np.asarray(prepared.phi)
         ff = nf2ff_transform(
             sim.faces,
-            [np.asarray(a) for a in out["nf_e"]],
-            [np.asarray(a) for a in out["nf_h"]],
-            sim.dt,
+            out["nf_e"],
+            out["nf_h"],
+            sim.dft_dt,
             sim.nf_freqs_hz[fi : fi + 1],
             theta,
             phi,

@@ -136,7 +136,7 @@ def run_prepared_2d(
 
         spectra = port_spectra(
             sim.port_freqs_hz, np.asarray(out["uf"][0]), np.asarray(out["if_"][0]),
-            sim.dt, z_ref=50.0,
+            sim.dft_dt, z_ref=50.0,
         )
         f_res, s11_db_res = find_resonance(spectra, frequency_hz)
         fi = int(np.argmin(np.abs(sim.nf_freqs_hz - f_res)))
@@ -144,9 +144,9 @@ def run_prepared_2d(
         phi_rad = np.asarray(prepared.phi)
         ff = nf2ff_transform(
             sim.faces,
-            [np.asarray(a) for a in out["nf_e"]],
-            [np.asarray(a) for a in out["nf_h"]],
-            sim.dt,
+            out["nf_e"],
+            out["nf_h"],
+            sim.dft_dt,
             sim.nf_freqs_hz[fi : fi + 1],
             np.rad2deg(theta_rad),
             np.rad2deg(phi_rad),

@@ -184,7 +184,7 @@ def run_prepared_fixed(
 
         spectra = port_spectra(
             sim.port_freqs_hz, np.asarray(out["uf"][0]), np.asarray(out["if_"][0]),
-            sim.dt, z_ref=sim.ports[0].spec.resistance,
+            sim.dft_dt, z_ref=sim.ports[0].spec.resistance,
         )
         f_res, s11_db = find_resonance(spectra, frequency_hz)
 
@@ -194,9 +194,9 @@ def run_prepared_fixed(
         phi = np.asarray(prepared.phi)
         ff = nf2ff_transform(
             sim.faces,
-            [np.asarray(a) for a in out["nf_e"]],
-            [np.asarray(a) for a in out["nf_h"]],
-            sim.dt,
+            out["nf_e"],
+            out["nf_h"],
+            sim.dft_dt,
             sim.nf_freqs_hz[fi : fi + 1],
             theta,
             phi,

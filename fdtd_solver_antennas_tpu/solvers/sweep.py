@@ -193,7 +193,7 @@ def run_patch_geometry_sweep(
                 sim.port_freqs_hz,
                 uf[b, 0, 0] + 1j * uf[b, 1, 0],
                 if_[b, 0, 0] + 1j * if_[b, 1, 0],
-                sim.dt,
+                sim.dft_dt,
             )
             fr, _ = find_resonance(sp, v.frequency_hz)
             spectra.append(sp)
