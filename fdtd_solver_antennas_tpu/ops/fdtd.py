@@ -637,8 +637,12 @@ def _resolve_use_pallas(sim: "PreparedSimulation") -> bool:
     px, py, pz = sim.padded_shape or sim.grid.shape
     if pz > 128:
         return False
-    resident = 16 * px * py * 128 * 4  # fields+coeffs+vectors+temporaries
-    if cfg.use_pallas is None and resident > 24 * 1024 * 1024:
+    # 6 fields + 6 coefficient arrays + source matrices resident in VMEM
+    # (vectors/masks are negligible); 22 MB of resident blocks validated
+    # empirically on v5e, leave headroom for Mosaic temporaries.
+    n_src_mats = len({p.spec.direction for p in sim.ports})
+    resident = (12 + n_src_mats) * px * py * 128 * 4
+    if cfg.use_pallas is None and resident > 36 * 1024 * 1024:
         return False  # auto mode stays inside the validated VMEM budget
     return True
 
@@ -822,6 +826,113 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None, _exp
         (face.u1 - face.u0, face.v1 - face.v0) for face in faces
     ]
 
+    # ---- gather-based probe sampling ------------------------------------
+    # Every probe quantity (tangential face fields, port V, port I) is a
+    # fixed linear combination of 2-4 field entries. Precomputing flat
+    # gather indices + weights turns probe extraction into two big gathers
+    # per sample instead of ~100 tiny slicing ops (which are latency-bound
+    # on TPU).
+    N_flat = Px * Py * Pz
+
+    def _flat_idx(comp, i, j, k):
+        return ((comp * Px + i) * Py + j) * Pz + k
+
+    def _face_slots():
+        e_idx, e_w, h_idx, h_w = [], [], [], []
+        layout = []
+        off = 0
+        for face, (nu, nv) in zip(faces, nf_shapes):
+            a, m = face.axis, face.m
+            ua, va = face.u_axis, face.v_axis
+            uu = np.arange(face.u0, face.u1)
+            vv = np.arange(face.v0, face.v1)
+            U, V = np.meshgrid(uu, vv, indexing="ij")
+
+            def coords(a_i, u_off, v_off):
+                c = [None, None, None]
+                c[a] = np.full_like(U, a_i)
+                c[ua] = U + u_off
+                c[va] = V + v_off
+                return c
+
+            def eidx(comp, a_i, u_off, v_off):
+                c = coords(a_i, u_off, v_off)
+                return _flat_idx(comp, c[0], c[1], c[2]).ravel()
+
+            # E_u then E_v (comp-major, row-major within), matching the
+            # (2, nu, nv) per-face accumulator layout
+            e_idx.append(np.stack([eidx(ua, m, 0, 0), eidx(ua, m, 0, 1)], -1))
+            e_idx.append(np.stack([eidx(va, m, 0, 0), eidx(va, m, 1, 0)], -1))
+            e_w.extend([np.full((nu * nv, 2), 0.5, np.float32)] * 2)
+            h_idx.append(np.stack([
+                eidx(ua, m - 1, 0, 0), eidx(ua, m, 0, 0),
+                eidx(ua, m - 1, 1, 0), eidx(ua, m, 1, 0)], -1))
+            h_idx.append(np.stack([
+                eidx(va, m - 1, 0, 0), eidx(va, m, 0, 0),
+                eidx(va, m - 1, 0, 1), eidx(va, m, 0, 1)], -1))
+            h_w.extend([np.full((nu * nv, 4), 0.25, np.float32)] * 2)
+            layout.append((off, nu, nv))
+            off += 2 * nu * nv
+        return (
+            np.concatenate(e_idx), np.concatenate(e_w),
+            np.concatenate(h_idx), np.concatenate(h_w),
+            layout, off,
+        )
+
+    (pg_e_idx, pg_e_w, pg_h_idx, pg_h_w, face_layout, T_faces) = _face_slots()
+
+    # port probes as gathers: V = −Σ E·dl over the column; I = H loop
+    S_v = max([1] + [len(p.dl_m) for p in ports])
+    pv_idx = np.zeros((n_ports, S_v), np.int64)
+    pv_w = np.zeros((n_ports, S_v), np.float32)
+    pi_idx = np.zeros((n_ports, 4), np.int64)
+    pi_w = np.zeros((n_ports, 4), np.float32)
+    for piNo, prt in enumerate(ports):
+        comp = prt.axis
+        idx3 = np.zeros((len(prt.dl_m), 3), np.int64)
+        grids = np.ogrid[0:Px, 0:Py, 0:Pz]
+        # enumerate the port column entries from its slice tuple
+        col = np.stack(
+            np.meshgrid(
+                *[np.atleast_1d(np.arange(Px)[prt.sl[0]]) if a == 0 else
+                  np.atleast_1d(np.arange(Py)[prt.sl[1]]) if a == 1 else
+                  np.atleast_1d(np.arange(Pz)[prt.sl[2]]) for a in range(3)],
+                indexing="ij",
+            ),
+            axis=-1,
+        ).reshape(-1, 3)
+        for e, (ii, jj, kk) in enumerate(col):
+            pv_idx[piNo, e] = _flat_idx(comp, ii, jj, kk)
+            pv_w[piNo, e] = -prt.dl_m[e]
+        dv, du = prt.i_lengths
+        hv_comp = (prt.axis + 2) % 3
+        hu_comp = (prt.axis + 1) % 3
+        g = prt.i_gather
+        pi_idx[piNo] = [
+            _flat_idx(hv_comp, *g[0]), _flat_idx(hv_comp, *g[1]),
+            _flat_idx(hu_comp, *g[2]), _flat_idx(hu_comp, *g[3]),
+        ]
+        pi_w[piNo] = [dv, -dv, -du, du]
+
+    pg_e_idx = jnp.asarray(pg_e_idx, jnp.int32)
+    pg_e_w = jnp.asarray(pg_e_w)
+    pg_h_idx = jnp.asarray(pg_h_idx, jnp.int32)
+    pg_h_w = jnp.asarray(pg_h_w)
+    pv_idx_j = jnp.asarray(pv_idx, jnp.int32)
+    pv_w_j = jnp.asarray(pv_w)
+    pi_idx_j = jnp.asarray(pi_idx, jnp.int32)
+    pi_w_j = jnp.asarray(pi_w)
+
+    def sample_probes(E, H):
+        """(face_e (T,), face_h (T,), v (n_ports,), i (n_ports,))."""
+        Ecat = jnp.stack(E).reshape(-1)
+        Hcat = jnp.stack(H).reshape(-1)
+        fe = (Ecat[pg_e_idx] * pg_e_w).sum(-1)
+        fh = (Hcat[pg_h_idx] * pg_h_w).sum(-1)
+        v = (Ecat[pv_idx_j] * pv_w_j).sum(-1)
+        i = (Hcat[pi_idx_j] * pi_w_j).sum(-1)
+        return fe, fh, v, i
+
     def init_carry(coeffs, n_nf_freqs, n_port_freqs):
         def zeros():
             z = jnp.zeros((Px, Py, Pz), jnp.float32)
@@ -836,14 +947,10 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None, _exp
         fields = tuple(zeros() for _ in range(6))
         uf = jnp.zeros((2, n_ports, n_port_freqs), jnp.float32)
         if_ = jnp.zeros((2, n_ports, n_port_freqs), jnp.float32)
-        nf_e = [
-            jnp.zeros((2, n_nf_freqs, 2, nu, nv), jnp.float32)
-            for nu, nv in nf_shapes
-        ]
-        nf_h = [
-            jnp.zeros((2, n_nf_freqs, 2, nu, nv), jnp.float32)
-            for nu, nv in nf_shapes
-        ]
+        # single flat accumulators over all face slots (split per face on
+        # output); see the gather-based probe sampling above
+        nf_e = jnp.zeros((2, n_nf_freqs, T_faces), jnp.float32)
+        nf_h = jnp.zeros((2, n_nf_freqs, T_faces), jnp.float32)
         keys = ("xy", "xz", "yz", "yx", "zx", "zy")
         psi_e = {k: zeros() for k in keys} if pml is not None else {}
         psi_h = {k: zeros() for k in keys} if pml is not None else {}
@@ -907,10 +1014,8 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None, _exp
             bufs = dict(
                 v=jnp.zeros((n_sub, n_ports), jnp.float32),
                 i=jnp.zeros((n_sub, n_ports), jnp.float32),
-                fe=[jnp.zeros((n_sub, 2, nu, nv), jnp.float32)
-                    for nu, nv in nf_shapes],
-                fh=[jnp.zeros((n_sub, 2, nu, nv), jnp.float32)
-                    for nu, nv in nf_shapes],
+                fe=jnp.zeros((n_sub, T_faces), jnp.float32),
+                fh=jnp.zeros((n_sub, T_faces), jnp.float32),
             )
 
             def step_only(_, c):
@@ -933,20 +1038,13 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None, _exp
                 c, b = st
                 c = advance_decim(c)
                 E, H = c["fields"][:3], c["fields"][3:]
+                fe, fh, v, i_ = sample_probes(E, H)
                 b_new = dict(
-                    v=b["v"].at[j].set(port_voltage(E)),
-                    i=b["i"].at[j].set(port_current(H)),
-                    fe=list(b["fe"]),
-                    fh=list(b["fh"]),
+                    v=b["v"].at[j].set(v),
+                    i=b["i"].at[j].set(i_),
+                    fe=b["fe"].at[j].set(fe),
+                    fh=b["fh"].at[j].set(fh),
                 )
-                for fi, face in enumerate(faces):
-                    E_u, E_v, H_u, H_v = _face_tangential(E, H, face)
-                    b_new["fe"][fi] = b_new["fe"][fi].at[j].set(
-                        jnp.stack([E_u, E_v])
-                    )
-                    b_new["fh"][fi] = b_new["fh"][fi].at[j].set(
-                        jnp.stack([H_u, H_v])
-                    )
                 return (c, b_new)
 
             n0 = carry["n"]
@@ -974,15 +1072,12 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None, _exp
 
             ce_n, se_n = dft_mats(w_nf, t_e)
             ch_n, sh_n = dft_mats(w_nf, t_h)
-            nf_e = list(carry["nf_e"])
-            nf_h = list(carry["nf_h"])
-            for fi, (nu, nv) in enumerate(nf_shapes):
-                fe = bufs["fe"][fi].reshape(n_sub, -1)  # (n_sub, 2·nu·nv)
-                fh = bufs["fh"][fi].reshape(n_sub, -1)
-                de = jnp.stack([ce_n @ fe, -(se_n @ fe)])  # (2, Nf, 2·nu·nv)
-                dh = jnp.stack([ch_n @ fh, -(sh_n @ fh)])
-                nf_e[fi] = nf_e[fi] + de.reshape(2, n_nf_freqs, 2, nu, nv)
-                nf_h[fi] = nf_h[fi] + dh.reshape(2, n_nf_freqs, 2, nu, nv)
+            nf_e = carry["nf_e"] + jnp.stack(
+                [ce_n @ bufs["fe"], -(se_n @ bufs["fe"])]
+            )
+            nf_h = carry["nf_h"] + jnp.stack(
+                [ch_n @ bufs["fh"], -(sh_n @ bufs["fh"])]
+            )
             carry = dict(carry, uf=uf, if_=if_, nf_e=nf_e, nf_h=nf_h)
 
             # --- energy-decay termination check -------------------------
@@ -1001,11 +1096,20 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None, _exp
 
         carry = init_carry(coeffs, n_nf_freqs, n_port_freqs)
         carry = jax.lax.while_loop(cond, chunk_body, carry)
+
+        def split_faces(acc):
+            return [
+                acc[:, :, off : off + 2 * nu * nv].reshape(
+                    2, n_nf_freqs, 2, nu, nv
+                )
+                for (off, nu, nv) in face_layout
+            ]
+
         return dict(
             uf=carry["uf"],
             if_=carry["if_"],
-            nf_e=carry["nf_e"],
-            nf_h=carry["nf_h"],
+            nf_e=split_faces(carry["nf_e"]),
+            nf_h=split_faces(carry["nf_h"]),
             steps=carry["n"],
             e_ratio=carry["e_ratio"],
             fields=carry["fields"],
