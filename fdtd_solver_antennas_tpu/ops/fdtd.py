@@ -185,6 +185,7 @@ class PreparedSimulation:
     use_pallas: bool = False  # resolved Pallas-kernel enable flag
     field_sharding: object = None  # optional jax.sharding.NamedSharding
     _run_fn: object = None
+    _resume_fn: object = None
     _aux: tuple = None  # (inv_p, inv_d, mur_coef) kept for run-fn rebuilds
 
     @property
@@ -197,14 +198,29 @@ class PreparedSimulation:
         the factor that turns raw DFT sums into Fourier-integral estimates."""
         return self.dt * self.probe_decim
 
-    def run(self):
+    def run(self, resume_state=None):
+        """Execute (or resume) the simulation.
+
+        ``resume_state`` is the ``out["state"]`` pytree of a previous run
+        (possibly loaded from a checkpoint file, see ``post.checkpoint``);
+        the loop continues from that step count until ``n_steps_max`` or
+        the energy criterion.
+        """
         args = (
             self.coeffs,
             jnp.asarray(self.waveform),
             jnp.asarray(2 * math.pi * self.port_freqs_hz, jnp.float32),
             jnp.asarray(2 * math.pi * self.nf_freqs_hz, jnp.float32),
         )
-        out = self._run_fn(*args)
+        if resume_state is not None:
+            if self._resume_fn is None:
+                inv_p, inv_d, mur_coef, pml = self._aux
+                self._resume_fn = jax.jit(
+                    _make_run_fn(self, inv_p, inv_d, mur_coef, pml)
+                )
+            out = self._resume_fn(*args, resume_state=resume_state)
+        else:
+            out = self._run_fn(*args)
         jax.block_until_ready(out["steps"])
         # Fetch only the small outputs eagerly; fields and NF2FF surface
         # accumulators stay on device (device→host moves are expensive on
@@ -1001,7 +1017,7 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None, _exp
     if _expose_step:
         return field_step, init_carry
 
-    def run(coeffs, waveform, w_port, w_nf):
+    def run(coeffs, waveform, w_port, w_nf, resume_state=None):
         n_port_freqs = w_port.shape[0]
         n_nf_freqs = w_nf.shape[0]
 
@@ -1095,6 +1111,8 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None, _exp
             return (~carry["done"]) & (carry["n"] < np.int32(cfg.n_steps_max))
 
         carry = init_carry(coeffs, n_nf_freqs, n_port_freqs)
+        if resume_state is not None:
+            carry = dict(carry, **resume_state, done=jnp.bool_(False))
         carry = jax.lax.while_loop(cond, chunk_body, carry)
 
         def split_faces(acc):
@@ -1105,6 +1123,8 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None, _exp
                 for (off, nu, nv) in face_layout
             ]
 
+        state_keys = ("fields", "psi_e", "psi_h", "uf", "if_", "nf_e",
+                      "nf_h", "n", "e_max", "e_ratio")
         return dict(
             uf=carry["uf"],
             if_=carry["if_"],
@@ -1113,6 +1133,7 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None, _exp
             steps=carry["n"],
             e_ratio=carry["e_ratio"],
             fields=carry["fields"],
+            state={k: carry[k] for k in state_keys},
         )
 
     return run

@@ -65,6 +65,19 @@ def port_spectra(
     )
 
 
+def accepted_power(spectra: PortSpectra, f_hz: float) -> float:
+    """Time-averaged power accepted by the antenna at ``f_hz``:
+    P_acc = ½·Re{V(f)·I*(f)} at the nearest sweep frequency.
+
+    Shares the DFT scaling of the NF2FF spectra, so
+    ``P_rad(f) / P_acc(f)`` is the radiation efficiency — the FDTD
+    counterpart of the reference's closed-form efficiency heuristic
+    (physics.py:84-93), now computed from actual metal/dielectric losses.
+    """
+    i = int(np.argmin(np.abs(spectra.freq_hz - f_hz)))
+    return float(0.5 * np.real(spectra.uf[i] * np.conj(spectra.if_[i])))
+
+
 def find_resonance(
     spectra: PortSpectra, target_hz: float, threshold_db: float = -10.0
 ) -> Tuple[float, Optional[float]]:

@@ -53,6 +53,7 @@ class FDTDSolverResult:
     f_res_hz: Optional[float] = None
     Dmax: Optional[float] = None
     radiated_power_w: Optional[float] = None
+    radiation_efficiency: Optional[float] = None  # P_rad / P_accepted
     steps_run: Optional[int] = None
     wall_time_s: Optional[float] = None
     mcells_per_s: Optional[float] = None

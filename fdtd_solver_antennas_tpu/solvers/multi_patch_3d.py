@@ -36,7 +36,7 @@ from ..ops.fdtd import FDTDConfig, build_simulation
 from ..ops.mesh import MeshBuilder
 from ..physics import C0, design_patch_for_frequency, substrate_conductivity
 from ..post.nf2ff import nf2ff_transform
-from ..post.ports import find_resonance, port_spectra
+from ..post.ports import accepted_power, find_resonance, port_spectra
 from .base import FDTDSolverResult, SolverPrepared
 from .microstrip import FeedDirection, calculate_microstrip_width
 
@@ -112,6 +112,16 @@ def _instance_local_geometry(inst: PatchLike, feed_line_length_mm: float):
     dims = dict(patch_W=patch_W, patch_L=patch_L, h=h, sub_W=sub_W, sub_L=sub_L,
                 feed_width=fw)
     return boxes, port_line, dims
+
+
+def _rad_eff_multi(ff, spectra_list):
+    """Radiation efficiency P_rad / Σ_ports P_acc at the NF2FF frequency."""
+    p_acc = sum(
+        accepted_power(sp, float(ff.freq_hz[0])) for sp in spectra_list
+    )
+    if p_acc <= 0:
+        return None
+    return float(np.clip(ff.P_rad[0] / p_acc, 0.0, 1.0))
 
 
 def prepare_multi_patch_3d(
@@ -348,6 +358,7 @@ def run_prepared_multi_patch_3d(
             f_res_hz=f_res,
             Dmax=float(ff.Dmax[0]),
             radiated_power_w=float(ff.P_rad[0]),
+            radiation_efficiency=_rad_eff_multi(ff, all_s11),
             steps_run=steps,
             wall_time_s=wall,
             mcells_per_s=sim.grid.num_cells * steps / wall / 1e6,

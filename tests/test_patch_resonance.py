@@ -54,6 +54,15 @@ def test_tm10_resonance_vs_cavity_model(patch_result):
     assert patch_result.f_res_hz == pytest.approx(f_pred, rel=0.04)
 
 
+def test_radiation_efficiency_reported(patch_result):
+    # Loose sanity only: this fixture stops at EndCriteria 1e-4, so stored
+    # resonator energy truncates P_rad. The rigorous frequency-by-frequency
+    # power balance (η → 1 lossless) lives in test_power_balance.py.
+    eta = patch_result.radiation_efficiency
+    assert eta is not None
+    assert 0.0 < eta <= 1.0
+
+
 def test_s11_dip_depth(patch_result):
     s11_db = 20 * np.log10(np.maximum(np.abs(patch_result.s11), 1e-12))
     assert s11_db.min() < -8.0  # clear match at the probe position
