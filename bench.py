@@ -41,6 +41,12 @@ def main() -> None:
     wall = time.perf_counter() - t0
     steps = int(out["steps"])
 
+    # a NaN run can masquerade as a fast one (the energy guard returns
+    # ratio=1.0 on NaN) — refuse to report garbage
+    for f in out["fields"]:
+        assert np.isfinite(np.asarray(f)).all(), "non-finite fields in bench run"
+    assert float(out["e_ratio"]) < 1.0, "energy never decayed — suspicious run"
+
     cells = sim.grid.num_cells
     gcells = cells * steps / wall / 1e9
     result = {

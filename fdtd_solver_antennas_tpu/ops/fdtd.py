@@ -604,7 +604,10 @@ def build_simulation(
     if cfg.probe_decimation is not None:
         probe_decim = max(1, int(cfg.probe_decimation))
     else:
-        probe_decim = max(1, int(1.0 / (4.0 * (f0 + fc) * dt)))
+        # 2.5x the -20 dB corner: content that could alias back sits at
+        # ≥1.8·fc beyond the corner, where the Gaussian envelope is below
+        # 10^-3 in amplitude.
+        probe_decim = max(1, int(1.0 / (2.5 * (f0 + fc) * dt)))
     probe_decim = min(probe_decim, max(1, int(cfg.check_every)))
 
     sim = PreparedSimulation(
@@ -653,12 +656,12 @@ def _resolve_use_pallas(sim: "PreparedSimulation") -> bool:
     px, py, pz = sim.padded_shape or sim.grid.shape
     if pz > 128:
         return False
-    # 6 fields + 6 coefficient arrays + source matrices resident in VMEM
-    # (vectors/masks are negligible); 22 MB of resident blocks validated
-    # empirically on v5e, leave headroom for Mosaic temporaries.
+    # 6 field inputs + 6 outputs + 6 coefficient arrays + source matrices
+    # resident in VMEM (vectors/masks negligible); ~30 MB of resident
+    # blocks validated empirically on v5e; leave headroom for temporaries.
     n_src_mats = len({p.spec.direction for p in sim.ports})
-    resident = (12 + n_src_mats) * px * py * 128 * 4
-    if cfg.use_pallas is None and resident > 36 * 1024 * 1024:
+    resident = (18 + n_src_mats) * px * py * 128 * 4
+    if cfg.use_pallas is None and resident > 48 * 1024 * 1024:
         return False  # auto mode stays inside the validated VMEM budget
     return True
 
@@ -848,10 +851,14 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None, _exp
     # gather indices + weights turns probe extraction into two big gathers
     # per sample instead of ~100 tiny slicing ops (which are latency-bound
     # on TPU).
-    N_flat = Px * Py * Pz
+    # In Pallas mode the carry holds fields in the kernel's flat
+    # (Px, Py·128) layout (no per-sample relayout); probe gather indices
+    # use the matching z-stride.
+    flat_fields = pallas_step is not None
+    Pz_stride = 128 if flat_fields else Pz
 
     def _flat_idx(comp, i, j, k):
-        return ((comp * Px + i) * Py + j) * Pz + k
+        return ((comp * Px + i) * Py + j) * Pz_stride + k
 
     def _face_slots():
         e_idx, e_w, h_idx, h_w = [], [], [], []
@@ -951,6 +958,8 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None, _exp
 
     def init_carry(coeffs, n_nf_freqs, n_port_freqs):
         def zeros():
+            if flat_fields:
+                return jnp.zeros((Px, Py * 128), jnp.float32)
             z = jnp.zeros((Px, Py, Pz), jnp.float32)
             if sim.field_sharding is not None:
                 z = jax.lax.with_sharding_constraint(z, sim.field_sharding)
@@ -1041,12 +1050,10 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None, _exp
 
             def advance_decim(c):
                 if pallas_step is not None:
-                    flat = tuple(_pl_to_flat(f) for f in c["fields"])
                     wf_chunk = jax.lax.dynamic_slice(
                         waveform, (c["n"],), (decim,)
                     )
-                    flat = pallas_step(flat, wf_chunk)
-                    fields = tuple(_pl_from_flat(f) for f in flat)
+                    fields = pallas_step(c["fields"], wf_chunk)
                     return dict(c, fields=fields, n=c["n"] + decim)
                 return jax.lax.fori_loop(0, decim, step_only, c)
 
@@ -1125,6 +1132,9 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None, _exp
 
         state_keys = ("fields", "psi_e", "psi_h", "uf", "if_", "nf_e",
                       "nf_h", "n", "e_max", "e_ratio")
+        out_fields = carry["fields"]
+        if flat_fields:
+            out_fields = tuple(_pl_from_flat(f) for f in out_fields)
         return dict(
             uf=carry["uf"],
             if_=carry["if_"],
@@ -1132,7 +1142,7 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None, _exp
             nf_h=split_faces(carry["nf_h"]),
             steps=carry["n"],
             e_ratio=carry["e_ratio"],
-            fields=carry["fields"],
+            fields=out_fields,
             state={k: carry[k] for k in state_keys},
         )
 

@@ -41,7 +41,14 @@ from ..physics import MU0
 LANE = 128  # z-extent is padded to exactly one lane tile
 
 
-def build_pallas_stepper(sim, inv_p, inv_d, mur_coef):
+def build_pallas_stepper(sim, inv_p, inv_d, mur_coef, alias: bool = False):
+    # NOTE on `alias`: input_output_aliases proved unreliable on this
+    # Pallas/Mosaic build — aliased output buffers intermittently failed to
+    # carry the input field state, silently corrupting long runs (NaNs
+    # after ~1k steps). The default path therefore uses distinct output
+    # buffers seeded from the inputs with an in-kernel VMEM copy; the copy
+    # costs ~6×1.6 MB of VMEM traffic per invocation, amortized over
+    # probe_decim steps.
     """Build the kernel. Returns ``(step_fn, to_flat, from_flat)`` where
     ``step_fn(fields_flat6, wf_chunk)`` advances ``sim.probe_decim`` steps
     on six (R, C) float32 arrays and ``to_flat``/``from_flat`` convert
@@ -131,9 +138,12 @@ def build_pallas_stepper(sim, inv_p, inv_d, mur_coef):
         (ix_p_r, ix_d_r) = refs[11:13]
         (mz0_r, mz1_r) = refs[13:15]
         src_refs = refs[15 : 15 + n_src]
-        # refs[15+n_src : 21+n_src] are the aliased field inputs (unused;
-        # the aliased output refs below are the live state)
+        field_in = refs[15 + n_src : 21 + n_src]
         ex, ey, ez, hx, hy, hz = refs[21 + n_src :]
+        if not alias:
+            # no aliasing: output refs start uninitialized; seed them
+            for dst, src in zip((ex, ey, ez, hx, hy, hz), field_in):
+                dst[:] = src[:]
 
         iyp, izp = iy_p_r[:], iz_p_r[:]
         iyd, izd = iy_d_r[:], iz_d_r[:]
@@ -224,7 +234,9 @@ def build_pallas_stepper(sim, inv_p, inv_d, mur_coef):
         + [jnp.asarray(v) for v in src_inputs]
     )
     n_inputs_before_fields = 1 + len(static_inputs)
-    io_aliases = {n_inputs_before_fields + i: i for i in range(6)}
+    io_aliases = (
+        {n_inputs_before_fields + i: i for i in range(6)} if alias else {}
+    )
 
     interpret = jax.default_backend() not in ("tpu", "axon")
     call = pl.pallas_call(
