@@ -1,10 +1,14 @@
-from .ports import PortSpectra, port_spectra, find_resonance
+from .ports import PortSpectra, accepted_power, find_resonance, port_spectra
 from .nf2ff import FarField, nf2ff_transform
+from .checkpoint import load_state, save_state
 
 __all__ = [
     "PortSpectra",
     "port_spectra",
     "find_resonance",
+    "accepted_power",
     "FarField",
     "nf2ff_transform",
+    "save_state",
+    "load_state",
 ]
