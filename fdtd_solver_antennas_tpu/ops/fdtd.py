@@ -727,13 +727,15 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None, _exp
     port_src = [jnp.asarray(p.src_col, jnp.float32) for p in ports]
 
     pallas_step = None
+    pallas_chunk = None
     _pl_to_flat = _pl_from_flat = None
     if sim.use_pallas and not _expose_step:
-        from .fdtd_pallas import build_pallas_stepper
+        from .fdtd_pallas import build_pallas_chunk_stepper
 
-        pallas_step, _pl_to_flat, _pl_from_flat = build_pallas_stepper(
-            sim, inv_p, inv_d, mur_coef
+        pallas_chunk, _pl_to_flat, _pl_from_flat, _pl_n_sub = (
+            build_pallas_chunk_stepper(sim, inv_p, inv_d, mur_coef)
         )
+        pallas_step = True  # flat-field carry mode marker
 
     # CPML recursive-convolution coefficients: E-side derivatives live on
     # node positions, H-side on half positions, broadcast along their axis.
@@ -1048,18 +1050,9 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None, _exp
                 c2["n"] = c["n"] + 1
                 return c2
 
-            def advance_decim(c):
-                if pallas_step is not None:
-                    wf_chunk = jax.lax.dynamic_slice(
-                        waveform, (c["n"],), (decim,)
-                    )
-                    fields = pallas_step(c["fields"], wf_chunk)
-                    return dict(c, fields=fields, n=c["n"] + decim)
-                return jax.lax.fori_loop(0, decim, step_only, c)
-
             def sub_body(j, st):
                 c, b = st
-                c = advance_decim(c)
+                c = jax.lax.fori_loop(0, decim, step_only, c)
                 E, H = c["fields"][:3], c["fields"][3:]
                 fe, fh, v, i_ = sample_probes(E, H)
                 b_new = dict(
@@ -1071,7 +1064,38 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None, _exp
                 return (c, b_new)
 
             n0 = carry["n"]
-            carry, bufs = jax.lax.fori_loop(0, n_sub, sub_body, (carry, bufs))
+            if pallas_chunk is not None:
+                # one kernel invocation per chunk: fields stay in VMEM for
+                # all n_sub·D steps and probes stream out per sample
+                wf_chunk = jax.lax.dynamic_slice(waveform, (n0,), (chunk,))
+                fields, pv, pi_, xf, yf, zf = pallas_chunk(
+                    carry["fields"], wf_chunk
+                )
+                carry = dict(carry, fields=fields, n=n0 + chunk)
+                fe_parts, fh_parts = [], []
+                xfr = xf.reshape(n_sub, 2, 4, Py, 128)
+                for side, face in enumerate(faces[:2]):
+                    win = xfr[:, side, :, face.u0:face.u1, face.v0:face.v1]
+                    fe_parts.append(win[:, 0:2].reshape(n_sub, -1))
+                    fh_parts.append(win[:, 2:4].reshape(n_sub, -1))
+                for side, face in enumerate(faces[2:4]):
+                    win = yf[:, side, :, face.u0:face.u1, face.v0:face.v1]
+                    fe_parts.append(win[:, 0:2].reshape(n_sub, -1))
+                    fh_parts.append(win[:, 2:4].reshape(n_sub, -1))
+                for side, face in enumerate(faces[4:6]):
+                    win = zf[:, side, :, face.u0:face.u1, face.v0:face.v1]
+                    fe_parts.append(win[:, 0:2].reshape(n_sub, -1))
+                    fh_parts.append(win[:, 2:4].reshape(n_sub, -1))
+                bufs = dict(
+                    v=pv[:, :n_ports],
+                    i=pi_[:, :n_ports],
+                    fe=jnp.concatenate(fe_parts, axis=1),
+                    fh=jnp.concatenate(fh_parts, axis=1),
+                )
+            else:
+                carry, bufs = jax.lax.fori_loop(
+                    0, n_sub, sub_body, (carry, bufs)
+                )
 
             # --- chunked DFT: phases (Nf, n_sub) @ buffers on the MXU -----
             # Sample j sits after step n0 + (j+1)·D: E-state at that time,

@@ -260,3 +260,364 @@ def build_pallas_stepper(sim, inv_p, inv_d, mur_coef, alias: bool = False):
         return tuple(out)
 
     return step_fn, to_flat, from_flat
+
+
+# ---------------------------------------------------------------------------
+# chunk-level kernel: D·n_sub steps + in-kernel probe extraction per sample
+# ---------------------------------------------------------------------------
+
+def build_pallas_chunk_stepper(sim, inv_p, inv_d, mur_coef):
+    """One kernel invocation per termination chunk.
+
+    The kernel runs a grid of ``n_sub`` sample intervals; each grid step
+    advances ``D`` leapfrog iterations with fields resident in VMEM and
+    then extracts every probe quantity *in-kernel*:
+
+    - port V (row-slice dot) and I (four scalar reads),
+    - x-face tangentials as row vectors (lane rolls only),
+    - y-face tangentials as lane-tile slices,
+    - z-face tangentials via one-hot selection matmuls (lane-strided
+      planes are unreachable by slicing; the MXU gathers them instead),
+
+    streaming them to per-sample output windows. HBM traffic per chunk:
+    one load of statics+fields, one store of fields, plus the small probe
+    windows — the XLA side only assembles windows and runs the chunk DFTs.
+
+    Returns ``(chunk_fn, to_flat, from_flat, n_sub)`` with
+    ``chunk_fn(fields6, wf_chunk) -> (fields6', pv, pi, xf, yf, zf)``:
+      pv, pi: (n_sub, 8)
+      xf:     (n_sub, 2, 4, C)        rows at the two x-face planes
+      yf:     (n_sub, 2, 4, R, 128)   lane tiles at the two y-face planes
+      zf:     (n_sub, 2, 4, R, Py)    selected lanes at the two z-faces
+    component order on axis=2: (E_u, E_v, H_u, H_v).
+    """
+    Px, Py, Pz = sim.padded_shape or sim.grid.shape
+    if Pz > LANE:
+        raise ValueError(f"Pz ≤ {LANE} required")
+    R, C = Px, Py * LANE
+    D = int(sim.probe_decim)
+    n_sub = max(1, int(sim.cfg.check_every) // D)
+    dtmu = np.float32(sim.dt / MU0)
+    mur = sim.cfg.boundary.upper().startswith("MUR")
+    if sim.cfg.pml_cells() > 0:
+        raise ValueError("MUR/PEC only")
+
+    def to_flat(a3):
+        return jnp.pad(a3, ((0, 0), (0, 0), (0, LANE - Pz))).reshape(R, C)
+
+    def from_flat(a2):
+        return a2.reshape(R, Py, LANE)[:, :, :Pz]
+
+    coeffs_flat = {k: to_flat(v) for k, v in sim.coeffs.items()}
+
+    yy = np.repeat(np.arange(Py), LANE)
+    zz = np.tile(np.arange(LANE), Py)
+    z_valid = zz < Pz
+
+    def lane_vec(per_y=None, per_z=None):
+        v = np.ones(C, np.float32)
+        if per_y is not None:
+            v *= np.asarray(per_y, np.float32)[yy]
+        if per_z is not None:
+            vz = np.zeros(LANE, np.float32)
+            vz[:Pz] = np.asarray(per_z, np.float32)
+            v *= vz[zz]
+        v *= z_valid
+        return v.reshape(1, C)
+
+    lane_vecs = [
+        lane_vec(per_y=inv_p[1]), lane_vec(per_z=inv_p[2]),
+        lane_vec(per_y=inv_d[1]), lane_vec(per_z=inv_d[2]),
+    ]
+    col_vecs = [
+        np.asarray(inv_p[0], np.float32).reshape(R, 1),
+        np.asarray(inv_d[0], np.float32).reshape(R, 1),
+    ]
+    Qx, Qy, Qz = sim.grid.shape
+    mz0 = np.zeros(C, np.float32)
+    mz1 = np.zeros(C, np.float32)
+    mz0[(zz == 0) & (yy < Qy)] = 1.0
+    mz1[(zz == Qz - 1) & (yy < Qy)] = 1.0
+    z_masks = [mz0.reshape(1, C), mz1.reshape(1, C)]
+
+    src_mats = {}
+    for prt in sim.ports:
+        comp = prt.spec.direction
+        mat = src_mats.setdefault(comp, np.zeros((Px, Py, Pz), np.float32))
+        mat[prt.sl] += prt.src_col
+    src_comps = sorted(src_mats)
+    src_inputs = [np.asarray(to_flat(jnp.asarray(src_mats[c]))) for c in src_comps]
+    n_src = len(src_comps)
+
+    # --- port probe geometry (flat indices) -------------------------------
+    ports_meta = []
+    for prt in sim.ports:
+        col = np.stack(
+            np.meshgrid(
+                *[np.atleast_1d(np.arange(Px)[prt.sl[0]]) if a == 0 else
+                  np.atleast_1d(np.arange(Py)[prt.sl[1]]) if a == 1 else
+                  np.atleast_1d(np.arange(Pz)[prt.sl[2]]) for a in range(3)],
+                indexing="ij",
+            ), axis=-1,
+        ).reshape(-1, 3)
+        # the column is contiguous along the port axis; compute slice coords
+        axis = prt.axis
+        if axis == 2:
+            row = int(col[0, 0]); c0 = int(col[0, 1]) * LANE + int(col[0, 2])
+            stride_note = "lanes"
+        elif axis == 1:
+            row = int(col[0, 0]); c0 = int(col[0, 1]) * LANE + int(col[0, 2])
+            stride_note = "tiles"
+        else:
+            row = int(col[0, 0]); c0 = int(col[0, 1]) * LANE + int(col[0, 2])
+            stride_note = "rows"
+        dv, du = prt.i_lengths
+        hv_comp = (prt.axis + 2) % 3
+        hu_comp = (prt.axis + 1) % 3
+
+        def flat_rc(t3):
+            return (int(t3[0]), int(t3[1]) * LANE + int(t3[2]))
+
+        g = [flat_rc(t) for t in prt.i_gather]
+        ports_meta.append(dict(
+            axis=axis, row=row, c0=c0, n_edges=len(col),
+            dl=np.asarray(prt.dl_m, np.float32),
+            col3=col, hv=hv_comp, hu=hu_comp, g=g,
+            dv=np.float32(dv), du=np.float32(du),
+        ))
+
+    # --- z-face selection matrices ----------------------------------------
+    faces = sim.faces
+    kz = {f.name: f.m for f in faces}
+    k_lo, k_hi = kz["z_lo"], kz["z_hi"]
+
+    def sel_matrix(lanes):
+        S = np.zeros((C, 2 * Py), np.float32)
+        for which, k in enumerate(lanes):
+            for y in range(Py):
+                S[y * LANE + k, which * Py + y] = 1.0
+        return S
+
+    S_lo = sel_matrix([k_lo - 1, k_lo])  # [:, :Py] = lane m−1, [:, Py:] = m
+    S_hi = sel_matrix([k_hi - 1, k_hi])
+
+    cxs = {k: np.float32(v) for k, v in mur_coef.items()}
+    x_rows = [f.m for f in faces if f.name.startswith("x_")]
+    y_tiles = [f.m for f in faces if f.name.startswith("y_")]
+
+    def up(a, axis, n):
+        return pltpu.roll(a, a.shape[axis] - n, axis)
+
+    def dn(a, axis, n):
+        return pltpu.roll(a, n, axis)
+
+    def kernel(*refs):
+        wf_ref = refs[0]
+        (ca_ex, cb_ex, ca_ey, cb_ey, ca_ez, cb_ez) = refs[1:7]
+        (iy_p_r, iz_p_r, iy_d_r, iz_d_r) = refs[7:11]
+        (ix_p_r, ix_d_r) = refs[11:13]
+        (mz0_r, mz1_r) = refs[13:15]
+        s_lo_r, s_hi_r = refs[15:17]
+        src_refs = refs[17 : 17 + n_src]
+        field_in = refs[17 + n_src : 23 + n_src]
+        (ex, ey, ez, hx, hy, hz,
+         pv_o, pi_o, xf_o, yf_o, zf_o) = refs[23 + n_src :]
+
+        j = pl.program_id(0)
+
+        @pl.when(j == 0)
+        def _():
+            for dst, src in zip((ex, ey, ez, hx, hy, hz), field_in):
+                dst[:] = src[:]
+
+        iyp, izp = iy_p_r[:], iz_p_r[:]
+        iyd, izd = iy_d_r[:], iz_d_r[:]
+        ixp, ixd = ix_p_r[:], ix_d_r[:]
+        src_vals = {c: r[:] for c, r in zip(src_comps, src_refs)}
+
+        def body(d, _):
+            Ex, Ey, Ez = ex[:], ey[:], ez[:]
+            Hx, Hy, Hz = hx[:], hy[:], hz[:]
+            Hxn = Hx - dtmu * (
+                (up(Ez, 1, LANE) - Ez) * iyp - (up(Ey, 1, 1) - Ey) * izp
+            )
+            Hyn = Hy - dtmu * (
+                (up(Ex, 1, 1) - Ex) * izp - (up(Ez, 0, 1) - Ez) * ixp
+            )
+            Hzn = Hz - dtmu * (
+                (up(Ey, 0, 1) - Ey) * ixp - (up(Ex, 1, LANE) - Ex) * iyp
+            )
+            s_val = wf_ref[0, j * D + d]
+            Exn = ca_ex[:] * Ex + cb_ex[:] * (
+                (Hzn - dn(Hzn, 1, LANE)) * iyd - (Hyn - dn(Hyn, 1, 1)) * izd
+            )
+            Eyn = ca_ey[:] * Ey + cb_ey[:] * (
+                (Hxn - dn(Hxn, 1, 1)) * izd - (Hzn - dn(Hzn, 0, 1)) * ixd
+            )
+            Ezn = ca_ez[:] * Ez + cb_ez[:] * (
+                (Hyn - dn(Hyn, 0, 1)) * ixd - (Hxn - dn(Hxn, 1, LANE)) * iyd
+            )
+            if "x" in src_vals:
+                Exn = Exn + src_vals["x"] * s_val
+            if "y" in src_vals:
+                Eyn = Eyn + src_vals["y"] * s_val
+            if "z" in src_vals:
+                Ezn = Ezn + src_vals["z"] * s_val
+            hx[:] = Hxn
+            hy[:] = Hyn
+            hz[:] = Hzn
+            ex[:] = Exn
+            ey[:] = Eyn
+            ez[:] = Ezn
+            if mur:
+                c0m, c1m = cxs[(0, 0)], cxs[(0, 1)]
+                ey[0, :] = Ey[1, :] + c0m * (Eyn[1, :] - Ey[0, :])
+                ez[0, :] = Ez[1, :] + c0m * (Ezn[1, :] - Ez[0, :])
+                ey[Qx - 1, :] = Ey[Qx - 2, :] + c1m * (Eyn[Qx - 2, :] - Ey[Qx - 1, :])
+                ez[Qx - 1, :] = Ez[Qx - 2, :] + c1m * (Ezn[Qx - 2, :] - Ez[Qx - 1, :])
+                c0m, c1m = cxs[(1, 0)], cxs[(1, 1)]
+                y0s, y1s = slice(0, LANE), slice(LANE, 2 * LANE)
+                yls = slice((Qy - 1) * LANE, Qy * LANE)
+                yps = slice((Qy - 2) * LANE, (Qy - 1) * LANE)
+                ex[:, y0s] = Ex[:, y1s] + c0m * (ex[:, y1s] - Ex[:, y0s])
+                ez[:, y0s] = Ez[:, y1s] + c0m * (ez[:, y1s] - Ez[:, y0s])
+                ex[:, yls] = Ex[:, yps] + c1m * (ex[:, yps] - Ex[:, yls])
+                ez[:, yls] = Ez[:, yps] + c1m * (ez[:, yps] - Ez[:, yls])
+                c0m, c1m = cxs[(2, 0)], cxs[(2, 1)]
+                m0, m1 = mz0_r[:], mz1_r[:]
+                keep = 1.0 - m0 - m1
+                for ref, Eo in ((ex, Ex), (ey, Ey)):
+                    cur = ref[:]
+                    v0 = up(Eo, 1, 1) + c0m * (up(cur, 1, 1) - Eo)
+                    v1 = dn(Eo, 1, 1) + c1m * (dn(cur, 1, 1) - Eo)
+                    ref[:] = cur * keep + m0 * v0 + m1 * v1
+            return 0
+
+        jax.lax.fori_loop(0, D, body, 0)
+
+        # ---- probe extraction at the sample point -----------------------
+        E = (ex[:], ey[:], ez[:])
+        H = (hx[:], hy[:], hz[:])
+
+        # ports
+        for pi_idx, pm in enumerate(ports_meta):
+            comp_e = E[pm["axis"]]
+            # unrolled scalar reads (a handful of edges per port); weights
+            # are baked in as python floats so nothing is captured
+            vals = [
+                comp_e[int(t[0]), int(t[1]) * LANE + int(t[2])] * float(w)
+                for t, w in zip(pm["col3"], pm["dl"])
+            ]
+            v = -sum(vals)
+            g = pm["g"]
+            i_val = (H[pm["hv"]][g[0]] - H[pm["hv"]][g[1]]) * pm["dv"] - (
+                H[pm["hu"]][g[2]] - H[pm["hu"]][g[3]]
+            ) * pm["du"]
+            pv_o[j, pi_idx] = v
+            pi_o[j, pi_idx] = i_val
+
+        # x-faces: row vectors, comps (E_u=Ey, E_v=Ez, H_u=Hy, H_v=Hz)
+        for side, m in enumerate(x_rows):
+            ey_r = ey[m : m + 1, :]
+            ez_r = ez[m : m + 1, :]
+            xf_o[0, side, 0, :] = (0.5 * (ey_r + up(ey_r, 1, 1)))[0]
+            xf_o[0, side, 1, :] = (0.5 * (ez_r + up(ez_r, 1, LANE)))[0]
+            hy_s = hy[m - 1 : m, :] + hy[m : m + 1, :]
+            hz_s = hz[m - 1 : m, :] + hz[m : m + 1, :]
+            xf_o[0, side, 2, :] = (0.25 * (hy_s + up(hy_s, 1, LANE)))[0]
+            xf_o[0, side, 3, :] = (0.25 * (hz_s + up(hz_s, 1, 1)))[0]
+
+        # y-faces: lane tiles, comps (E_u=Ex, E_v=Ez, H_u=Hx, H_v=Hz)
+        for side, m in enumerate(y_tiles):
+            t = slice(m * LANE, (m + 1) * LANE)
+            tm = slice((m - 1) * LANE, m * LANE)
+            ex_t = ex[:, t]
+            ez_t = ez[:, t]
+            yf_o[0, side, 0, :, :] = 0.5 * (ex_t + up(ex_t, 1, 1))
+            yf_o[0, side, 1, :, :] = 0.5 * (ez_t + up(ez_t, 0, 1))
+            hx_s = hx[:, tm] + hx[:, t]
+            hz_s = hz[:, tm] + hz[:, t]
+            yf_o[0, side, 2, :, :] = 0.25 * (hx_s + up(hx_s, 0, 1))
+            yf_o[0, side, 3, :, :] = 0.25 * (hz_s + up(hz_s, 1, 1))
+
+        # z-faces: one-hot selection matmuls, comps (E_u=Ex, E_v=Ey,
+        # H_u=Hx, H_v=Hy); S columns [:Py]=lane m−1, [Py:]=lane m
+        for side, s_r in enumerate((s_lo_r, s_hi_r)):
+            S = s_r[:]
+            ex_sel = jnp.dot(ex[:], S, preferred_element_type=jnp.float32)
+            ey_sel = jnp.dot(ey[:], S, preferred_element_type=jnp.float32)
+            hx_sel = jnp.dot(hx[:], S, preferred_element_type=jnp.float32)
+            hy_sel = jnp.dot(hy[:], S, preferred_element_type=jnp.float32)
+            exm = ex_sel[:, Py:]
+            eym = ey_sel[:, Py:]
+            zf_o[0, side, 0, :, :] = 0.5 * (exm + up(exm, 1, 1))
+            zf_o[0, side, 1, :, :] = 0.5 * (eym + up(eym, 0, 1))
+            hx_s = hx_sel[:, :Py] + hx_sel[:, Py:]
+            hy_s = hy_sel[:, :Py] + hy_sel[:, Py:]
+            zf_o[0, side, 2, :, :] = 0.25 * (hx_s + up(hx_s, 0, 1))
+            zf_o[0, side, 3, :, :] = 0.25 * (hy_s + up(hy_s, 1, 1))
+
+    static_inputs = (
+        [coeffs_flat[k] for k in
+         ("ca_ex", "cb_ex", "ca_ey", "cb_ey", "ca_ez", "cb_ez")]
+        + [jnp.asarray(v) for v in lane_vecs]
+        + [jnp.asarray(v) for v in col_vecs]
+        + [jnp.asarray(v) for v in z_masks]
+        + [jnp.asarray(S_lo), jnp.asarray(S_hi)]
+        + [jnp.asarray(v) for v in src_inputs]
+    )
+
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda j: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+    stepped = lambda shape: pl.BlockSpec(
+        (1,) + shape, lambda j: (j,) + tuple(0 for _ in shape),
+        memory_space=pltpu.VMEM,
+    )
+
+    in_specs = (
+        [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [const(a.shape) for a in static_inputs]
+        + [const((R, C))] * 6
+    )
+    smem_full = pl.BlockSpec(
+        (n_sub, 8), lambda j: (0, 0), memory_space=pltpu.SMEM
+    )
+    out_specs = (
+        tuple([const((R, C))] * 6)
+        # pv/pi are scalar-indexed writes → SMEM (VMEM cannot store scalars)
+        + (smem_full, smem_full,
+           stepped((2, 4, C)), stepped((2, 4, R, LANE)),
+           stepped((2, 4, R, Py)))
+    )
+    out_shape = (
+        tuple(jax.ShapeDtypeStruct((R, C), jnp.float32) for _ in range(6))
+        + (
+            jax.ShapeDtypeStruct((n_sub, 8), jnp.float32),
+            jax.ShapeDtypeStruct((n_sub, 8), jnp.float32),
+            jax.ShapeDtypeStruct((n_sub, 2, 4, C), jnp.float32),
+            jax.ShapeDtypeStruct((n_sub, 2, 4, R, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((n_sub, 2, 4, R, Py), jnp.float32),
+        )
+    )
+
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_sub,),
+        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(110 * 1024 * 1024),
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )
+
+    def chunk_fn(fields_flat, wf_chunk):
+        wf2 = wf_chunk.reshape(1, n_sub * D)
+        out = call(wf2, *static_inputs, *fields_flat)
+        return tuple(out[:6]), out[6], out[7], out[8], out[9], out[10]
+
+    return chunk_fn, to_flat, from_flat, n_sub

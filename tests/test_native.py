@@ -6,7 +6,11 @@ import pytest
 from fdtd_solver_antennas_tpu.models.scene import Scene, rotation_matrix
 from fdtd_solver_antennas_tpu.native import get_voxelize_lib, native_available
 from fdtd_solver_antennas_tpu.ops.mesh import MeshBuilder
-from fdtd_solver_antennas_tpu.ops import voxelize as vx
+import importlib
+
+# the package re-exports the voxelize *function*, which shadows the
+# submodule on attribute-style imports — resolve the module explicitly
+vx = importlib.import_module("fdtd_solver_antennas_tpu.ops.voxelize")
 
 
 def _scene():
