@@ -73,6 +73,11 @@ from .solvers.patch_2d import (
     run_prepared_2d,
     prepare_openems_patch_2d,
 )
+from .solvers.horn import (
+    prepare_horn,
+    run_prepared_horn,
+    te10_guide_wavelength,
+)
 from .viz.plotting import (
     plot_cross_sections,
     plot_3d_pattern,
@@ -132,6 +137,10 @@ __all__ = [
     "run_prepared_legacy",
     "prepare_openems_patch",
     "run_prepared_openems",
+    # Horn solver (beyond-reference capability)
+    "prepare_horn",
+    "run_prepared_horn",
+    "te10_guide_wavelength",
     # Quasi-2D solver
     "Prepared2D",
     "OpenEMS2DPrepared",

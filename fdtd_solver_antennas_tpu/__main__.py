@@ -62,6 +62,17 @@ def main() -> None:
     fdtd_p.add_argument("--boundary", type=str, default="MUR")
     fdtd_p.add_argument("--steps-max", type=int, default=30_000)
 
+    horn_p = sub.add_parser(
+        "horn", help="Pyramidal horn FDTD: gain pattern + S11"
+    )
+    horn_p.add_argument("--frequency-ghz", type=float, required=True)
+    horn_p.add_argument("--throat-a-mm", type=float, required=True)
+    horn_p.add_argument("--throat-b-mm", type=float, required=True)
+    horn_p.add_argument("--aperture-A-mm", type=float, required=True)
+    horn_p.add_argument("--aperture-B-mm", type=float, required=True)
+    horn_p.add_argument("--length-mm", type=float, required=True)
+    horn_p.add_argument("--outdir", type=str, default="outputs")
+
     s11_p = sub.add_parser("s11", help="FDTD S11 frequency sweep only")
     _add_common_antenna_args(s11_p)
     s11_p.add_argument(
@@ -73,6 +84,40 @@ def main() -> None:
     args = parser.parse_args()
     outdir = Path(args.outdir)
     outdir.mkdir(parents=True, exist_ok=True)
+
+    if args.cmd == "horn":
+        from .models.params import HornAntennaParams
+        from .solvers.horn import prepare_horn, run_prepared_horn
+        from .viz.plotting import plot_3d_pattern_from_grid
+
+        hp = HornAntennaParams.from_user_units(
+            frequency_ghz=args.frequency_ghz,
+            throat_a_mm=args.throat_a_mm,
+            throat_b_mm=args.throat_b_mm,
+            aperture_A_mm=args.aperture_A_mm,
+            aperture_B_mm=args.aperture_B_mm,
+            length_mm=args.length_mm,
+        )
+        prep = prepare_horn(hp, verbose=1)
+        if not prep.ok:
+            raise SystemExit(f"prepare failed: {prep.message}")
+        res = run_prepared_horn(prep, frequency_hz=hp.frequency_hz)
+        if not res.ok:
+            raise SystemExit(f"run failed: {res.message}")
+        print(json.dumps({
+            "Dmax_dbi": 10 * np.log10(res.Dmax),
+            "radiation_efficiency": res.radiation_efficiency,
+            "steps": res.steps_run,
+            "mcells_per_s": res.mcells_per_s,
+        }, indent=2))
+        fig = plot_3d_pattern_from_grid(
+            res.theta, res.phi, 10 ** (np.asarray(res.intensity) / 10.0),
+            colors_db=res.intensity,
+        )
+        fig.savefig(outdir / "horn_pattern.png", dpi=160, bbox_inches="tight")
+        print(f"Saved: {outdir / 'horn_pattern.png'}")
+        return
+
     params = _params_from_args(args)
 
     if args.cmd == "simulate":

@@ -9,6 +9,8 @@ from .scene import (
     Material,
     PEC,
     Box,
+    ConvexPolyhedron,
+    make_plate,
     LumpedPortSpec,
     NF2FFBoxSpec,
     Scene,
@@ -24,6 +26,8 @@ __all__ = [
     "Material",
     "PEC",
     "Box",
+    "ConvexPolyhedron",
+    "make_plate",
     "LumpedPortSpec",
     "NF2FFBoxSpec",
     "Scene",

@@ -98,6 +98,80 @@ class Box:
 
 
 @dataclass(frozen=True)
+class ConvexPolyhedron:
+    """Convex solid as an intersection of half-spaces n̂·x ≤ d (mm).
+
+    Extends the box-only CSXCAD-style scene with slanted geometry (horn
+    flare walls, wedges). Supports the same rigid transform fields as
+    ``Box`` so instances can be placed/rotated.
+    """
+
+    prop: object  # Material or PEC
+    planes: np.ndarray  # (n, 4): rows [nx, ny, nz, d] meaning n̂·x ≤ d
+    priority: int = 0
+    rotation: Optional[np.ndarray] = None
+    rotation_origin: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    translation: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    # axis-aligned local bounds for meshing/world-bounds purposes
+    bounds_lo: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    bounds_hi: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+
+    def to_local(self, pts: np.ndarray) -> np.ndarray:
+        pts = np.asarray(pts, float) - np.asarray(self.translation, float)
+        if self.rotation is not None:
+            o = np.asarray(self.rotation_origin, float)
+            pts = (pts - o) @ np.asarray(self.rotation, float) + o
+        return pts
+
+    def contains(self, pts: np.ndarray, tol: float = 1e-9) -> np.ndarray:
+        local = self.to_local(pts)
+        n = np.asarray(self.planes, float)
+        return np.all(local @ n[:, :3].T <= n[:, 3] + tol, axis=-1)
+
+    def world_corners(self) -> np.ndarray:
+        lo = np.asarray(self.bounds_lo, float)
+        hi = np.asarray(self.bounds_hi, float)
+        corners = np.array(
+            [[x, y, z] for x in (lo[0], hi[0]) for y in (lo[1], hi[1])
+             for z in (lo[2], hi[2])]
+        )
+        if self.rotation is not None:
+            o = np.asarray(self.rotation_origin, float)
+            corners = (corners - o) @ np.asarray(self.rotation, float).T + o
+        return corners + np.asarray(self.translation, float)
+
+
+def make_plate(corners: np.ndarray, thickness: float, prop, priority: int = 10,
+               **transform) -> ConvexPolyhedron:
+    """Thin plate through a planar quad: the plate plane ± thickness/2
+    clipped by the four edge planes. ``corners`` (4, 3) in winding order.
+    Used for slanted PEC walls (horn flares)."""
+    c = np.asarray(corners, float)
+    n = np.cross(c[1] - c[0], c[2] - c[0])
+    n = n / np.linalg.norm(n)
+    d0 = float(n @ c[0])
+    planes = [
+        np.concatenate([n, [d0 + thickness / 2]]),
+        np.concatenate([-n, [-(d0 - thickness / 2)]]),
+    ]
+    center = c.mean(axis=0)
+    for i in range(4):
+        a, b = c[i], c[(i + 1) % 4]
+        edge_n = np.cross(b - a, n)
+        edge_n = edge_n / max(np.linalg.norm(edge_n), 1e-30)
+        # orient outward (away from the quad center)
+        if edge_n @ (center - a) > 0:
+            edge_n = -edge_n
+        planes.append(np.concatenate([edge_n, [float(edge_n @ a)]]))
+    lo = c.min(axis=0) - thickness
+    hi = c.max(axis=0) + thickness
+    return ConvexPolyhedron(
+        prop=prop, planes=np.stack(planes), priority=priority,
+        bounds_lo=tuple(lo), bounds_hi=tuple(hi), **transform,
+    )
+
+
+@dataclass(frozen=True)
 class LumpedPortSpec:
     """Lumped resistive port across a grid edge span.
 
@@ -166,6 +240,10 @@ class Scene:
         )
         self.ports.append(port)
         return port
+
+    def add_polyhedron(self, poly: "ConvexPolyhedron") -> "ConvexPolyhedron":
+        self.boxes.append(poly)
+        return poly
 
     def world_bounds(self) -> Tuple[np.ndarray, np.ndarray]:
         """Axis-aligned bounds of all transformed primitives (mm)."""

@@ -21,7 +21,7 @@ from typing import Tuple
 
 import numpy as np
 
-from ..models.scene import Box, Material, PEC, Scene
+from ..models.scene import Box, ConvexPolyhedron, Material, PEC, Scene
 from .mesh import YeeGrid
 
 # Inflation (mm) applied to degenerate box axes so edges lying exactly in a
@@ -125,8 +125,14 @@ def voxelize(scene: Scene, grid: YeeGrid, background_eps: float = 1.0) -> Voxeli
     )
     mat_boxes = [b for _, b in ordered if isinstance(b.prop, Material)]
     pec_boxes = [b for _, b in ordered if isinstance(b.prop, PEC)]
+    # the native core understands boxes only; any polyhedron in the
+    # material set forces the ordered NumPy painting path (priority
+    # interleaving must be preserved)
+    has_mat_poly = any(
+        isinstance(b, ConvexPolyhedron) for b in mat_boxes
+    )
 
-    if lib is not None and mat_boxes:
+    if lib is not None and mat_boxes and not has_mat_poly:
         import ctypes
 
         pts_flat = np.ascontiguousarray(cell_pts.reshape(-1, 3), np.float64)
@@ -154,21 +160,26 @@ def voxelize(scene: Scene, grid: YeeGrid, background_eps: float = 1.0) -> Voxeli
         sigma = sig_flat.reshape(sigma.shape)
     else:
         for box in mat_boxes:
-            mask = _inflated_contains(box, cell_pts)
+            if isinstance(box, ConvexPolyhedron):
+                mask = box.contains(cell_pts)
+            else:
+                mask = _inflated_contains(box, cell_pts)
             eps[mask] = box.prop.epsilon
             sigma[mask] = box.prop.kappa
 
     pec = {}
+    pec_plain = [b for b in pec_boxes if not isinstance(b, ConvexPolyhedron)]
+    pec_polys = [b for b in pec_boxes if isinstance(b, ConvexPolyhedron)]
     for comp in ("ex", "ey", "ez"):
         pts = _edge_midpoints(grid, comp)
-        if lib is not None and pec_boxes:
+        if lib is not None and pec_plain:
             import ctypes
 
             pts_flat = np.ascontiguousarray(pts.reshape(-1, 3), np.float64)
             mask8 = np.zeros(pts_flat.shape[0], np.uint8)
             dp = ctypes.POINTER(ctypes.c_double)
             u8p = ctypes.POINTER(ctypes.c_uint8)
-            for box in pec_boxes:
+            for box in pec_plain:
                 rec = np.ascontiguousarray(_pack_box(box))
                 lib.box_contains_or(
                     pts_flat.ctypes.data_as(dp),
@@ -179,8 +190,10 @@ def voxelize(scene: Scene, grid: YeeGrid, background_eps: float = 1.0) -> Voxeli
             m = mask8.reshape(pts.shape[:-1]).astype(bool)
         else:
             m = np.zeros(pts.shape[:-1], dtype=bool)
-            for box in pec_boxes:
+            for box in pec_plain:
                 m |= _inflated_contains(box, pts)
+        for poly in pec_polys:
+            m = m | poly.contains(pts)
         pec[comp] = m
 
     return VoxelizedScene(

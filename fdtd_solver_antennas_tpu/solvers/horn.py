@@ -1,0 +1,221 @@
+"""Pyramidal horn antenna FDTD solver.
+
+The reference only *previews* horns in its designer
+(``multi_patch_designer.py:31-41``, ``gui_app.py`` PyVista frustum render) —
+it has no horn field solver. This module goes beyond parity: a full-wave
+horn simulation on the same TPU engine, using the ``ConvexPolyhedron``
+plate primitive for the (planar) slanted flare walls of a pyramidal horn.
+
+Geometry (axis +z):
+- rectangular waveguide section a×b from z = −L_wg to the throat at z = 0,
+  4 PEC walls + back short;
+- probe feed: a lumped port across the guide height at λg/4 from the back
+  short (standard coax-probe placement), exciting TE10;
+- four planar flare plates from throat edges to the A×B aperture at z = L.
+
+Same 3-phase protocol and result surface as every other solver.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+
+import numpy as np
+
+import jax
+
+from ..models.params import HornAntennaParams
+from ..models.scene import PEC, Scene, make_plate
+from ..ops.fdtd import FDTDConfig, build_simulation
+from ..ops.mesh import MeshBuilder
+from ..physics import C0
+from ..post.nf2ff import nf2ff_transform
+from ..post.ports import accepted_power, find_resonance, port_spectra
+from .base import FDTDSolverResult, SolverPrepared
+
+
+def _rad_eff(ff, spectra):
+    p_acc = accepted_power(spectra, float(ff.freq_hz[0]))
+    if p_acc <= 0:
+        return None
+    return float(np.clip(ff.P_rad[0] / p_acc, 0.0, 1.0))
+
+
+def te10_guide_wavelength(f_hz: float, a_m: float) -> float:
+    """TE10 guide wavelength; raises below cutoff (fc = c0/2a)."""
+    fc = C0 / (2.0 * a_m)
+    if f_hz <= fc:
+        raise ValueError(
+            f"{f_hz / 1e9:.2f} GHz is below the TE10 cutoff "
+            f"{fc / 1e9:.2f} GHz for a={a_m * 1e3:.2f} mm"
+        )
+    lam0 = C0 / f_hz
+    return lam0 / math.sqrt(1.0 - (fc / f_hz) ** 2)
+
+
+def prepare_horn(
+    params: HornAntennaParams,
+    *,
+    boundary: str = "MUR",
+    theta_step_deg: float = 2.0,
+    phi_step_deg: float = 5.0,
+    mesh_ppw: float = 15.0,
+    n_steps_max: int = 20_000,
+    end_criteria: float = 1e-4,
+    verbose: int = 0,
+) -> SolverPrepared:
+    """Build the horn scene and compile the simulation."""
+    try:
+        f0 = params.frequency_hz
+        fc_src = f0 / 2.0
+        a = params.throat_a_m * 1e3  # mm, broad (x)
+        b = params.throat_b_m * 1e3  # narrow (y)
+        A = params.aperture_A_m * 1e3
+        B = params.aperture_B_m * 1e3
+        L = params.length_m * 1e3
+
+        lam_g = te10_guide_wavelength(f0, params.throat_a_m) * 1e3
+        L_wg = 0.75 * lam_g
+        z_feed = -L_wg + 0.25 * lam_g
+
+        mesh_res = C0 / (f0 + fc_src) / 1e-3 / mesh_ppw
+        t = max(1.0, mesh_res)  # wall thickness ≥ one cell (no leaks)
+
+        scene = Scene()
+        # waveguide walls (outside the a×b cavity)
+        scene.add_metal_box("wg_xm", [-a / 2 - t, -b / 2 - t, -L_wg],
+                            [-a / 2, b / 2 + t, 0], priority=10)
+        scene.add_metal_box("wg_xp", [a / 2, -b / 2 - t, -L_wg],
+                            [a / 2 + t, b / 2 + t, 0], priority=10)
+        scene.add_metal_box("wg_ym", [-a / 2, -b / 2 - t, -L_wg],
+                            [a / 2, -b / 2, 0], priority=10)
+        scene.add_metal_box("wg_yp", [-a / 2, b / 2, -L_wg],
+                            [a / 2, b / 2 + t, 0], priority=10)
+        scene.add_metal_box("wg_back", [-a / 2 - t, -b / 2 - t, -L_wg - t],
+                            [a / 2 + t, b / 2 + t, -L_wg], priority=10)
+
+        # flare plates (planar quads for a pyramidal horn)
+        pec = PEC("flare")
+        quads = [
+            # +x wall
+            [(a / 2, -b / 2, 0), (a / 2, b / 2, 0),
+             (A / 2, B / 2, L), (A / 2, -B / 2, L)],
+            # −x wall
+            [(-a / 2, -b / 2, 0), (-a / 2, b / 2, 0),
+             (-A / 2, B / 2, L), (-A / 2, -B / 2, L)],
+            # +y wall
+            [(-a / 2, b / 2, 0), (a / 2, b / 2, 0),
+             (A / 2, B / 2, L), (-A / 2, B / 2, L)],
+            # −y wall
+            [(-a / 2, -b / 2, 0), (a / 2, -b / 2, 0),
+             (A / 2, -B / 2, L), (-A / 2, -B / 2, L)],
+        ]
+        for qi, q in enumerate(quads):
+            scene.add_polyhedron(
+                make_plate(np.array(q), t, pec, priority=10)
+            )
+
+        # probe feed across the guide height (TE10 E-plane)
+        scene.add_lumped_port(
+            1, 50.0, [0.0, -b / 2, z_feed], [0.0, b / 2, z_feed],
+            direction="y", excite=1.0,
+        )
+
+        # simulation box
+        lam0 = C0 / f0 * 1e3
+        m_xy = 0.75 * lam0
+        mb = MeshBuilder()
+        mb.add_line("x", [-A / 2 - m_xy, A / 2 + m_xy, -a / 2, a / 2,
+                          -A / 2, A / 2, 0.0])
+        mb.add_line("y", [-B / 2 - m_xy, B / 2 + m_xy, -b / 2, b / 2,
+                          -B / 2, B / 2, 0.0])
+        mb.add_line("z", [-L_wg - t - 0.5 * lam0, L + 1.25 * lam0,
+                          -L_wg, 0.0, L, float(z_feed)])
+        grid = mb.build(mesh_res, ratio=1.4)
+
+        cfg = FDTDConfig(
+            n_steps_max=n_steps_max, end_criteria=end_criteria,
+            boundary=boundary,
+        )
+        sim = build_simulation(
+            scene, grid, f0=f0, fc=fc_src, cfg=cfg,
+            port_freqs_hz=np.linspace(f0 * 0.7, f0 * 1.3, 201),
+        )
+
+        theta = np.arange(0.0, 181.0, max(0.5, theta_step_deg))
+        phi = np.arange(0.0, 360.0, max(1.0, phi_step_deg))
+        nf_center = np.array([0.0, 0.0, L / 2.0]) * 1e-3
+
+        if verbose:
+            print(
+                f"horn prepared: a×b {a:.1f}×{b:.1f}, A×B {A:.1f}×{B:.1f}, "
+                f"L {L:.1f} mm, λg {lam_g:.1f} mm, grid {grid.shape} "
+                f"({grid.num_cells} cells)"
+            )
+        return SolverPrepared(
+            True,
+            f"Horn prepared (grid {grid.shape}, {grid.num_cells} cells)",
+            sim=sim,
+            theta=theta,
+            phi=phi,
+            nf_center=nf_center,
+        )
+    except Exception as e:
+        return SolverPrepared(False, f"Horn prepare failed: {e}")
+
+
+def run_prepared_horn(
+    prepared: SolverPrepared,
+    *,
+    frequency_hz: float,
+    verbose: int = 1,
+) -> FDTDSolverResult:
+    try:
+        if not prepared.ok or prepared.sim is None:
+            return FDTDSolverResult(False, prepared.message)
+        sim = prepared.sim
+        t_start = time.perf_counter()
+        out = sim.run()
+        jax.block_until_ready(out["uf"])
+        steps = int(out["steps"])
+        wall = time.perf_counter() - t_start
+
+        spectra = port_spectra(
+            sim.port_freqs_hz, np.asarray(out["uf"][0]),
+            np.asarray(out["if_"][0]), sim.dft_dt, z_ref=50.0,
+        )
+        f_res, s11_db_res = find_resonance(spectra, frequency_hz)
+        fi = int(np.argmin(np.abs(sim.nf_freqs_hz - frequency_hz)))
+        theta = np.asarray(prepared.theta)
+        phi = np.asarray(prepared.phi)
+        ff = nf2ff_transform(
+            sim.faces, out["nf_e"], out["nf_h"], sim.dft_dt,
+            sim.nf_freqs_hz[fi : fi + 1], theta, phi,
+            center_m=prepared.nf_center,
+        )
+        return FDTDSolverResult(
+            True,
+            "Horn simulation completed",
+            theta=np.deg2rad(theta),
+            phi=np.deg2rad(phi),
+            intensity=ff.intensity_dbi(0),
+            is_dBi=True,
+            freq=spectra.freq_hz,
+            s11=spectra.s11,
+            z_in=spectra.z_in,
+            f_res_hz=f_res,
+            Dmax=float(ff.Dmax[0]),
+            radiated_power_w=float(ff.P_rad[0]),
+            radiation_efficiency=_rad_eff(ff, spectra),
+            steps_run=steps,
+            wall_time_s=wall,
+            mcells_per_s=sim.grid.num_cells * steps / wall / 1e6,
+            diagnostics={
+                "s11_db_at_res": s11_db_res,
+                "nf2ff_freq_hz": float(sim.nf_freqs_hz[fi]),
+                "energy_ratio": float(out["e_ratio"]),
+            },
+        )
+    except Exception as e:
+        return FDTDSolverResult(False, f"Horn run failed: {e}")

@@ -1,0 +1,76 @@
+"""Pyramidal horn solver: aperture-theory gain, boresight beam, and the
+plate-primitive geometry (capability beyond the reference, which only
+previews horns)."""
+
+import numpy as np
+import pytest
+
+from fdtd_solver_antennas_tpu.models.params import HornAntennaParams
+from fdtd_solver_antennas_tpu.models.scene import PEC, make_plate
+from fdtd_solver_antennas_tpu.solvers.horn import (
+    prepare_horn,
+    run_prepared_horn,
+    te10_guide_wavelength,
+)
+
+
+def test_te10_guide_wavelength():
+    # WR-90 at 10 GHz: fc = 6.557 GHz, λg ≈ 39.7 mm
+    lg = te10_guide_wavelength(10e9, 22.86e-3)
+    assert lg == pytest.approx(39.7e-3, rel=0.01)
+    with pytest.raises(ValueError, match="below the TE10 cutoff"):
+        te10_guide_wavelength(5e9, 22.86e-3)
+
+
+def test_make_plate_containment():
+    # slanted plate from (0,±5,0) to (10,±5,10), thickness 1
+    q = np.array([[0, -5, 0], [0, 5, 0], [10, 5, 10], [10, -5, 10]])
+    plate = make_plate(q, 1.0, PEC("w"))
+    pts = np.array(
+        [
+            [5.0, 0.0, 5.0],   # on the plate plane → inside
+            [5.0, 0.0, 6.5],   # 1.06 normal distance → outside
+            [5.0, 6.0, 5.0],   # beyond the edge clip → outside
+            [-1.0, 0.0, -1.0], # beyond the quad → outside
+        ]
+    )
+    got = plate.contains(pts)
+    assert got.tolist() == [True, False, False, False]
+
+
+@pytest.fixture(scope="module")
+def horn_result():
+    params = HornAntennaParams.from_user_units(
+        frequency_ghz=12.0, throat_a_mm=19.05, throat_b_mm=9.525,
+        aperture_A_mm=48.0, aperture_B_mm=36.0, length_mm=40.0,
+    )
+    prep = prepare_horn(
+        params, mesh_ppw=14.0, theta_step_deg=5.0, phi_step_deg=15.0,
+        n_steps_max=6000,
+    )
+    assert prep.ok, prep.message
+    res = run_prepared_horn(prep, frequency_hz=12e9, verbose=0)
+    assert res.ok, res.message
+    return res
+
+
+def test_horn_gain_matches_aperture_theory(horn_result):
+    # 48×36 mm aperture at 12 GHz with ~0.5–0.8 aperture efficiency
+    # → 12.5–14.5 dBi; allow generous numerical margins
+    dmax_dbi = 10 * np.log10(horn_result.Dmax)
+    assert 11.0 < dmax_dbi < 18.0
+
+
+def test_horn_boresight_beam(horn_result):
+    res = horn_result
+    th = np.rad2deg(res.theta)
+    i_peak = np.unravel_index(np.argmax(res.intensity), res.intensity.shape)
+    assert th[i_peak[0]] <= 5.0  # beam on axis (+z)
+    # front-to-back ratio
+    assert res.intensity[0].max() - res.intensity[-1].max() > 10.0
+
+
+def test_horn_energy_decays(horn_result):
+    # traveling-wave structure: rings down fast
+    assert horn_result.diagnostics["energy_ratio"] < 1e-3
+    assert horn_result.steps_run < 6000

@@ -60,6 +60,43 @@ def test_pallas_matches_xla(boundary):
         _close(a, b)
 
 
+def test_pallas_two_ports_mixed_axes():
+    """Two ports on different axes (z and x) must also match the XLA path —
+    exercises multi-port source matrices and the scalar-read V/I paths."""
+
+    def build(use_pallas):
+        mb = MeshBuilder()
+        mb.add_line("x", [-40, 40, 0.0, -6.0, 10.0, 18.0])
+        mb.add_line("y", [-40, 40, 0.0])
+        mb.add_line("z", [-20, 30, 5.0])
+        mb.add_line("z", np.linspace(0, 1.6, 3))
+        grid = mb.build(5.0)
+        scene = Scene()
+        scene.add_material_box("sub", 4.3, 0.005, [-20, -20, 0], [20, 20, 1.6], 0)
+        scene.add_metal_box("patch", [-15, -12, 1.6], [15, 12, 1.6], priority=10)
+        scene.add_metal_box("gnd", [-20, -20, 0], [20, 20, 0], priority=10)
+        scene.add_lumped_port(1, 50.0, [-6, 0, 0], [-6, 0, 1.6], direction="z")
+        scene.add_lumped_port(2, 50.0, [10, 0, 5], [18, 0, 5], direction="x")
+        cfg = FDTDConfig(
+            n_steps_max=120, check_every=120, end_criteria=1e-30,
+            probe_decimation=4, use_pallas=use_pallas,
+        )
+        return build_simulation(
+            scene, grid, f0=2.45e9, fc=1.225e9, cfg=cfg,
+            port_freqs_hz=np.linspace(2e9, 3e9, 7),
+            nf_freqs_hz=np.array([2.45e9]),
+        )
+
+    out_ref = build(False).run()
+    out_pl = build(True).run()
+    for fa, fb in zip(out_pl["fields"], out_ref["fields"]):
+        _close(fa, fb)
+    _close(out_pl["uf"], out_ref["uf"])
+    _close(out_pl["if_"], out_ref["if_"])
+    for a, b in zip(out_pl["nf_e"], out_ref["nf_e"]):
+        _close(a, b)
+
+
 def test_pallas_disabled_under_pml():
     from fdtd_solver_antennas_tpu.ops.fdtd import _resolve_use_pallas
 
