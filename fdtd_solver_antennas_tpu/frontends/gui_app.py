@@ -26,8 +26,6 @@ from __future__ import annotations
 
 import queue
 import threading
-import time
-from typing import Optional
 
 import numpy as np
 
@@ -83,10 +81,6 @@ def main() -> None:  # pragma: no cover — needs a display
     from ..solvers.microstrip import FeedDirection, prepare_microstrip_patch, run_prepared_microstrip
     from ..solvers.patch_fixed import prepare_patch_fixed, run_prepared_fixed
     from ..viz.patterns import interpolate_cuts_to_sphere, mirror_half_cut
-    from ..viz.plotting import (
-        draw_patch_3d_geometry,
-        plot_3d_pattern_from_grid,
-    )
 
     root = tk.Tk()
     root.title("Patch Antenna Simulator — TPU-native FDTD")
@@ -194,11 +188,7 @@ def main() -> None:  # pragma: no cover — needs a display
         solver = AnalyticalPatchSolver(params)
 
         def build(fig):
-            src = draw_patch_3d_geometry(solver.L_m, solver.W_m, params.h_m)
-            # transplant axes content by re-drawing into our figure
             ax = fig.add_subplot(111, projection="3d")
-            for coll in list(src.axes[0].collections):
-                pass  # simple approach: re-render via helper
             from ..viz.plotting import _add_box
 
             mm = 1e3
@@ -215,7 +205,6 @@ def main() -> None:  # pragma: no cover — needs a display
             ax.set_ylim(-lim, lim)
             ax.set_zlim(-lim / 4, lim / 2)
             ax.set_title(f"Patch {W:.1f} × {L:.1f} mm on h={h:.2f} mm")
-            plt.close(src)
 
         show_fig("Geometry", build)
 
@@ -291,11 +280,6 @@ def main() -> None:  # pragma: no cover — needs a display
             phi_full, grid_db = interpolate_cuts_to_sphere(
                 res.intensity[:, 0], res.intensity[:, 1]
             )
-            src = plot_3d_pattern_from_grid(
-                res.theta, phi_full, 10 ** (grid_db / 10.0),
-                colors_db=grid_db,
-            )
-            # render into our fig by copying the data path
             ax = fig.add_subplot(111, projection="3d")
             thg, phg = np.meshgrid(res.theta, phi_full, indexing="ij")
             lin = 10 ** ((grid_db - grid_db.max()) / 20.0)
@@ -311,7 +295,6 @@ def main() -> None:  # pragma: no cover — needs a display
             )
             ax.set_box_aspect([1, 1, 1])
             ax.set_title(f"3D pattern (Dmax {10 * np.log10(res.Dmax):.1f} dBi)")
-            plt.close(src)
 
         show_fig("3D Pattern", build_3d)
 

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,8 +34,8 @@ import numpy as np
 from ..physics import C0, EPS0, MU0
 from ..models.scene import LumpedPortSpec, Scene
 from .mesh import YeeGrid
-from .source import gaussian_excitation, source_active_steps
-from .voxelize import VoxelizedScene, cell_to_edge_average, voxelize
+from .source import source_active_steps
+from .voxelize import cell_to_edge_average, voxelize
 
 _AXIS_OF = {"x": 0, "y": 1, "z": 2}
 

@@ -17,7 +17,6 @@ feeds the coefficient builder in ``ops.fdtd``.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Tuple
 
 import numpy as np
 

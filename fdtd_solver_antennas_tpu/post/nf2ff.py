@@ -22,7 +22,7 @@ re-simulating — the same property the reference gets from disk replay.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

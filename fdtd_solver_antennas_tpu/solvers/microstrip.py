@@ -14,7 +14,7 @@ from __future__ import annotations
 import math
 import time
 from enum import Enum
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -22,9 +22,8 @@ Parity with ``solver_fdtd_openems_microstrip_multi_3d.py:98-663``:
 from __future__ import annotations
 
 import dataclasses
-import math
 import time
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Callable, Optional, Sequence, Tuple
 
 import numpy as np
 

@@ -20,7 +20,6 @@ S11 sweep always available (the reference's fixed path has no port calc).
 from __future__ import annotations
 
 import time
-from typing import Optional
 
 import numpy as np
 

@@ -32,7 +32,6 @@ from ..ops.fdtd import FDTDConfig, _make_run_fn, build_simulation
 from ..ops.mesh import MeshBuilder
 from ..physics import C0, design_patch_for_frequency, substrate_conductivity
 from ..post.ports import PortSpectra, find_resonance, port_spectra
-from .base import SolverPrepared
 
 
 @dataclasses.dataclass

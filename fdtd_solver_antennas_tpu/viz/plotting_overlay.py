@@ -19,7 +19,6 @@ implementation rather than replicating the broken copy.
 from __future__ import annotations
 
 import matplotlib.pyplot as plt
-import numpy as np
 from mpl_toolkits.mplot3d.art3d import Poly3DCollection
 
 
