@@ -4,6 +4,13 @@ reload in a 'new process' and finish — results identical to a straight run.
 Run: python examples/checkpoint_resume.py
 """
 
+# allow running from a source checkout without installation
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
 import numpy as np
 
 from fdtd_solver_antennas_tpu import PatchAntennaParams

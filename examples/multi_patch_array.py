@@ -4,6 +4,13 @@ render a preview, run the multi-patch FDTD, save the 3D pattern.
 Run: python examples/multi_patch_array.py
 """
 
+# allow running from a source checkout without installation
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
 import numpy as np
 
 from fdtd_solver_antennas_tpu import FeedDirection, PatchAntennaParams
