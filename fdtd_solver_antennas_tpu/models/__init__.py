@@ -12,6 +12,7 @@ from .scene import (
     ConvexPolyhedron,
     make_plate,
     LumpedPortSpec,
+    MSLPortSpec,
     NF2FFBoxSpec,
     Scene,
     rotation_matrix,
@@ -29,6 +30,7 @@ __all__ = [
     "ConvexPolyhedron",
     "make_plate",
     "LumpedPortSpec",
+    "MSLPortSpec",
     "NF2FFBoxSpec",
     "Scene",
     "rotation_matrix",

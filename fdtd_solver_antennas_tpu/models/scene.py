@@ -191,6 +191,33 @@ class LumpedPortSpec:
 
 
 @dataclass(frozen=True)
+class MSLPortSpec:
+    """Microstrip-line port: distributed plane excitation + traveling-wave
+    probes at a measurement plane.
+
+    The reference ships an MSL path but force-disables it in favor of the
+    lumped port (``use_msl = False``, multi_3d.py:458-467); this framework
+    implements it for real. ``prop_axis`` is the propagation direction
+    ('x'|'y'); the strip runs at height ``height_mm`` above the ground
+    plane (z = 0), centered at ``strip_center_mm`` with ``strip_width_mm``
+    across the transverse axis. ``exc_pos_mm``/``meas_pos_mm`` are the
+    excitation and measurement plane coordinates along ``prop_axis``;
+    ``z0_ohm`` is the line's characteristic impedance used for the
+    incident/reflected wave split.
+    """
+
+    port_id: int
+    prop_axis: str  # 'x' | 'y'
+    strip_center_mm: float
+    strip_width_mm: float
+    height_mm: float
+    exc_pos_mm: float
+    meas_pos_mm: float
+    z0_ohm: float = 50.0
+    excite: float = 1.0
+
+
+@dataclass(frozen=True)
 class NF2FFBoxSpec:
     """Near-field recording box (``FDTD.CreateNF2FFBox()`` analog).
 
@@ -208,7 +235,12 @@ class Scene:
 
     boxes: List[Box] = field(default_factory=list)
     ports: List[LumpedPortSpec] = field(default_factory=list)
+    msl_ports: List[MSLPortSpec] = field(default_factory=list)
     nf2ff: Optional[NF2FFBoxSpec] = None
+
+    def add_msl_port(self, spec: "MSLPortSpec") -> "MSLPortSpec":
+        self.msl_ports.append(spec)
+        return spec
 
     def add_metal_box(
         self, name: str, start: Sequence[float], stop: Sequence[float],

@@ -143,6 +143,150 @@ class PortRuntime:
 
 
 @dataclasses.dataclass
+class MSLRuntime:
+    """Static MSL-port geometry consumed by the traced step function.
+
+    ``sl`` selects the excited block of Ez edges at the excitation plane;
+    ``v_sources``/``i_sources`` are generic linear-probe source lists
+    [((comp, i, j, k), weight)] over the E / H field stacks at the
+    measurement plane.
+    """
+
+    spec: object  # models.scene.MSLPortSpec
+    sl: Tuple
+    src_col: np.ndarray  # filled once cb is known
+    v_sources: list
+    i_sources: list
+    z_ref: float
+
+
+def port_probe_sources(sim: "PreparedSimulation"):
+    """Generic per-port probe source lists, lumped ports first then MSL.
+
+    Returns (v_lists, i_lists): for each port a list of
+    ((comp, i, j, k), weight) terms — V over the E stack, I over the H
+    stack. Both the XLA gather probes and the Pallas chunk kernel consume
+    this single representation.
+    """
+    Px, Py, Pz = sim.padded_shape or sim.grid.shape
+    v_lists, i_lists = [], []
+    for prt in sim.ports:
+        col = np.stack(
+            np.meshgrid(
+                *[np.atleast_1d(np.arange((Px, Py, Pz)[a])[prt.sl[a]])
+                  for a in range(3)],
+                indexing="ij",
+            ),
+            axis=-1,
+        ).reshape(-1, 3)
+        v_lists.append([
+            ((prt.axis, int(t[0]), int(t[1]), int(t[2])), -float(w))
+            for t, w in zip(col, prt.dl_m)
+        ])
+        dv, du = prt.i_lengths
+        hv = (prt.axis + 2) % 3
+        hu = (prt.axis + 1) % 3
+        g = prt.i_gather
+        i_lists.append([
+            ((hv, *g[0]), float(dv)), ((hv, *g[1]), -float(dv)),
+            ((hu, *g[2]), -float(du)), ((hu, *g[3]), float(du)),
+        ])
+    for msl in sim.msl_ports:
+        v_lists.append(msl.v_sources)
+        i_lists.append(msl.i_sources)
+    return v_lists, i_lists
+
+
+def _build_msl_runtime(spec, grid: YeeGrid) -> MSLRuntime:
+    """Resolve an MSL port spec onto the grid.
+
+    Excitation: uniform vertical-E (quasi-TEM) soft source on the plane of
+    Ez edges under the strip at ``exc_pos``. Probes at ``meas_pos``:
+    V = −∫E·dl at the strip center; I = Ampère patch enclosing the strip
+    sheet (interior H contributions telescope to the enclosing contour).
+    """
+    axis = _AXIS_OF[spec.prop_axis]
+    if axis == 2:
+        raise ValueError("MSL propagation axis must be x or y")
+    t_axis = 1 - axis  # the other horizontal axis
+    lines = [grid.x, grid.y, grid.z]
+
+    def nearest(ax, val):
+        return int(np.argmin(np.abs(lines[ax] - val)))
+
+    exc_i = nearest(axis, spec.exc_pos_mm)
+    meas_i = nearest(axis, spec.meas_pos_mm)
+    k0 = nearest(2, 0.0)
+    kh = nearest(2, spec.height_mm)
+    t_lo = spec.strip_center_mm - spec.strip_width_mm / 2
+    t_hi = spec.strip_center_mm + spec.strip_width_mm / 2
+    t_nodes = np.where(
+        (lines[t_axis] >= t_lo - 1e-9) & (lines[t_axis] <= t_hi + 1e-9)
+    )[0]
+    if len(t_nodes) == 0:
+        t_nodes = np.array([nearest(t_axis, spec.strip_center_mm)])
+    j_lo, j_hi = int(t_nodes[0]), int(t_nodes[-1])
+    jc = nearest(t_axis, spec.strip_center_mm)
+
+    sl = [None, None, None]
+    sl[axis] = exc_i
+    sl[t_axis] = slice(j_lo, j_hi + 1)
+    sl[2] = slice(k0, kh)
+    sl = tuple(sl)
+
+    dz = grid.deltas_m("z")
+    dd = [grid.dual_deltas_m(n) for n in "xyz"]
+
+    def idx3(a_i, t_j, k):
+        out = [0, 0, 0]
+        out[axis] = a_i
+        out[t_axis] = t_j
+        out[2] = k
+        return tuple(out)
+
+    v_sources = [
+        ((2, *idx3(meas_i, jc, k)), -float(dz[k])) for k in range(k0, kh)
+    ]
+
+    # propagation direction sign: I measured along exc → meas travel
+    direction = 1.0 if spec.meas_pos_mm >= spec.exc_pos_mm else -1.0
+    # H components: curl_prop = ∂H_t2/∂u − ... with (axis, u, v) cyclic.
+    # For axis=0 (x): curl_x = ∂Hz/∂y − ∂Hy/∂z; for axis=1 (y):
+    # curl_y = ∂Hx/∂z − ∂Hz/∂x.
+    i_sources = []
+    for j in range(max(j_lo - 1, 1), min(j_hi + 2, len(lines[t_axis]) - 1)):
+        if axis == 0:
+            base = idx3(meas_i, j, kh)
+            jm = idx3(meas_i, j - 1, kh)
+            km = idx3(meas_i, j, kh - 1)
+            w_t = float(dd[2][kh]) * direction
+            w_z = float(dd[t_axis][j]) * direction
+            i_sources += [
+                ((2, *base), w_t), ((2, *jm), -w_t),   # ΔHz·dzd
+                ((1, *base), -w_z), ((1, *km), w_z),   # −ΔHy·dyd
+            ]
+        else:  # axis == 1 (propagation along y)
+            base = idx3(meas_i, j, kh)
+            km = idx3(meas_i, j, kh - 1)
+            jm = idx3(meas_i, j - 1, kh)
+            w_x = float(dd[t_axis][j]) * direction
+            w_z = float(dd[2][kh]) * direction
+            i_sources += [
+                ((0, *base), w_x), ((0, *km), -w_x),   # ΔHx·dxd
+                ((2, *base), -w_z), ((2, *jm), w_z),   # −ΔHz·dzd
+            ]
+
+    return MSLRuntime(
+        spec=spec,
+        sl=sl,
+        src_col=np.zeros((j_hi + 1 - j_lo, kh - k0), np.float32),
+        v_sources=v_sources,
+        i_sources=i_sources,
+        z_ref=float(spec.z0_ohm),
+    )
+
+
+@dataclasses.dataclass
 class FaceRuntime:
     """One Huygens-box face: slicing recipe + geometry for the transform."""
 
@@ -174,6 +318,7 @@ class PreparedSimulation:
     coeffs: Dict[str, jnp.ndarray]
     waveform: np.ndarray
     ports: List[PortRuntime]
+    msl_ports: List["MSLRuntime"]
     faces: List[FaceRuntime]
     port_freqs_hz: np.ndarray
     nf_freqs_hz: np.ndarray
@@ -501,6 +646,7 @@ def build_simulation(
 
     # --- ports fold their resistance into sigma ---------------------------
     ports = [_build_port_runtime(p, grid, sigma_edges) for p in scene.ports]
+    msl_ports = [_build_msl_runtime(m, grid) for m in scene.msl_ports]
 
     # --- Ca/Cb per component ----------------------------------------------
     pec = {"ex": vox.pec_ex, "ey": vox.pec_ey, "ez": vox.pec_ez}
@@ -529,6 +675,11 @@ def build_simulation(
         cb[pec[comp]] = 0.0
         coeffs["ca_" + comp] = jnp.asarray(ca, jnp.float32)
         coeffs["cb_" + comp] = jnp.asarray(cb, jnp.float32)
+
+    # --- MSL excitation patterns (need cb): uniform quasi-TEM profile ----
+    for msl in msl_ports:
+        cb_host = np.asarray(coeffs["cb_ez"])
+        msl.src_col = (cb_host[msl.sl] * msl.spec.excite).astype(np.float32)
 
     # --- port source columns (need cb) ------------------------------------
     for prt in ports:
@@ -617,6 +768,7 @@ def build_simulation(
         coeffs=coeffs,
         waveform=waveform,
         ports=ports,
+        msl_ports=msl_ports,
         faces=faces,
         port_freqs_hz=port_freqs_hz,
         nf_freqs_hz=nf_freqs_hz,
@@ -659,7 +811,10 @@ def _resolve_use_pallas(sim: "PreparedSimulation") -> bool:
     # 6 field inputs + 6 outputs + 6 coefficient arrays + source matrices
     # resident in VMEM (vectors/masks negligible); ~30 MB of resident
     # blocks validated empirically on v5e; leave headroom for temporaries.
-    n_src_mats = len({p.spec.direction for p in sim.ports})
+    n_src_mats = len(
+        {p.spec.direction for p in sim.ports}
+        | ({"z"} if sim.msl_ports else set())
+    )
     resident = (18 + n_src_mats) * px * py * 128 * 4
     if cfg.use_pallas is None and resident > 48 * 1024 * 1024:
         return False  # auto mode stays inside the validated VMEM budget
@@ -711,8 +866,9 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None, _exp
     dtmu = np.float32(dt / MU0)
     mur = cfg.boundary.upper().startswith("MUR")
     ports = sim.ports
+    msl_ports = sim.msl_ports
     faces = sim.faces
-    n_ports = len(ports)
+    n_ports = len(ports) + len(msl_ports)
     n_src = sim.n_source_steps
     decim = int(sim.probe_decim)
     n_sub = max(1, int(cfg.check_every) // decim)
@@ -725,6 +881,7 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None, _exp
     port_sl = [p.sl for p in ports]
     port_dl = [jnp.asarray(p.dl_m, jnp.float32) for p in ports]
     port_src = [jnp.asarray(p.src_col, jnp.float32) for p in ports]
+    msl_src = [jnp.asarray(m.src_col, jnp.float32) for m in msl_ports]
 
     pallas_step = None
     pallas_chunk = None
@@ -808,6 +965,9 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None, _exp
         for pi, prt in enumerate(ports):
             comp = prt.axis
             En[comp] = En[comp].at[port_sl[pi]].add(port_src[pi] * s_val)
+        # MSL distributed plane sources (vertical E under the strip)
+        for mi, msl in enumerate(msl_ports):
+            En[2] = En[2].at[msl.sl].add(msl_src[mi] * s_val)
         if mur:
             Eo = [Ex, Ey, Ez]
             for b_axis in range(3):
@@ -826,10 +986,11 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None, _exp
         return tuple(En), psi_e
 
     def port_voltage(E):
-        # U = −∫E·dl along the port direction
+        # U = −∫E·dl along the port direction (lumped ports only; the run
+        # path samples all ports — incl. MSL — via the generic gathers)
         return jnp.stack(
             [-(E[p.axis][port_sl[pi]] * port_dl[pi]).sum() for pi, p in enumerate(ports)]
-        ) if n_ports else jnp.zeros((0,), jnp.float32)
+        ) if ports else jnp.zeros((0,), jnp.float32)
 
     def port_current(H):
         vals = []
@@ -841,7 +1002,7 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None, _exp
                 Hu[p.i_gather[2]] - Hu[p.i_gather[3]]
             ) * np.float32(du)
             vals.append(i_val)
-        return jnp.stack(vals) if n_ports else jnp.zeros((0,), jnp.float32)
+        return jnp.stack(vals) if ports else jnp.zeros((0,), jnp.float32)
 
     nf_shapes = [
         (face.u1 - face.u0, face.v1 - face.v0) for face in faces
@@ -906,38 +1067,22 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None, _exp
 
     (pg_e_idx, pg_e_w, pg_h_idx, pg_h_w, face_layout, T_faces) = _face_slots()
 
-    # port probes as gathers: V = −Σ E·dl over the column; I = H loop
-    S_v = max([1] + [len(p.dl_m) for p in ports])
-    pv_idx = np.zeros((n_ports, S_v), np.int64)
-    pv_w = np.zeros((n_ports, S_v), np.float32)
-    pi_idx = np.zeros((n_ports, 4), np.int64)
-    pi_w = np.zeros((n_ports, 4), np.float32)
-    for piNo, prt in enumerate(ports):
-        comp = prt.axis
-        idx3 = np.zeros((len(prt.dl_m), 3), np.int64)
-        grids = np.ogrid[0:Px, 0:Py, 0:Pz]
-        # enumerate the port column entries from its slice tuple
-        col = np.stack(
-            np.meshgrid(
-                *[np.atleast_1d(np.arange(Px)[prt.sl[0]]) if a == 0 else
-                  np.atleast_1d(np.arange(Py)[prt.sl[1]]) if a == 1 else
-                  np.atleast_1d(np.arange(Pz)[prt.sl[2]]) for a in range(3)],
-                indexing="ij",
-            ),
-            axis=-1,
-        ).reshape(-1, 3)
-        for e, (ii, jj, kk) in enumerate(col):
-            pv_idx[piNo, e] = _flat_idx(comp, ii, jj, kk)
-            pv_w[piNo, e] = -prt.dl_m[e]
-        dv, du = prt.i_lengths
-        hv_comp = (prt.axis + 2) % 3
-        hu_comp = (prt.axis + 1) % 3
-        g = prt.i_gather
-        pi_idx[piNo] = [
-            _flat_idx(hv_comp, *g[0]), _flat_idx(hv_comp, *g[1]),
-            _flat_idx(hu_comp, *g[2]), _flat_idx(hu_comp, *g[3]),
-        ]
-        pi_w[piNo] = [dv, -dv, -du, du]
+    # port probes as gathers from the generic per-port source lists
+    # (lumped ports first, then MSL — see port_probe_sources)
+    v_lists, i_lists = port_probe_sources(sim)
+
+    def _pack_sources(lists):
+        S = max([1] + [len(l) for l in lists])
+        idx = np.zeros((n_ports, S), np.int64)
+        w = np.zeros((n_ports, S), np.float32)
+        for piNo, lst in enumerate(lists):
+            for e, ((comp, ii, jj, kk), weight) in enumerate(lst):
+                idx[piNo, e] = _flat_idx(comp, ii, jj, kk)
+                w[piNo, e] = weight
+        return idx, w
+
+    pv_idx, pv_w = _pack_sources(v_lists)
+    pi_idx, pi_w = _pack_sources(i_lists)
 
     pg_e_idx = jnp.asarray(pg_e_idx, jnp.int32)
     pg_e_w = jnp.asarray(pg_e_w)

@@ -108,12 +108,15 @@ def build_pallas_stepper(sim, inv_p, inv_d, mur_coef, alias: bool = False):
     mz1[(zz == Qz - 1) & (yy < Qy)] = 1.0
     z_masks = [mz0.reshape(1, C), mz1.reshape(1, C)]
 
-    # per-component lumped-port source matrices (only those present)
+    # per-component port source matrices (lumped columns + MSL planes)
     src_mats = {}
     for prt in sim.ports:
         comp = prt.spec.direction  # 'x' | 'y' | 'z'
         mat = src_mats.setdefault(comp, np.zeros((Px, Py, Pz), np.float32))
         mat[prt.sl] += prt.src_col
+    for msl in sim.msl_ports:
+        mat = src_mats.setdefault("z", np.zeros((Px, Py, Pz), np.float32))
+        mat[msl.sl] += msl.src_col
     src_comps = sorted(src_mats)  # deterministic arg order
     src_inputs = [
         np.asarray(to_flat(jnp.asarray(src_mats[c]))) for c in src_comps
@@ -343,46 +346,27 @@ def build_pallas_chunk_stepper(sim, inv_p, inv_d, mur_coef):
         comp = prt.spec.direction
         mat = src_mats.setdefault(comp, np.zeros((Px, Py, Pz), np.float32))
         mat[prt.sl] += prt.src_col
+    for msl in sim.msl_ports:
+        mat = src_mats.setdefault("z", np.zeros((Px, Py, Pz), np.float32))
+        mat[msl.sl] += msl.src_col
     src_comps = sorted(src_mats)
     src_inputs = [np.asarray(to_flat(jnp.asarray(src_mats[c]))) for c in src_comps]
     n_src = len(src_comps)
 
-    # --- port probe geometry (flat indices) -------------------------------
-    ports_meta = []
-    for prt in sim.ports:
-        col = np.stack(
-            np.meshgrid(
-                *[np.atleast_1d(np.arange(Px)[prt.sl[0]]) if a == 0 else
-                  np.atleast_1d(np.arange(Py)[prt.sl[1]]) if a == 1 else
-                  np.atleast_1d(np.arange(Pz)[prt.sl[2]]) for a in range(3)],
-                indexing="ij",
-            ), axis=-1,
-        ).reshape(-1, 3)
-        # the column is contiguous along the port axis; compute slice coords
-        axis = prt.axis
-        if axis == 2:
-            row = int(col[0, 0]); c0 = int(col[0, 1]) * LANE + int(col[0, 2])
-            stride_note = "lanes"
-        elif axis == 1:
-            row = int(col[0, 0]); c0 = int(col[0, 1]) * LANE + int(col[0, 2])
-            stride_note = "tiles"
-        else:
-            row = int(col[0, 0]); c0 = int(col[0, 1]) * LANE + int(col[0, 2])
-            stride_note = "rows"
-        dv, du = prt.i_lengths
-        hv_comp = (prt.axis + 2) % 3
-        hu_comp = (prt.axis + 1) % 3
+    # --- port probes: generic per-port source lists (lumped then MSL),
+    # evaluated as unrolled scalar reads in flat (row, col) coordinates ----
+    from .fdtd import port_probe_sources
 
-        def flat_rc(t3):
-            return (int(t3[0]), int(t3[1]) * LANE + int(t3[2]))
-
-        g = [flat_rc(t) for t in prt.i_gather]
-        ports_meta.append(dict(
-            axis=axis, row=row, c0=c0, n_edges=len(col),
-            dl=np.asarray(prt.dl_m, np.float32),
-            col3=col, hv=hv_comp, hu=hu_comp, g=g,
-            dv=np.float32(dv), du=np.float32(du),
-        ))
+    v_lists, i_lists = port_probe_sources(sim)
+    ports_meta = [
+        dict(
+            v=[((comp, int(i), int(j) * LANE + int(k)), float(w))
+               for ((comp, i, j, k), w) in vl],
+            i=[((comp, int(i), int(j) * LANE + int(k)), float(w))
+               for ((comp, i, j, k), w) in il],
+        )
+        for vl, il in zip(v_lists, i_lists)
+    ]
 
     # --- z-face selection matrices ----------------------------------------
     faces = sim.faces
@@ -497,20 +481,11 @@ def build_pallas_chunk_stepper(sim, inv_p, inv_d, mur_coef):
         E = (ex[:], ey[:], ez[:])
         H = (hx[:], hy[:], hz[:])
 
-        # ports
+        # ports: unrolled scalar reads; weights baked as python floats so
+        # nothing is captured as a traced constant
         for pi_idx, pm in enumerate(ports_meta):
-            comp_e = E[pm["axis"]]
-            # unrolled scalar reads (a handful of edges per port); weights
-            # are baked in as python floats so nothing is captured
-            vals = [
-                comp_e[int(t[0]), int(t[1]) * LANE + int(t[2])] * float(w)
-                for t, w in zip(pm["col3"], pm["dl"])
-            ]
-            v = -sum(vals)
-            g = pm["g"]
-            i_val = (H[pm["hv"]][g[0]] - H[pm["hv"]][g[1]]) * pm["dv"] - (
-                H[pm["hu"]][g[2]] - H[pm["hu"]][g[3]]
-            ) * pm["du"]
+            v = sum(E[comp][r, c] * w for (comp, r, c), w in pm["v"])
+            i_val = sum(H[comp][r, c] * w for (comp, r, c), w in pm["i"])
             pv_o[j, pi_idx] = v
             pi_o[j, pi_idx] = i_val
 

@@ -21,7 +21,7 @@ import numpy as np
 import jax
 
 from ..models.params import PatchAntennaParams
-from ..models.scene import Scene
+from ..models.scene import MSLPortSpec, Scene
 from ..ops.fdtd import FDTDConfig, build_simulation
 from ..ops.mesh import MeshBuilder
 from ..physics import C0, design_patch_for_frequency, substrate_conductivity
@@ -82,6 +82,7 @@ def build_microstrip_scene(
     feed_direction: FeedDirection,
     feed_line_length_mm: float,
     mesh_res_mm: float,
+    port_mode: str = "lumped",
 ) -> Tuple[Scene, MeshBuilder, dict]:
     """Shared geometry builder for the microstrip solvers.
 
@@ -146,10 +147,36 @@ def build_microstrip_scene(
         feed_hi = [feed_width / 2, sub_L / 2, h]
         feed_px, feed_py = 0.0, patch_L / 2
     scene.add_metal_box("feed_line", feed_lo, feed_hi, priority=10)
-    scene.add_lumped_port(
-        1, 50.0, [feed_px, feed_py, 0.0], [feed_px, feed_py, h],
-        direction="z", excite=1.0,
-    )
+
+    msl_positions = None
+    if port_mode == "msl":
+        # distributed microstrip-line port on the feed strip: excitation
+        # near the substrate edge, measurement plane further inboard.
+        # (The reference's MSL path exists but is force-disabled,
+        # multi_3d.py:458-467; here it works.)
+        if feed_direction in (FeedDirection.NEG_X, FeedDirection.POS_X):
+            prop = "x"
+            strip_center = 0.0
+            edge = -sub_W / 2 if feed_direction == FeedDirection.NEG_X else sub_W / 2
+            inward = 1.0 if feed_direction == FeedDirection.NEG_X else -1.0
+        else:
+            prop = "y"
+            strip_center = 0.0
+            edge = -sub_L / 2 if feed_direction == FeedDirection.NEG_Y else sub_L / 2
+            inward = 1.0 if feed_direction == FeedDirection.NEG_Y else -1.0
+        exc = edge + inward * 3.0
+        meas = edge + inward * min(10.0, fl / 2)
+        scene.add_msl_port(MSLPortSpec(
+            port_id=1, prop_axis=prop, strip_center_mm=strip_center,
+            strip_width_mm=feed_width, height_mm=h,
+            exc_pos_mm=exc, meas_pos_mm=meas, z0_ohm=50.0, excite=1.0,
+        ))
+        msl_positions = (prop, exc, meas)
+    else:
+        scene.add_lumped_port(
+            1, 50.0, [feed_px, feed_py, 0.0], [feed_px, feed_py, h],
+            direction="z", excite=1.0,
+        )
 
     mb = MeshBuilder()
     mb.add_line("x", [-box_x / 2, box_x / 2])
@@ -166,6 +193,9 @@ def build_microstrip_scene(
     mb.add_metal_edges(feed_lo, feed_hi, dirs="xy", metal_edge_res=mesh_res_mm / 2)
     mb.add_line("x", [float(feed_px)])
     mb.add_line("y", [float(feed_py)])
+    if msl_positions is not None:
+        prop, exc, meas = msl_positions
+        mb.add_line(prop, [float(exc), float(meas)])
     if feed_direction in (FeedDirection.NEG_X, FeedDirection.POS_X):
         mb.add_line("y", [-feed_width / 2, 0.0, feed_width / 2])
     else:
@@ -186,6 +216,7 @@ def prepare_microstrip_patch(
     feed_line_length_mm: float = 20.0,
     boundary: str = "MUR",
     theta_step_deg: float = 2.0,
+    port_mode: str = "lumped",  # 'lumped' (reference contract) | 'msl'
     work_dir: str = "",  # parity arg, ignored
     cleanup: bool = True,  # parity arg, ignored
     verbose: int = 0,
@@ -198,7 +229,8 @@ def prepare_microstrip_patch(
         mesh_res = C0 / (f0 + fc) / 1e-3 / 20.0
         feed_direction = FeedDirection(feed_direction)
         scene, mb, info = build_microstrip_scene(
-            params, feed_direction, feed_line_length_mm, mesh_res
+            params, feed_direction, feed_line_length_mm, mesh_res,
+            port_mode=port_mode,
         )
         grid = mb.build(mesh_res, ratio=1.4)
         cfg = FDTDConfig(
