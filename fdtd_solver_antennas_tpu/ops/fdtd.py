@@ -880,8 +880,18 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None, _exp
 
     port_sl = [p.sl for p in ports]
     port_dl = [jnp.asarray(p.dl_m, jnp.float32) for p in ports]
-    port_src = [jnp.asarray(p.src_col, jnp.float32) for p in ports]
-    msl_src = [jnp.asarray(m.src_col, jnp.float32) for m in msl_ports]
+
+    # Source patterns as dense per-component matrices: one fused FMA per
+    # component beats per-port dynamic-update-slices (which profiled at
+    # ~20 µs each per step on TPU).
+    src_np = {}
+    for prt in ports:
+        mat = src_np.setdefault(prt.axis, np.zeros((Px, Py, Pz), np.float32))
+        mat[prt.sl] += prt.src_col
+    for msl in msl_ports:
+        mat = src_np.setdefault(2, np.zeros((Px, Py, Pz), np.float32))
+        mat[msl.sl] += msl.src_col
+    src_mats = {k: jnp.asarray(v) for k, v in src_np.items()}
 
     pallas_step = None
     pallas_chunk = None
@@ -961,13 +971,9 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None, _exp
             Ey_n = coeffs["ca_ey"] * Ey + coeffs["cb_ey"] * (dHx_z - dHz_x)
             Ez_n = coeffs["ca_ez"] * Ez + coeffs["cb_ez"] * (dHy_x - dHx_y)
         En = [Ex_n, Ey_n, Ez_n]
-        # lumped-port soft sources
-        for pi, prt in enumerate(ports):
-            comp = prt.axis
-            En[comp] = En[comp].at[port_sl[pi]].add(port_src[pi] * s_val)
-        # MSL distributed plane sources (vertical E under the strip)
-        for mi, msl in enumerate(msl_ports):
-            En[2] = En[2].at[msl.sl].add(msl_src[mi] * s_val)
+        # port soft sources (lumped columns + MSL planes) as fused FMAs
+        for comp, mat in src_mats.items():
+            En[comp] = En[comp] + mat * s_val
         if mur:
             Eo = [Ex, Ey, Ez]
             for b_axis in range(3):
