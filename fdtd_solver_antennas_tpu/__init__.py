@@ -53,6 +53,7 @@ from .solvers.microstrip_3d import (
     run_prepared_openems_microstrip_3d,
 )
 from .solvers.multi_patch_3d import (
+    HornLike,
     PatchLike,
     prepare_multi_patch_3d,
     run_prepared_multi_patch_3d,
@@ -126,6 +127,7 @@ __all__ = [
     "prepare_openems_microstrip_patch_3d",
     "run_prepared_openems_microstrip_3d",
     # Multi-patch solver
+    "HornLike",
     "PatchLike",
     "prepare_multi_patch_3d",
     "run_prepared_multi_patch_3d",

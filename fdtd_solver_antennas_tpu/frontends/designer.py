@@ -222,6 +222,7 @@ class MultiPatchScene:
         c = self.controls
         return prepare_multi_patch_3d(
             self.patches,
+            horns=self.horns,
             boundary=c.boundary,
             theta_step_deg=c.theta_step_deg,
             phi_step_deg=c.phi_step_deg,
@@ -239,9 +240,11 @@ class MultiPatchScene:
         """prepare + run, honoring the lock flag (GUI contract)."""
         if self.locked:
             raise RuntimeError("scene is locked by a running simulation")
-        if not self.patches:
-            raise ValueError("no patch instances in the scene")
-        f = frequency_hz or max(p.params.frequency_hz for p in self.patches)
+        if not self.patches and not self.horns:
+            raise ValueError("no antenna instances in the scene")
+        f = frequency_hz or max(
+            inst.params.frequency_hz for inst in self.patches + self.horns
+        )
         self.locked = True
         try:
             prep = self.prepare(verbose=verbose, log_cb=log_cb)

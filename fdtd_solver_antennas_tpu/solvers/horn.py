@@ -54,6 +54,60 @@ def te10_guide_wavelength(f_hz: float, a_m: float) -> float:
     return lam0 / math.sqrt(1.0 - (fc / f_hz) ** 2)
 
 
+def horn_local_geometry(params: HornAntennaParams, mesh_res_mm: float):
+    """Local-frame (horn axis +z, throat at z=0) geometry parts, in mm.
+
+    Returns a dict with PEC wall ``boxes`` [(lo, hi), …], flare plate
+    ``quads`` [(4,3) arrays], the feed ``port_line`` (p0, p1) along local y,
+    wall thickness ``t``, and the key mesh coordinates per axis. Shared by
+    the dedicated horn solver and the multi-instance scene solver.
+    """
+    f0 = params.frequency_hz
+    a = params.throat_a_m * 1e3  # mm, broad (x)
+    b = params.throat_b_m * 1e3  # narrow (y)
+    A = params.aperture_A_m * 1e3
+    B = params.aperture_B_m * 1e3
+    L = params.length_m * 1e3
+
+    lam_g = te10_guide_wavelength(f0, params.throat_a_m) * 1e3
+    L_wg = 0.75 * lam_g
+    z_feed = -L_wg + 0.25 * lam_g
+    t = max(1.0, mesh_res_mm)  # wall thickness ≥ one cell (no leaks)
+
+    # waveguide walls (outside the a×b cavity) + back short
+    boxes = [
+        ([-a / 2 - t, -b / 2 - t, -L_wg], [-a / 2, b / 2 + t, 0]),
+        ([a / 2, -b / 2 - t, -L_wg], [a / 2 + t, b / 2 + t, 0]),
+        ([-a / 2, -b / 2 - t, -L_wg], [a / 2, -b / 2, 0]),
+        ([-a / 2, b / 2, -L_wg], [a / 2, b / 2 + t, 0]),
+        ([-a / 2 - t, -b / 2 - t, -L_wg - t], [a / 2 + t, b / 2 + t, -L_wg]),
+    ]
+    # flare plates (planar quads for a pyramidal horn)
+    quads = [
+        np.array([(a / 2, -b / 2, 0), (a / 2, b / 2, 0),
+                  (A / 2, B / 2, L), (A / 2, -B / 2, L)]),
+        np.array([(-a / 2, -b / 2, 0), (-a / 2, b / 2, 0),
+                  (-A / 2, B / 2, L), (-A / 2, -B / 2, L)]),
+        np.array([(-a / 2, b / 2, 0), (a / 2, b / 2, 0),
+                  (A / 2, B / 2, L), (-A / 2, B / 2, L)]),
+        np.array([(-a / 2, -b / 2, 0), (a / 2, -b / 2, 0),
+                  (A / 2, -B / 2, L), (-A / 2, -B / 2, L)]),
+    ]
+    # probe feed across the guide height (TE10 E-plane)
+    port_line = (np.array([0.0, -b / 2, z_feed]),
+                 np.array([0.0, b / 2, z_feed]))
+    mesh_lines = dict(
+        x=[-a / 2, a / 2, -A / 2, A / 2, 0.0],
+        y=[-b / 2, b / 2, -B / 2, B / 2, 0.0],
+        z=[-L_wg - t, -L_wg, 0.0, L, float(z_feed)],
+    )
+    return dict(
+        boxes=boxes, quads=quads, port_line=port_line, t=t,
+        mesh_lines=mesh_lines, L_wg=L_wg, z_feed=z_feed, lam_g=lam_g,
+        a=a, b=b, A=A, B=B, L=L,
+    )
+
+
 def prepare_horn(
     params: HornAntennaParams,
     *,
@@ -69,56 +123,21 @@ def prepare_horn(
     try:
         f0 = params.frequency_hz
         fc_src = f0 / 2.0
-        a = params.throat_a_m * 1e3  # mm, broad (x)
-        b = params.throat_b_m * 1e3  # narrow (y)
-        A = params.aperture_A_m * 1e3
-        B = params.aperture_B_m * 1e3
-        L = params.length_m * 1e3
-
-        lam_g = te10_guide_wavelength(f0, params.throat_a_m) * 1e3
-        L_wg = 0.75 * lam_g
-        z_feed = -L_wg + 0.25 * lam_g
-
         mesh_res = C0 / (f0 + fc_src) / 1e-3 / mesh_ppw
-        t = max(1.0, mesh_res)  # wall thickness ≥ one cell (no leaks)
+        geo = horn_local_geometry(params, mesh_res)
+        a, b, A, B, L = geo["a"], geo["b"], geo["A"], geo["B"], geo["L"]
+        L_wg, z_feed, t, lam_g = (
+            geo["L_wg"], geo["z_feed"], geo["t"], geo["lam_g"]
+        )
 
         scene = Scene()
-        # waveguide walls (outside the a×b cavity)
-        scene.add_metal_box("wg_xm", [-a / 2 - t, -b / 2 - t, -L_wg],
-                            [-a / 2, b / 2 + t, 0], priority=10)
-        scene.add_metal_box("wg_xp", [a / 2, -b / 2 - t, -L_wg],
-                            [a / 2 + t, b / 2 + t, 0], priority=10)
-        scene.add_metal_box("wg_ym", [-a / 2, -b / 2 - t, -L_wg],
-                            [a / 2, -b / 2, 0], priority=10)
-        scene.add_metal_box("wg_yp", [-a / 2, b / 2, -L_wg],
-                            [a / 2, b / 2 + t, 0], priority=10)
-        scene.add_metal_box("wg_back", [-a / 2 - t, -b / 2 - t, -L_wg - t],
-                            [a / 2 + t, b / 2 + t, -L_wg], priority=10)
-
-        # flare plates (planar quads for a pyramidal horn)
+        for bi, (lo, hi) in enumerate(geo["boxes"]):
+            scene.add_metal_box(f"wg_{bi}", lo, hi, priority=10)
         pec = PEC("flare")
-        quads = [
-            # +x wall
-            [(a / 2, -b / 2, 0), (a / 2, b / 2, 0),
-             (A / 2, B / 2, L), (A / 2, -B / 2, L)],
-            # −x wall
-            [(-a / 2, -b / 2, 0), (-a / 2, b / 2, 0),
-             (-A / 2, B / 2, L), (-A / 2, -B / 2, L)],
-            # +y wall
-            [(-a / 2, b / 2, 0), (a / 2, b / 2, 0),
-             (A / 2, B / 2, L), (-A / 2, B / 2, L)],
-            # −y wall
-            [(-a / 2, -b / 2, 0), (a / 2, -b / 2, 0),
-             (A / 2, -B / 2, L), (-A / 2, -B / 2, L)],
-        ]
-        for qi, q in enumerate(quads):
-            scene.add_polyhedron(
-                make_plate(np.array(q), t, pec, priority=10)
-            )
-
-        # probe feed across the guide height (TE10 E-plane)
+        for q in geo["quads"]:
+            scene.add_polyhedron(make_plate(q, t, pec, priority=10))
         scene.add_lumped_port(
-            1, 50.0, [0.0, -b / 2, z_feed], [0.0, b / 2, z_feed],
+            1, 50.0, geo["port_line"][0], geo["port_line"][1],
             direction="y", excite=1.0,
         )
 

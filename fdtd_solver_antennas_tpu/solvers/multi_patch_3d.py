@@ -29,8 +29,8 @@ import numpy as np
 
 import jax
 
-from ..models.params import PatchAntennaParams
-from ..models.scene import Box, Scene, rotation_matrix
+from ..models.params import HornAntennaParams, PatchAntennaParams
+from ..models.scene import PEC, Box, Scene, make_plate, rotation_matrix
 from ..ops.fdtd import FDTDConfig, build_simulation
 from ..ops.mesh import MeshBuilder
 from ..physics import C0, design_patch_for_frequency, substrate_conductivity
@@ -57,6 +57,21 @@ class PatchLike:
     center_y_m: float = 0.0
     center_z_m: float = 0.0
     feed_direction: FeedDirection = FeedDirection.NEG_X
+    rot_x_deg: float = 0.0
+    rot_y_deg: float = 0.0
+    rot_z_deg: float = 0.0
+
+
+@dataclasses.dataclass
+class HornLike:
+    """Duck-typed horn instance (reference previews only: multi_3d has no
+    horn solver — mixed patch+horn FDTD scenes are beyond-reference)."""
+
+    name: str
+    params: HornAntennaParams
+    center_x_m: float = 0.0
+    center_y_m: float = 0.0
+    center_z_m: float = 0.0
     rot_x_deg: float = 0.0
     rot_y_deg: float = 0.0
     rot_z_deg: float = 0.0
@@ -126,6 +141,7 @@ def _rad_eff_multi(ff, spectra_list):
 def prepare_multi_patch_3d(
     patches: Sequence[PatchLike],
     *,
+    horns: Sequence[HornLike] = (),
     dll_dir: str = "",  # parity arg, ignored
     boundary: str = "MUR",
     theta_step_deg: float = 2.0,
@@ -144,8 +160,8 @@ def prepare_multi_patch_3d(
     log_cb: Optional[Callable[[str], None]] = None,
 ) -> SolverPrepared:
     try:
-        if not patches:
-            return SolverPrepared(False, "No patch instances provided.")
+        if not patches and not horns:
+            return SolverPrepared(False, "No antenna instances provided.")
 
         def _log(msg: str) -> None:
             if log_cb is not None:
@@ -157,7 +173,10 @@ def prepare_multi_patch_3d(
             if verbose:
                 print(msg)
 
-        f0 = max(float(p.params.frequency_hz) for p in patches)
+        f0 = max(
+            float(inst.params.frequency_hz)
+            for inst in list(patches) + list(horns)
+        )
         fc = f0 / 2.0
         q = max(1, min(10, int(mesh_quality)))
         ppw = PPW_MAP_10.get(q, 20.0)
@@ -244,6 +263,73 @@ def prepare_multi_patch_3d(
                     mb.add_line(nm, np.linspace(lo_w[a], hi_w[a], n_lines + 1))
                 mb.add_line("xyz"[axis], [lo[axis], hi[axis], 0.5 * (lo + hi)[axis]])
 
+        from .horn import horn_local_geometry
+
+        for hidx, inst in enumerate(horns):
+            geo = horn_local_geometry(inst.params, mesh_res)
+            R = rotation_matrix(inst.rot_x_deg, inst.rot_y_deg, inst.rot_z_deg)
+            rotated = not np.allclose(R, np.eye(3), atol=1e-9)
+            T = np.array(
+                [inst.center_x_m, inst.center_y_m, inst.center_z_m]
+            ) * 1e3  # mm
+            centers.append(T)
+            kw = dict(rotation=R if rotated else None, translation=tuple(T))
+
+            for bi, (blo, bhi) in enumerate(geo["boxes"]):
+                scene.add_metal_box(f"horn{hidx}_wg_{bi}", blo, bhi,
+                                    priority=10, **kw)
+            pec = PEC(f"horn{hidx}_flare")
+            for quad in geo["quads"]:
+                # plates take world-frame corners directly
+                scene.add_polyhedron(
+                    make_plate(quad @ R.T + T, geo["t"], pec, priority=10)
+                )
+
+            # feed port along the rotated guide-height (local y) direction
+            p0 = geo["port_line"][0] @ R.T + T
+            p1 = geo["port_line"][1] @ R.T + T
+            e_world = R @ np.array([0.0, 1.0, 0.0])
+            axis = int(np.argmax(np.abs(e_world)))
+            port_axes.append(axis)
+            mid = 0.5 * (p0 + p1)
+            span = abs((p1 - p0)[axis])
+            lo, hi = mid.copy(), mid.copy()
+            lo[axis] = mid[axis] - span / 2
+            hi[axis] = mid[axis] + span / 2
+            port_id = len(patches) + hidx + 1
+            scene.add_lumped_port(
+                port_id, 50.0, lo, hi, direction="xyz"[axis], excite=1.0
+            )
+            _log(
+                f"port {port_id} (horn): axis {'xyz'[axis]}, "
+                f"span {span:.3f} mm, "
+                f"center ({mid[0]:.1f}, {mid[1]:.1f}, {mid[2]:.1f}) mm"
+            )
+
+            if not rotated:
+                for nm, vals in geo["mesh_lines"].items():
+                    off = T["xyz".index(nm)]
+                    mb.add_line(nm, [v + off for v in vals])
+            else:
+                # densify over the rotated horn's world bounding box
+                ext = max(geo["A"], geo["B"]) / 2
+                hull = Box(
+                    None,
+                    [-ext, -ext, -geo["L_wg"] - geo["t"]],
+                    [ext, ext, geo["L"]],
+                    rotation=R, translation=tuple(T),
+                )
+                lo_w = hull.world_corners().min(axis=0)
+                hi_w = hull.world_corners().max(axis=0)
+                for a, nm in enumerate("xyz"):
+                    n_lines = max(
+                        3, int(np.ceil((hi_w[a] - lo_w[a]) / (mesh_res / 2)))
+                    )
+                    mb.add_line(nm, np.linspace(lo_w[a], hi_w[a], n_lines + 1))
+                mb.add_line(
+                    "xyz"[axis], [lo[axis], hi[axis], 0.5 * (lo + hi)[axis]]
+                )
+
         # simulation box
         lo_b, hi_b = scene.world_bounds()
         if simbox_mode == "manual" and manual_size_mm is not None:
@@ -290,12 +376,16 @@ def prepare_multi_patch_3d(
 
         return SolverPrepared(
             True,
-            f"Multi-patch prepared: {len(patches)} instance(s), grid {grid.shape}",
+            f"Multi-antenna prepared: {len(patches)} patch(es), "
+            f"{len(horns)} horn(s), grid {grid.shape}",
             sim=sim,
             theta=theta,
             phi=phi,
             nf_center=nf_center,
-            diagnostics=dict(port_axes=port_axes, n_instances=len(patches)),
+            diagnostics=dict(
+                port_axes=port_axes,
+                n_instances=len(patches) + len(horns),
+            ),
         )
     except Exception as e:
         return SolverPrepared(False, f"Multi-patch prepare failed: {e}")

@@ -94,7 +94,7 @@ def test_simulate_bridge(params):
 
 def test_simulate_guards(params):
     scene = MultiPatchScene()
-    with pytest.raises(ValueError, match="no patch"):
+    with pytest.raises(ValueError, match="no antenna"):
         scene.simulate()
     scene.add_patch(params)
     scene.locked = True

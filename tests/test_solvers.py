@@ -123,7 +123,44 @@ def test_multi_patch_protocol(params):
 def test_multi_patch_empty_fails_structured():
     prep = prepare_multi_patch_3d([])
     assert not prep.ok
-    assert "No patch instances" in prep.message
+    assert "No antenna instances" in prep.message
+
+
+def test_mixed_patch_horn_scene(params):
+    """Beyond-reference: a patch and a horn in ONE FDTD run (the reference
+    can only preview horns — multi_patch_designer.py:31-41 has no solver)."""
+    from fdtd_solver_antennas_tpu.models.params import HornAntennaParams
+    from fdtd_solver_antennas_tpu.solvers.multi_patch_3d import HornLike
+
+    horn_params = HornAntennaParams.from_user_units(
+        frequency_ghz=2.45, throat_a_mm=86.0, throat_b_mm=43.0,
+        aperture_A_mm=150.0, aperture_B_mm=110.0, length_mm=60.0,
+    )
+    patches = [PatchLike(name="p", params=params)]
+    horns = [
+        HornLike(
+            name="h", params=horn_params, center_x_m=0.16, rot_z_deg=30.0,
+        )
+    ]
+    prep = prepare_multi_patch_3d(
+        patches, horns=horns, mesh_quality=1,
+        phi_step_deg=30.0, theta_step_deg=15.0,
+        auto_margin_mm=(60.0, 60.0, 80.0),
+    )
+    assert prep.ok, prep.message
+    assert prep.diagnostics["n_instances"] == 2
+    assert len(prep.sim.ports) == 2
+    prep.sim.cfg = prep.sim.cfg.__class__(
+        **{**prep.sim.cfg.__dict__, "n_steps_max": 600}
+    )
+    from fdtd_solver_antennas_tpu.ops.fdtd import rebuild_run_fn
+
+    rebuild_run_fn(prep.sim)
+    res = run_prepared_multi_patch_3d(
+        prep, frequency_hz=params.frequency_hz, verbose=0
+    )
+    _check_result(res, full_sphere=True)
+    assert len(res.diagnostics["s11_all_ports"]) == 2
 
 
 def test_legacy_solver_protocol(params):
