@@ -165,12 +165,13 @@ class MultiPatchScene:
         return lo, hi
 
     # --- preview (mpl analog of _draw_patch/_draw_horn/_draw_scene) ------
-    def render_preview(self, fig_size=(8, 7)):
+    def render_preview(self, fig_size=(8, 7), fig=None):
         import matplotlib.pyplot as plt
 
         from ..viz.plotting import _add_box
 
-        fig = plt.figure(figsize=fig_size)
+        if fig is None:
+            fig = plt.figure(figsize=fig_size)
         ax = fig.add_subplot(111, projection="3d")
         for inst in self.patches:
             W, L, h = _patch_dims_mm(inst.params)

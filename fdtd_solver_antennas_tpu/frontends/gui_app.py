@@ -66,6 +66,56 @@ class LogCoalescer:
             del self.lines[: len(self.lines) - self.max_lines]
 
 
+def is_full_sphere(phi_rad: np.ndarray) -> bool:
+    """True when a result covers φ beyond 180° (multi/3D solvers)."""
+    return float(np.max(phi_rad)) > np.pi + 1e-6
+
+
+def principal_cut_indices(phi_rad: np.ndarray) -> tuple:
+    """Indices of the φ samples nearest 0° (E-plane) and 90° (H-plane).
+
+    Single-antenna solvers return exactly [0°, 90°]; full-sphere results
+    (multi-patch scenes) sample many φ, so pick the nearest cuts
+    (reference renders cuts the same way: gui_app.py:1113-1149).
+    """
+    return (
+        int(np.argmin(np.abs(phi_rad - 0.0))),
+        int(np.argmin(np.abs(phi_rad - np.pi / 2))),
+    )
+
+
+def pattern_grid_for_plot(res):
+    """(theta, phi_full, grid_db) for a 3D surface render.
+
+    Full-sphere results plot directly; two-cut results are interpolated
+    around φ the way the reference GUI does (gui_app.py:1151-1348).
+    """
+    from ..viz.patterns import interpolate_cuts_to_sphere
+
+    if is_full_sphere(res.phi):
+        return res.theta, res.phi, np.asarray(res.intensity)
+    phi_full, grid_db = interpolate_cuts_to_sphere(
+        res.intensity[:, 0], res.intensity[:, 1]
+    )
+    return res.theta, phi_full, grid_db
+
+
+def default_horn_params_for(frequency_hz: float):
+    """Reasonable pyramidal-horn defaults scaled to the design frequency
+    (throat above TE10 cutoff, ~15 dBi aperture)."""
+    from ..models.params import HornAntennaParams
+
+    lam_mm = 299792458.0 / frequency_hz * 1e3
+    return HornAntennaParams.from_user_units(
+        frequency_ghz=frequency_hz / 1e9,
+        throat_a_mm=0.7 * lam_mm,
+        throat_b_mm=0.35 * lam_mm,
+        aperture_A_mm=1.6 * lam_mm,
+        aperture_B_mm=1.2 * lam_mm,
+        length_mm=1.0 * lam_mm,
+    )
+
+
 def main() -> None:  # pragma: no cover — needs a display
     import tkinter as tk
     from tkinter import ttk
@@ -80,7 +130,8 @@ def main() -> None:  # pragma: no cover — needs a display
     from ..solvers.analytical import AnalyticalPatchSolver
     from ..solvers.microstrip import FeedDirection, prepare_microstrip_patch, run_prepared_microstrip
     from ..solvers.patch_fixed import prepare_patch_fixed, run_prepared_fixed
-    from ..viz.patterns import interpolate_cuts_to_sphere, mirror_half_cut
+    from ..viz.patterns import mirror_half_cut
+    from .designer import MultiPatchScene
 
     root = tk.Tk()
     root.title("Patch Antenna Simulator — TPU-native FDTD")
@@ -174,6 +225,123 @@ def main() -> None:  # pragma: no cover — needs a display
         builder(fig)
         canvas.draw_idle()
 
+    # ---------------- scene (multi-antenna) tab --------------------------
+    # Designer-backed parity with the reference's multi mode
+    # (gui_app.py:2752-2848 runs the multi_3d solver; the scene model is
+    # our MultiPatchScene instead of a 1600-line Tk widget).
+    scene = MultiPatchScene()
+    scene_frame = ttk.Frame(tabs, padding=6)
+    tabs.add(scene_frame, text="Scene")
+    scene_left = ttk.Frame(scene_frame)
+    scene_left.pack(side="left", fill="y", padx=(0, 8))
+
+    inst_list = tk.Listbox(
+        scene_left, height=8, width=24, bg=ModernStyle.PANEL,
+        fg=ModernStyle.FG,
+    )
+    inst_list.pack(anchor="w", pady=2)
+
+    def scene_instances():
+        return scene.patches + scene.horns
+
+    def refresh_instances():
+        inst_list.delete(0, "end")
+        for inst in scene_instances():
+            inst_list.insert("end", inst.name)
+
+    scene_fig = plt.Figure(figsize=(6, 6))
+    scene_canvas = FigureCanvasTkAgg(scene_fig, master=scene_frame)
+    scene_canvas.get_tk_widget().pack(side="right", fill="both", expand=True)
+
+    def refresh_preview():
+        scene_fig.clf()
+        if scene_instances():
+            scene.render_preview(fig=scene_fig)
+        scene_canvas.draw_idle()
+
+    scene.set_change_callback(
+        lambda: (refresh_instances(), refresh_preview())
+    )
+
+    def selected_instance():
+        sel = inst_list.curselection()
+        if not sel:
+            return None
+        return scene_instances()[sel[0]]
+
+    def on_add_patch():
+        try:
+            scene.add_patch(params_from_ui())
+        except ValueError as e:
+            status_var.set(f"bad input: {e}")
+
+    def on_add_horn():
+        try:
+            f_ghz = float(fields["Frequency (GHz)"].get())
+            scene.add_horn(default_horn_params_for(f_ghz * 1e9))
+        except ValueError as e:
+            status_var.set(f"bad input: {e}")
+
+    def on_remove():
+        inst = selected_instance()
+        if inst is not None:
+            scene.remove(inst)
+
+    btn_row = ttk.Frame(scene_left)
+    btn_row.pack(anchor="w", pady=4)
+    ttk.Button(btn_row, text="+ Patch", command=on_add_patch, width=8).pack(
+        side="left", padx=2
+    )
+    ttk.Button(btn_row, text="+ Horn", command=on_add_horn, width=8).pack(
+        side="left", padx=2
+    )
+    ttk.Button(btn_row, text="Remove", command=on_remove, width=8).pack(
+        side="left", padx=2
+    )
+
+    place_fields = {}
+    for lbl, default in (
+        ("x (mm)", 0.0), ("y (mm)", 0.0), ("z (mm)", 0.0), ("rot z (°)", 0.0)
+    ):
+        ttk.Label(scene_left, text=lbl).pack(anchor="w")
+        var = tk.StringVar(value=str(default))
+        ttk.Entry(scene_left, textvariable=var, width=10).pack(
+            anchor="w", pady=1
+        )
+        place_fields[lbl] = var
+
+    def on_apply_placement():
+        inst = selected_instance()
+        if inst is None:
+            status_var.set("select an instance first")
+            return
+        try:
+            scene.update_field(
+                inst, "center_x_m", float(place_fields["x (mm)"].get()) * 1e-3
+            )
+            scene.update_field(
+                inst, "center_y_m", float(place_fields["y (mm)"].get()) * 1e-3
+            )
+            scene.update_field(
+                inst, "center_z_m", float(place_fields["z (mm)"].get()) * 1e-3
+            )
+            scene.update_field(
+                inst, "rot_z_deg", float(place_fields["rot z (°)"].get())
+            )
+        except ValueError as e:
+            status_var.set(f"bad placement: {e}")
+
+    ttk.Button(
+        scene_left, text="Apply placement", command=on_apply_placement
+    ).pack(anchor="w", pady=4)
+
+    ttk.Label(scene_left, text="Mesh quality (1–10)").pack(anchor="w")
+    meshq_var = tk.StringVar(value="3")
+    ttk.Entry(scene_left, textvariable=meshq_var, width=10).pack(anchor="w")
+
+    scene_run_btn = ttk.Button(scene_left, text="Run Scene FDTD")
+    scene_run_btn.pack(fill="x", pady=8)
+
     def params_from_ui():
         return PatchAntennaParams.from_user_units(
             frequency_ghz=float(fields["Frequency (GHz)"].get()),
@@ -238,6 +406,7 @@ def main() -> None:  # pragma: no cover — needs a display
             root.after(200, poll_results)
             return
         run_btn.state(["!disabled"])
+        scene_run_btn.state(["!disabled"])
         if kind == "error":
             status_var.set(f"failed: {payload}")
             log.append(f"ERROR: {payload}")
@@ -265,11 +434,12 @@ def main() -> None:  # pragma: no cover — needs a display
         show_fig("S11", build_s11)
 
         def build_cuts(fig):
+            cut_idx = principal_cut_indices(res.phi)
             for i, (col, title) in enumerate(
                 (("#0b7285", "E-plane φ=0°"), ("#c2255c", "H-plane φ=90°"))
             ):
                 ax = fig.add_subplot(1, 2, i + 1, projection="polar")
-                th, v = mirror_half_cut(res.theta, res.intensity[:, i])
+                th, v = mirror_half_cut(res.theta, res.intensity[:, cut_idx[i]])
                 ax.plot(th, v, color=col, lw=2)
                 ax.set_title(title)
                 ax.set_theta_zero_location("N")
@@ -277,11 +447,9 @@ def main() -> None:  # pragma: no cover — needs a display
         show_fig("Cuts", build_cuts)
 
         def build_3d(fig):
-            phi_full, grid_db = interpolate_cuts_to_sphere(
-                res.intensity[:, 0], res.intensity[:, 1]
-            )
+            theta, phi_full, grid_db = pattern_grid_for_plot(res)
             ax = fig.add_subplot(111, projection="3d")
-            thg, phg = np.meshgrid(res.theta, phi_full, indexing="ij")
+            thg, phg = np.meshgrid(theta, phi_full, indexing="ij")
             lin = 10 ** ((grid_db - grid_db.max()) / 20.0)
             x = lin * np.sin(thg) * np.cos(phg)
             y = lin * np.sin(thg) * np.sin(phg)
@@ -313,7 +481,37 @@ def main() -> None:  # pragma: no cover — needs a display
         ).start()
         root.after(200, poll_results)
 
+    def scene_worker(mesh_quality):
+        try:
+            scene.controls.mesh_quality = mesh_quality
+            log.append("scene prepare: voxelizing + compiling…")
+            res = scene.simulate(log_cb=log.append)
+            if not res.ok:  # failed prepare or failed run
+                result_q.put(("error", res.message))
+            else:
+                result_q.put(("done", res))
+        except Exception as e:  # defensive: never kill the UI thread
+            result_q.put(("error", str(e)))
+
+    def on_run_scene():
+        if not scene_instances():
+            status_var.set("scene is empty — add instances first")
+            return
+        try:
+            mesh_quality = max(1, min(10, int(meshq_var.get())))
+        except ValueError as e:
+            status_var.set(f"bad mesh quality: {e}")
+            return
+        run_btn.state(["disabled"])
+        scene_run_btn.state(["disabled"])
+        status_var.set("running scene…")
+        threading.Thread(
+            target=scene_worker, args=(mesh_quality,), daemon=True
+        ).start()
+        root.after(200, poll_results)
+
     run_btn.configure(command=on_run)
+    scene_run_btn.configure(command=on_run_scene)
     update_geometry()
     root.mainloop()
 
