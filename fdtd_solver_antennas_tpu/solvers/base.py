@@ -80,6 +80,32 @@ class SolverPrepared:
     diagnostics: Dict[str, Any] = field(default_factory=dict)
 
 
+# Energy ratio below which the ring-down is captured well enough for the
+# surface DFTs to account for essentially all radiated energy. Runs that
+# early-exit at the looser solver defaults (1e-4 / −25 dB) still return an
+# efficiency, flagged unconverged (see tests/test_power_balance.py).
+RAD_EFF_CONVERGED_RATIO = 1e-6
+
+
+def radiation_efficiency(ff, spectra, e_ratio: Optional[float] = None):
+    """P_rad / ΣP_accepted at the NF2FF frequency, clipped to [0, 1].
+
+    ``spectra`` is one port's spectra or a list of them (multi-port scenes
+    sum accepted power). Returns ``(efficiency | None, converged)``: when
+    the run's final energy ratio exceeds ``RAD_EFF_CONVERGED_RATIO`` the
+    ring-down was truncated and the NF2FF DFTs undercount P_rad, so the
+    value is reported but flagged for the caller's diagnostics.
+    """
+    from ..post.ports import accepted_power
+
+    sp_list = spectra if isinstance(spectra, (list, tuple)) else [spectra]
+    p_acc = sum(accepted_power(sp, float(ff.freq_hz[0])) for sp in sp_list)
+    converged = e_ratio is None or e_ratio <= RAD_EFF_CONVERGED_RATIO
+    if p_acc <= 0:
+        return None, converged
+    return float(np.clip(ff.P_rad[0] / p_acc, 0.0, 1.0)), converged
+
+
 # Aliases so reference-code imports keep working verbatim.
 OpenEMSProbe = SolverProbe
 OpenEMSResult = FDTDSolverResult

@@ -31,15 +31,8 @@ from ..ops.fdtd import FDTDConfig, build_simulation
 from ..ops.mesh import MeshBuilder
 from ..physics import C0
 from ..post.nf2ff import nf2ff_transform
-from ..post.ports import accepted_power, find_resonance, port_spectra
-from .base import FDTDSolverResult, SolverPrepared
-
-
-def _rad_eff(ff, spectra):
-    p_acc = accepted_power(spectra, float(ff.freq_hz[0]))
-    if p_acc <= 0:
-        return None
-    return float(np.clip(ff.P_rad[0] / p_acc, 0.0, 1.0))
+from ..post.ports import find_resonance, port_spectra
+from .base import FDTDSolverResult, SolverPrepared, radiation_efficiency
 
 
 def te10_guide_wavelength(f_hz: float, a_m: float) -> float:
@@ -213,6 +206,9 @@ def run_prepared_horn(
             sim.nf_freqs_hz[fi : fi + 1], theta, phi,
             center_m=prepared.nf_center,
         )
+        rad_eff, rad_eff_conv = radiation_efficiency(
+            ff, spectra, float(out["e_ratio"])
+        )
         return FDTDSolverResult(
             True,
             "Horn simulation completed",
@@ -226,7 +222,7 @@ def run_prepared_horn(
             f_res_hz=f_res,
             Dmax=float(ff.Dmax[0]),
             radiated_power_w=float(ff.P_rad[0]),
-            radiation_efficiency=_rad_eff(ff, spectra),
+            radiation_efficiency=rad_eff,
             steps_run=steps,
             wall_time_s=wall,
             mcells_per_s=sim.grid.num_cells * steps / wall / 1e6,
@@ -234,6 +230,7 @@ def run_prepared_horn(
                 "s11_db_at_res": s11_db_res,
                 "nf2ff_freq_hz": float(sim.nf_freqs_hz[fi]),
                 "energy_ratio": float(out["e_ratio"]),
+                "rad_eff_converged": rad_eff_conv,
             },
         )
     except Exception as e:

@@ -26,8 +26,8 @@ from ..ops.fdtd import FDTDConfig, build_simulation
 from ..ops.mesh import MeshBuilder
 from ..physics import C0, design_patch_for_frequency, substrate_conductivity
 from ..post.nf2ff import nf2ff_transform
-from ..post.ports import accepted_power, find_resonance, port_spectra
-from .base import FDTDSolverResult, SolverPrepared, SolverProbe
+from ..post.ports import find_resonance, port_spectra
+from .base import FDTDSolverResult, SolverPrepared, SolverProbe, radiation_efficiency
 from .patch_fixed import probe_fdtd
 
 
@@ -60,16 +60,6 @@ def calculate_microstrip_width(
             * (math.log(B - 1.0) + 0.39 - 0.61 / eps_r)
         )
     return w_h * h_m
-
-
-def _rad_eff(ff, spectra):
-    """Radiation efficiency P_rad/P_acc at the NF2FF frequency (clipped)."""
-    import numpy as _np
-
-    p_acc = accepted_power(spectra, float(ff.freq_hz[0]))
-    if p_acc <= 0:
-        return None
-    return float(_np.clip(ff.P_rad[0] / p_acc, 0.0, 1.0))
 
 
 def probe_openems_microstrip(dll_dir: str = "") -> SolverProbe:
@@ -314,6 +304,9 @@ def run_prepared_microstrip(
             phi,
             center_m=prepared.nf_center,
         )
+        rad_eff, rad_eff_conv = radiation_efficiency(
+            ff, spectra, float(out["e_ratio"])
+        )
         return FDTDSolverResult(
             True,
             "Microstrip simulation completed successfully",
@@ -327,7 +320,7 @@ def run_prepared_microstrip(
             f_res_hz=f_res,
             Dmax=float(ff.Dmax[0]),
             radiated_power_w=float(ff.P_rad[0]),
-            radiation_efficiency=_rad_eff(ff, spectra),
+            radiation_efficiency=rad_eff,
             steps_run=steps,
             wall_time_s=wall,
             mcells_per_s=mcells,
@@ -335,6 +328,7 @@ def run_prepared_microstrip(
                 "s11_db_at_res": s11_db_res,
                 "nf2ff_freq_hz": float(sim.nf_freqs_hz[fi]),
                 "energy_ratio": float(out["e_ratio"]),
+                "rad_eff_converged": rad_eff_conv,
             },
         )
     except Exception as e:

@@ -22,21 +22,11 @@ from ..models.params import PatchAntennaParams
 from ..ops.fdtd import FDTDConfig, build_simulation
 from ..physics import C0
 from ..post.nf2ff import nf2ff_transform
-from ..post.ports import accepted_power, find_resonance, port_spectra
-from .base import FDTDSolverResult, SolverPrepared
+from ..post.ports import find_resonance, port_spectra
+from .base import FDTDSolverResult, SolverPrepared, radiation_efficiency
 from .microstrip import FeedDirection, build_microstrip_scene
 
 PPW_MAP = {1: 12.0, 2: 16.0, 3: 20.0, 4: 25.0, 5: 32.0}
-
-
-def _rad_eff(ff, spectra):
-    """Radiation efficiency P_rad/P_acc at the NF2FF frequency (clipped)."""
-    import numpy as _np
-
-    p_acc = accepted_power(spectra, float(ff.freq_hz[0]))
-    if p_acc <= 0:
-        return None
-    return float(_np.clip(ff.P_rad[0] / p_acc, 0.0, 1.0))
 
 
 def prepare_microstrip_patch_3d(
@@ -141,6 +131,9 @@ def run_prepared_microstrip_3d(
             phi,
             center_m=prepared.nf_center,
         )
+        rad_eff, rad_eff_conv = radiation_efficiency(
+            ff, spectra, float(out["e_ratio"])
+        )
         return FDTDSolverResult(
             True,
             "Microstrip 3D pattern computed",
@@ -154,7 +147,7 @@ def run_prepared_microstrip_3d(
             f_res_hz=f_res,
             Dmax=float(ff.Dmax[0]),
             radiated_power_w=float(ff.P_rad[0]),
-            radiation_efficiency=_rad_eff(ff, spectra),
+            radiation_efficiency=rad_eff,
             steps_run=steps,
             wall_time_s=wall,
             mcells_per_s=sim.grid.num_cells * steps / wall / 1e6,
@@ -162,6 +155,7 @@ def run_prepared_microstrip_3d(
                 "s11_db_at_res": s11_db_res,
                 "nf2ff_freq_hz": float(sim.nf_freqs_hz[fi]),
                 "energy_ratio": float(out["e_ratio"]),
+                "rad_eff_converged": rad_eff_conv,
             },
         )
     except Exception as e:

@@ -35,8 +35,8 @@ from ..ops.fdtd import FDTDConfig, build_simulation
 from ..ops.mesh import MeshBuilder
 from ..physics import C0, design_patch_for_frequency, substrate_conductivity
 from ..post.nf2ff import nf2ff_transform
-from ..post.ports import accepted_power, find_resonance, port_spectra
-from .base import FDTDSolverResult, SolverPrepared
+from ..post.ports import find_resonance, port_spectra
+from .base import FDTDSolverResult, SolverPrepared, radiation_efficiency
 from .microstrip import FeedDirection, calculate_microstrip_width
 
 PPW_MAP_10 = {
@@ -126,16 +126,6 @@ def _instance_local_geometry(inst: PatchLike, feed_line_length_mm: float):
     dims = dict(patch_W=patch_W, patch_L=patch_L, h=h, sub_W=sub_W, sub_L=sub_L,
                 feed_width=fw)
     return boxes, port_line, dims
-
-
-def _rad_eff_multi(ff, spectra_list):
-    """Radiation efficiency P_rad / Σ_ports P_acc at the NF2FF frequency."""
-    p_acc = sum(
-        accepted_power(sp, float(ff.freq_hz[0])) for sp in spectra_list
-    )
-    if p_acc <= 0:
-        return None
-    return float(np.clip(ff.P_rad[0] / p_acc, 0.0, 1.0))
 
 
 def prepare_multi_patch_3d(
@@ -434,6 +424,9 @@ def run_prepared_multi_patch_3d(
             phi,
             center_m=prepared.nf_center,
         )
+        rad_eff, rad_eff_conv = radiation_efficiency(
+            ff, all_s11, float(out["e_ratio"])
+        )
         return FDTDSolverResult(
             True,
             "Multi-patch 3D pattern computed",
@@ -447,7 +440,7 @@ def run_prepared_multi_patch_3d(
             f_res_hz=f_res,
             Dmax=float(ff.Dmax[0]),
             radiated_power_w=float(ff.P_rad[0]),
-            radiation_efficiency=_rad_eff_multi(ff, all_s11),
+            radiation_efficiency=rad_eff,
             steps_run=steps,
             wall_time_s=wall,
             mcells_per_s=sim.grid.num_cells * steps / wall / 1e6,
@@ -456,6 +449,7 @@ def run_prepared_multi_patch_3d(
                 "s11_all_ports": [sp.s11 for sp in all_s11],
                 "nf2ff_freq_hz": float(sim.nf_freqs_hz[fi]),
                 "energy_ratio": float(out["e_ratio"]),
+                "rad_eff_converged": rad_eff_conv,
             },
         )
     except Exception as e:

@@ -22,23 +22,13 @@ from ..ops.fdtd import FDTDConfig, build_simulation
 from ..ops.mesh import MeshBuilder
 from ..physics import C0, design_patch_for_frequency, substrate_conductivity
 from ..post.nf2ff import nf2ff_transform
-from ..post.ports import accepted_power, find_resonance, port_spectra
-from .base import FDTDSolverResult, SolverPrepared
+from ..post.ports import find_resonance, port_spectra
+from .base import FDTDSolverResult, SolverPrepared, radiation_efficiency
 
 
 @dataclasses.dataclass
 class Prepared2D(SolverPrepared):
     """Parity alias of the reference's ``OpenEMS2DPrepared`` (:14-23)."""
-
-
-def _rad_eff(ff, spectra):
-    """Radiation efficiency P_rad/P_acc at the NF2FF frequency (clipped)."""
-    import numpy as _np
-
-    p_acc = accepted_power(spectra, float(ff.freq_hz[0]))
-    if p_acc <= 0:
-        return None
-    return float(_np.clip(ff.P_rad[0] / p_acc, 0.0, 1.0))
 
 
 def prepare_patch_2d(
@@ -161,6 +151,9 @@ def run_prepared_2d(
             np.rad2deg(phi_rad),
             center_m=prepared.nf_center,
         )
+        rad_eff, rad_eff_conv = radiation_efficiency(
+            ff, spectra, float(out["e_ratio"])
+        )
         return FDTDSolverResult(
             True,
             "Quasi-2D FDTD completed",
@@ -174,11 +167,15 @@ def run_prepared_2d(
             f_res_hz=f_res,
             Dmax=float(ff.Dmax[0]),
             radiated_power_w=float(ff.P_rad[0]),
-            radiation_efficiency=_rad_eff(ff, spectra),
+            radiation_efficiency=rad_eff,
             steps_run=steps,
             wall_time_s=wall,
             mcells_per_s=sim.grid.num_cells * steps / wall / 1e6,
-            diagnostics={"s11_db_at_res": s11_db_res},
+            diagnostics={
+                "s11_db_at_res": s11_db_res,
+                "energy_ratio": float(out["e_ratio"]),
+                "rad_eff_converged": rad_eff_conv,
+            },
         )
     except Exception as e:
         return FDTDSolverResult(False, f"2D run failed: {e}")

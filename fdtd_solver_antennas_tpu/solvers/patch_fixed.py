@@ -31,18 +31,8 @@ from ..ops.fdtd import FDTDConfig, build_simulation
 from ..ops.mesh import MeshBuilder
 from ..physics import C0, design_patch_for_frequency, substrate_conductivity
 from ..post.nf2ff import nf2ff_transform
-from ..post.ports import accepted_power, find_resonance, port_spectra
-from .base import FDTDSolverResult, SolverPrepared, SolverProbe
-
-
-def _rad_eff(ff, spectra):
-    """Radiation efficiency P_rad/P_acc at the NF2FF frequency (clipped)."""
-    import numpy as _np
-
-    p_acc = accepted_power(spectra, float(ff.freq_hz[0]))
-    if p_acc <= 0:
-        return None
-    return float(_np.clip(ff.P_rad[0] / p_acc, 0.0, 1.0))
+from ..post.ports import find_resonance, port_spectra
+from .base import FDTDSolverResult, SolverPrepared, SolverProbe, radiation_efficiency
 
 
 def probe_fdtd(dll_dir: str = "") -> SolverProbe:
@@ -213,6 +203,9 @@ def run_prepared_fixed(
         )
         intensity_db = ff.intensity_dbi(0)
 
+        rad_eff, rad_eff_conv = radiation_efficiency(
+            ff, spectra, float(out["e_ratio"])
+        )
         return FDTDSolverResult(
             True,
             "TPU-native FDTD completed",
@@ -226,7 +219,7 @@ def run_prepared_fixed(
             f_res_hz=f_res,
             Dmax=float(ff.Dmax[0]),
             radiated_power_w=float(ff.P_rad[0]),
-            radiation_efficiency=_rad_eff(ff, spectra),
+            radiation_efficiency=rad_eff,
             steps_run=steps,
             wall_time_s=wall,
             mcells_per_s=mcells,
@@ -234,6 +227,7 @@ def run_prepared_fixed(
                 "s11_db_at_res": s11_db,
                 "nf2ff_freq_hz": float(sim.nf_freqs_hz[fi]),
                 "energy_ratio": float(out["e_ratio"]),
+                "rad_eff_converged": rad_eff_conv,
             },
         )
     except Exception as e:

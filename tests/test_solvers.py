@@ -120,6 +120,36 @@ def test_multi_patch_protocol(params):
     assert len(res.diagnostics["s11_all_ports"]) == 2
 
 
+def test_radiation_efficiency_convergence_flag():
+    """Truncated ring-downs report efficiency but flag it unconverged."""
+    import types
+
+    from fdtd_solver_antennas_tpu.post.ports import PortSpectra
+    from fdtd_solver_antennas_tpu.solvers.base import radiation_efficiency
+
+    freq = np.array([2.45e9])
+    sp = PortSpectra(
+        freq_hz=freq,
+        uf=np.array([1.0 + 0j]),
+        if_=np.array([0.01 + 0j]),
+        s11=np.array([0.1 + 0j]),
+        z_in=np.array([50.0 + 0j]),
+        uf_inc=np.array([0.55 + 0j]),
+        uf_ref=np.array([0.055 + 0j]),
+        z_ref=50.0,
+    )
+    ff = types.SimpleNamespace(freq_hz=freq, P_rad=np.array([1e-3]))
+
+    eff_tight, conv_tight = radiation_efficiency(ff, sp, 1e-8)
+    eff_loose, conv_loose = radiation_efficiency(ff, sp, 1e-4)
+    assert conv_tight and not conv_loose
+    assert eff_tight == eff_loose  # value itself is e_ratio-independent
+    assert eff_tight is not None and 0.0 <= eff_tight <= 1.0
+    # multi-port: accepted power sums over the list → efficiency halves
+    eff_two, _ = radiation_efficiency(ff, [sp, sp], 1e-8)
+    assert np.isclose(eff_two, eff_tight / 2.0)
+
+
 def test_multi_patch_empty_fails_structured():
     prep = prepare_multi_patch_3d([])
     assert not prep.ok
