@@ -91,3 +91,45 @@ def test_cavity_peaks_are_sharp(cavity_spectrum):
     _, peak = _nearest_peak(sp, f101)
     floor = np.median(np.abs(sp.uf))
     assert peak > 10 * floor
+
+
+def test_dielectric_filled_cavity_scales_modes():
+    """A cavity fully filled with lossless εr shifts every eigenfrequency
+    by exactly 1/√εr — a closed-form check that material painting and the
+    ε-dependent update coefficients are right together."""
+    eps_r = 2.2
+    f101 = _mode_freq(1, 0, 1) / np.sqrt(eps_r)  # ≈ 5.264 GHz
+
+    mb = MeshBuilder()
+    mb.add_line("x", [0.0, A_MM, 11.0])
+    mb.add_line("y", [0.0, B_MM])
+    mb.add_line("z", [0.0, C_MM, 9.0])
+    grid = mb.build(1.0)
+
+    scene = Scene()
+    scene.add_material_box(
+        "fill", eps_r, 0.0, [0.0, 0.0, 0.0], [A_MM, B_MM, C_MM], priority=0
+    )
+    scene.add_lumped_port(
+        1, 5000.0, [11.0, 0.0, 9.0], [11.0, B_MM, 9.0], direction="y"
+    )
+    cfg = FDTDConfig(
+        n_steps_max=12_000, end_criteria=1e-30, check_every=2000,
+        boundary="PEC",
+    )
+    sim = build_simulation(
+        scene, grid, f0=f101, fc=f101 * 0.6, cfg=cfg,
+        port_freqs_hz=np.linspace(3e9, 9e9, 1201),
+        nf_freqs_hz=np.array([f101]),
+        nf_margin_cells=2,
+    )
+    out = sim.run()
+    sp = port_spectra(
+        sim.port_freqs_hz, out["uf"][0], out["if_"][0], sim.dft_dt,
+        z_ref=5000.0,
+    )
+    f_meas, _ = _nearest_peak(sp, f101)
+    assert f_meas == pytest.approx(f101, rel=0.01), (
+        f"filled TE101: predicted {f101 / 1e9:.3f} GHz, "
+        f"measured {f_meas / 1e9:.3f} GHz"
+    )

@@ -47,6 +47,9 @@ def _check_result(res, full_sphere=False):
     # converged runs in test_ports.py
     assert np.all(np.abs(res.s11) < 3.0)
     assert res.f_res_hz is not None
+    # every solver must report whether the efficiency ring-down converged
+    assert "rad_eff_converged" in res.diagnostics
+    assert isinstance(res.diagnostics["rad_eff_converged"], bool)
     if full_sphere:
         assert len(res.phi) > 10
 
