@@ -40,7 +40,11 @@ class SweepPrepared:
     message: str
     sim: object = None  # base PreparedSimulation (variant 0)
     batched_coeffs: Optional[Dict[str, jnp.ndarray]] = None
-    variants: Optional[List[PatchAntennaParams]] = None
+    variants: Optional[List] = None  # PatchAntennaParams | HornAntennaParams
+    # far-field post-processing inputs (horn sweeps)
+    theta: Optional[np.ndarray] = None  # degrees
+    phi: Optional[np.ndarray] = None  # degrees
+    nf_centers: Optional[List[np.ndarray]] = None  # per-variant, meters
     _vrun: object = None
 
 
@@ -51,6 +55,7 @@ class SweepResult:
     spectra: Optional[List[PortSpectra]] = None
     f_res_hz: Optional[np.ndarray] = None
     s11_min_db: Optional[np.ndarray] = None
+    Dmax_dbi: Optional[np.ndarray] = None  # horn sweeps: per-variant gain
     steps_run: int = 0
     wall_time_s: float = 0.0
     mcells_per_s: float = 0.0
@@ -161,6 +166,40 @@ def prepare_patch_geometry_sweep(
         return SweepPrepared(False, f"sweep prepare failed: {e}")
 
 
+def _run_batched(prepared: SweepPrepared):
+    """Execute the vmapped run; returns (out, wall_s, max_steps)."""
+    import math
+
+    sim = prepared.sim
+    args = (
+        prepared.batched_coeffs,
+        jnp.asarray(sim.waveform),
+        jnp.asarray(2 * math.pi * sim.port_freqs_hz, jnp.float32),
+        jnp.asarray(2 * math.pi * sim.nf_freqs_hz, jnp.float32),
+    )
+    t0 = time.perf_counter()
+    out = prepared._vrun(*args)
+    jax.block_until_ready(out["steps"])
+    wall = time.perf_counter() - t0
+    return out, wall, int(np.max(np.asarray(out["steps"])))
+
+
+def _batched_port_spectra(prepared: SweepPrepared, out) -> List[PortSpectra]:
+    """Per-variant port-0 spectra from batched (B, 2, n_ports, Nf) DFTs."""
+    sim = prepared.sim
+    uf = np.asarray(out["uf"])
+    if_ = np.asarray(out["if_"])
+    return [
+        port_spectra(
+            sim.port_freqs_hz,
+            uf[b, 0, 0] + 1j * uf[b, 1, 0],
+            if_[b, 0, 0] + 1j * if_[b, 1, 0],
+            sim.dft_dt,
+        )
+        for b in range(len(prepared.variants))
+    ]
+
+
 def run_patch_geometry_sweep(
     prepared: SweepPrepared, *, verbose: int = 0
 ) -> SweepResult:
@@ -169,33 +208,13 @@ def run_patch_geometry_sweep(
         if not prepared.ok or prepared.sim is None:
             return SweepResult(False, prepared.message)
         sim = prepared.sim
-        import math
-
-        args = (
-            prepared.batched_coeffs,
-            jnp.asarray(sim.waveform),
-            jnp.asarray(2 * math.pi * sim.port_freqs_hz, jnp.float32),
-            jnp.asarray(2 * math.pi * sim.nf_freqs_hz, jnp.float32),
-        )
-        t0 = time.perf_counter()
-        out = prepared._vrun(*args)
-        jax.block_until_ready(out["steps"])
-        wall = time.perf_counter() - t0
-        steps = int(np.max(np.asarray(out["steps"])))
+        out, wall, steps = _run_batched(prepared)
         n_var = len(prepared.variants)
 
-        uf = np.asarray(out["uf"])  # (B, 2, n_ports, Nf)
-        if_ = np.asarray(out["if_"])
-        spectra, f_res, s11_min = [], [], []
-        for b, v in enumerate(prepared.variants):
-            sp = port_spectra(
-                sim.port_freqs_hz,
-                uf[b, 0, 0] + 1j * uf[b, 1, 0],
-                if_[b, 0, 0] + 1j * if_[b, 1, 0],
-                sim.dft_dt,
-            )
+        spectra = _batched_port_spectra(prepared, out)
+        f_res, s11_min = [], []
+        for sp, v in zip(spectra, prepared.variants):
             fr, _ = find_resonance(sp, v.frequency_hz)
-            spectra.append(sp)
             f_res.append(fr)
             s11_min.append(
                 float(20 * np.log10(np.maximum(np.abs(sp.s11), 1e-30)).min())
@@ -218,3 +237,178 @@ def run_patch_geometry_sweep(
         )
     except Exception as e:
         return SweepResult(False, f"sweep run failed: {e}")
+
+
+# ---------------------------------------------------------------------------
+# Horn aperture sweeps (beyond-reference: the reference has no horn solver)
+# ---------------------------------------------------------------------------
+
+def prepare_horn_aperture_sweep(
+    base,  # HornAntennaParams
+    apertures_mm: Sequence,  # [(A_mm, B_mm, L_mm), ...]
+    *,
+    mesh_ppw: float = 15.0,
+    n_steps_max: int = 16_000,
+    end_criteria: float = 1e-4,
+    boundary: str = "MUR",
+    theta_step_deg: float = 5.0,
+    phi_step_deg: float = 15.0,
+    verbose: int = 0,
+) -> SweepPrepared:
+    """Batch N pyramidal-horn flare geometries into one vmapped program.
+
+    All variants share the throat (a×b), waveguide and feed port — the
+    port/probe layout is static across the batch — while the flare plates
+    and aperture differ, which is purely a coefficient-array change on the
+    shared grid. Sweeping (A, B, L) is the primary horn design loop
+    (aperture ↔ gain tradeoff), run as ONE compiled program.
+    """
+    try:
+        from ..models.params import HornAntennaParams
+        from ..models.scene import PEC, make_plate
+        from .horn import horn_local_geometry
+
+        apertures_mm = [tuple(map(float, ap)) for ap in apertures_mm]
+        if not apertures_mm:
+            return SweepPrepared(False, "No aperture variants provided.")
+        variants = [
+            HornAntennaParams(**{
+                **base.model_dump(),
+                "aperture_A_m": A * 1e-3,
+                "aperture_B_m": B * 1e-3,
+                "length_m": L * 1e-3,
+            })
+            for A, B, L in apertures_mm
+        ]
+        f0 = base.frequency_hz
+        fc = f0 / 2.0
+        mesh_res = C0 / (f0 + fc) / 1e-3 / mesh_ppw
+        geos = [horn_local_geometry(v, mesh_res) for v in variants]
+        g0 = geos[0]  # throat/waveguide/feed identical across variants
+        lam0 = C0 / f0 * 1e3
+        A_max = max(g["A"] for g in geos)
+        B_max = max(g["B"] for g in geos)
+        L_max = max(g["L"] for g in geos)
+        m_xy = 0.75 * lam0
+
+        mb = MeshBuilder()
+        mb.add_line("x", [-A_max / 2 - m_xy, A_max / 2 + m_xy])
+        mb.add_line("y", [-B_max / 2 - m_xy, B_max / 2 + m_xy])
+        mb.add_line("z", [-g0["L_wg"] - g0["t"] - 0.5 * lam0,
+                          L_max + 1.25 * lam0])
+        for g in geos:  # union of every variant's feature lines
+            for nm, vals in g["mesh_lines"].items():
+                mb.add_line(nm, vals)
+        grid = mb.build(mesh_res, ratio=1.4)
+
+        cfg = FDTDConfig(
+            n_steps_max=n_steps_max, end_criteria=end_criteria,
+            boundary=boundary,
+        )
+        port_freqs = np.linspace(f0 * 0.7, f0 * 1.3, 201)
+        nf_freqs = np.array([f0])
+
+        def _scene(g):
+            scene = Scene()
+            for bi, (lo, hi) in enumerate(g["boxes"]):
+                scene.add_metal_box(f"wg_{bi}", lo, hi, priority=10)
+            pec = PEC("flare")
+            for quad in g["quads"]:
+                scene.add_polyhedron(make_plate(quad, g["t"], pec, priority=10))
+            scene.add_lumped_port(
+                1, 50.0, g["port_line"][0], g["port_line"][1],
+                direction="y", excite=1.0,
+            )
+            return scene
+
+        sims = [
+            build_simulation(
+                _scene(g), grid, f0=f0, fc=fc, cfg=cfg,
+                port_freqs_hz=port_freqs, nf_freqs_hz=nf_freqs,
+            )
+            for g in geos
+        ]
+        base_sim = sims[0]
+        batched = {
+            k: jnp.stack([s.coeffs[k] for s in sims]) for k in base_sim.coeffs
+        }
+        run_raw = _make_run_fn(base_sim, *base_sim._aux)
+        vrun = jax.jit(jax.vmap(run_raw, in_axes=(0, None, None, None)))
+        theta = np.arange(0.0, 181.0, max(0.5, theta_step_deg))
+        phi = np.arange(0.0, 360.0, max(1.0, phi_step_deg))
+        nf_centers = [
+            np.array([0.0, 0.0, g["L"] / 2.0]) * 1e-3 for g in geos
+        ]
+        if verbose:
+            print(
+                f"horn sweep prepared: {len(variants)} apertures on shared "
+                f"grid {grid.shape} ({grid.num_cells} cells)"
+            )
+        return SweepPrepared(
+            True,
+            f"Horn sweep prepared: {len(variants)} variants, grid {grid.shape}",
+            sim=base_sim,
+            batched_coeffs=batched,
+            variants=variants,
+            theta=theta,
+            phi=phi,
+            nf_centers=nf_centers,
+            _vrun=vrun,
+        )
+    except Exception as e:
+        return SweepPrepared(False, f"horn sweep prepare failed: {e}")
+
+
+def run_horn_aperture_sweep(
+    prepared: SweepPrepared, *, verbose: int = 0
+) -> SweepResult:
+    """Execute the batched horn sweep; per-variant S11 + boresight gain."""
+    try:
+        if not prepared.ok or prepared.sim is None:
+            return SweepResult(False, prepared.message)
+        from ..post.nf2ff import nf2ff_transform
+
+        sim = prepared.sim
+        out, wall, steps = _run_batched(prepared)
+        n_var = len(prepared.variants)
+
+        spectra = _batched_port_spectra(prepared, out)
+        f_res, s11_min, dmax_dbi = [], [], []
+        # nf_e / nf_h are per-face lists (ragged shapes); vmap puts the
+        # batch axis at the front of each face array
+        nf_e = [np.asarray(face) for face in out["nf_e"]]
+        nf_h = [np.asarray(face) for face in out["nf_h"]]
+        for b, (sp, v) in enumerate(zip(spectra, prepared.variants)):
+            fr, _ = find_resonance(sp, v.frequency_hz)
+            f_res.append(fr)
+            s11_min.append(
+                float(20 * np.log10(np.maximum(np.abs(sp.s11), 1e-30)).min())
+            )
+            ff = nf2ff_transform(
+                sim.faces,
+                [face[b] for face in nf_e],
+                [face[b] for face in nf_h],
+                sim.dft_dt, sim.nf_freqs_hz,
+                prepared.theta, prepared.phi,
+                center_m=prepared.nf_centers[b],
+            )
+            dmax_dbi.append(float(10 * np.log10(ff.Dmax[0])))
+        rate = sim.grid.num_cells * steps * n_var / wall / 1e6
+        if verbose:
+            print(
+                f"horn sweep: {n_var} apertures × {steps} steps in {wall:.2f}s"
+                f" → {rate:.0f} Mcells/s aggregate; Dmax {dmax_dbi} dBi"
+            )
+        return SweepResult(
+            True,
+            f"Horn sweep completed: {n_var} variants",
+            spectra=spectra,
+            f_res_hz=np.array(f_res),
+            s11_min_db=np.array(s11_min),
+            Dmax_dbi=np.array(dmax_dbi),
+            steps_run=steps,
+            wall_time_s=wall,
+            mcells_per_s=rate,
+        )
+    except Exception as e:
+        return SweepResult(False, f"horn sweep run failed: {e}")

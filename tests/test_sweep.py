@@ -71,3 +71,46 @@ def test_sweep_validation():
     prep = prepare_patch_geometry_sweep([a, b])
     assert not prep.ok
     assert "substrate thickness" in prep.message
+
+
+# --- horn aperture sweep (beyond-reference) --------------------------------
+
+@pytest.fixture(scope="module")
+def horn_sweep_result():
+    from fdtd_solver_antennas_tpu.models.params import HornAntennaParams
+    from fdtd_solver_antennas_tpu.solvers.sweep import (
+        prepare_horn_aperture_sweep,
+        run_horn_aperture_sweep,
+    )
+
+    base = HornAntennaParams.from_user_units(
+        frequency_ghz=12.0, throat_a_mm=19.05, throat_b_mm=9.525,
+        aperture_A_mm=48.0, aperture_B_mm=36.0, length_mm=40.0,
+    )
+    # small vs large aperture: gain must increase with aperture area
+    apertures = [(30.0, 24.0, 30.0), (55.0, 42.0, 45.0)]
+    prep = prepare_horn_aperture_sweep(
+        base, apertures, mesh_ppw=11.0, n_steps_max=5000,
+    )
+    assert prep.ok, prep.message
+    res = run_horn_aperture_sweep(prep)
+    assert res.ok, res.message
+    return apertures, res
+
+
+def test_horn_sweep_shapes(horn_sweep_result):
+    apertures, res = horn_sweep_result
+    assert len(res.spectra) == 2
+    assert res.Dmax_dbi.shape == (2,)
+    assert np.isfinite(res.Dmax_dbi).all()
+    assert np.isfinite(res.s11_min_db).all()
+
+
+def test_horn_sweep_gain_grows_with_aperture(horn_sweep_result):
+    """Aperture theory: D ∝ A·B (for fixed efficiency) — the larger
+    aperture must show several dB more directivity."""
+    apertures, res = horn_sweep_result
+    assert res.Dmax_dbi[1] > res.Dmax_dbi[0] + 2.0
+    # both within a sane horn range
+    assert 5.0 < res.Dmax_dbi[0] < 20.0
+    assert 8.0 < res.Dmax_dbi[1] < 22.0
