@@ -808,6 +808,10 @@ def _resolve_use_pallas(sim: "PreparedSimulation") -> bool:
     px, py, pz = sim.padded_shape or sim.grid.shape
     if pz > 128:
         return False
+    # the chunk kernel's SMEM probe buffers are sized for 8 ports
+    # (fdtd_pallas.py); beyond that the write would be out of bounds
+    if len(sim.ports) + len(sim.msl_ports) > 8:
+        return False
     # 6 field inputs + 6 outputs + 6 coefficient arrays + source matrices
     # resident in VMEM (vectors/masks negligible); ~30 MB of resident
     # blocks validated empirically on v5e; leave headroom for temporaries.
@@ -858,7 +862,8 @@ def make_single_step(sim: "PreparedSimulation"):
 # the time loop
 # ---------------------------------------------------------------------------
 
-def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None, _expose_step=False):
+def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None,
+                 _expose_step=False, force_xla=False):
     grid = sim.grid
     Px, Py, Pz = sim.padded_shape or grid.shape
     cfg = sim.cfg
@@ -896,7 +901,7 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None, _exp
     pallas_step = None
     pallas_chunk = None
     _pl_to_flat = _pl_from_flat = None
-    if sim.use_pallas and not _expose_step:
+    if sim.use_pallas and not _expose_step and not force_xla:
         from .fdtd_pallas import build_pallas_chunk_stepper
 
         pallas_chunk, _pl_to_flat, _pl_from_flat, _pl_n_sub = (
@@ -1182,6 +1187,17 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None, _exp
     def run(coeffs, waveform, w_port, w_nf, resume_state=None):
         n_port_freqs = w_port.shape[0]
         n_nf_freqs = w_nf.shape[0]
+        # Pad the waveform with trailing zeros out to a whole number of
+        # chunks: the final chunk may overrun n_steps_max, and both the
+        # XLA path's waveform[n] (clamp-to-last) and the Pallas path's
+        # dynamic_slice (clamp-start) would otherwise replay active source
+        # samples instead of injecting zeros.
+        wf_len = n_chunks_max * chunk
+        if waveform.shape[0] < wf_len:
+            waveform = jnp.concatenate(
+                [waveform,
+                 jnp.zeros((wf_len - waveform.shape[0],), waveform.dtype)]
+            )
 
         def chunk_body(carry):
             # --- n_sub probe samples, each after D pure field steps -------
@@ -1294,6 +1310,14 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None, _exp
 
         carry = init_carry(coeffs, n_nf_freqs, n_port_freqs)
         if resume_state is not None:
+            resume_state = dict(resume_state)
+            # Checkpoints store fields in the canonical 3D padded layout;
+            # convert to the kernel's flat layout when resuming on the
+            # Pallas path (layouts are a static property of the trace).
+            if flat_fields and resume_state["fields"][0].ndim == 3:
+                resume_state["fields"] = tuple(
+                    _pl_to_flat(f) for f in resume_state["fields"]
+                )
             carry = dict(carry, **resume_state, done=jnp.bool_(False))
         carry = jax.lax.while_loop(cond, chunk_body, carry)
 
@@ -1305,11 +1329,16 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None, _exp
                 for (off, nu, nv) in face_layout
             ]
 
-        state_keys = ("fields", "psi_e", "psi_h", "uf", "if_", "nf_e",
+        state_keys = ("psi_e", "psi_h", "uf", "if_", "nf_e",
                       "nf_h", "n", "e_max", "e_ratio")
         out_fields = carry["fields"]
         if flat_fields:
             out_fields = tuple(_pl_from_flat(f) for f in out_fields)
+        # state fields use the canonical 3D layout regardless of the run
+        # path, so a checkpoint written on the Pallas path resumes cleanly
+        # on the XLA path (and vice versa, on any process/backend)
+        state = {k: carry[k] for k in state_keys}
+        state["fields"] = out_fields
         return dict(
             uf=carry["uf"],
             if_=carry["if_"],
@@ -1318,7 +1347,7 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None, _exp
             steps=carry["n"],
             e_ratio=carry["e_ratio"],
             fields=out_fields,
-            state={k: carry[k] for k in state_keys},
+            state=state,
         )
 
     return run

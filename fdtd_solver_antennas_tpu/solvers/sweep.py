@@ -61,6 +61,18 @@ class SweepResult:
     mcells_per_s: float = 0.0
 
 
+def _make_vmapped_run(base) -> object:
+    """Jit the vmapped chunked run for a sweep.
+
+    Batched runs always take the XLA path (``force_xla``): the Pallas chunk
+    kernel bakes the base sim's coefficient arrays in as compile-time
+    constants, so under ``vmap`` it would silently broadcast variant 0's
+    geometry to the whole batch on TPU.
+    """
+    run_raw = _make_run_fn(base, *base._aux, force_xla=True)
+    return jax.jit(jax.vmap(run_raw, in_axes=(0, None, None, None)))
+
+
 def _patch_dims_mm(p: PatchAntennaParams):
     if p.patch_length_m and p.patch_width_m:
         return p.patch_width_m * 1e3, p.patch_length_m * 1e3
@@ -147,8 +159,7 @@ def prepare_patch_geometry_sweep(
         batched = {
             k: jnp.stack([s.coeffs[k] for s in sims]) for k in base.coeffs
         }
-        run_raw = _make_run_fn(base, *base._aux)
-        vrun = jax.jit(jax.vmap(run_raw, in_axes=(0, None, None, None)))
+        vrun = _make_vmapped_run(base)
         if verbose:
             print(
                 f"sweep prepared: {len(variants)} variants on shared grid "
@@ -332,8 +343,7 @@ def prepare_horn_aperture_sweep(
         batched = {
             k: jnp.stack([s.coeffs[k] for s in sims]) for k in base_sim.coeffs
         }
-        run_raw = _make_run_fn(base_sim, *base_sim._aux)
-        vrun = jax.jit(jax.vmap(run_raw, in_axes=(0, None, None, None)))
+        vrun = _make_vmapped_run(base_sim)
         theta = np.arange(0.0, 181.0, max(0.5, theta_step_deg))
         phi = np.arange(0.0, 360.0, max(1.0, phi_step_deg))
         nf_centers = [

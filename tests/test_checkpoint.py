@@ -64,6 +64,66 @@ def test_resume_matches_straight_run(tmp_path, boundary_roundtrip):
         )
 
 
+def _build_pallas_opt(n_steps, use_pallas):
+    mb = MeshBuilder()
+    mb.add_line("x", [-40, 40, 0.0, -6.0])
+    mb.add_line("y", [-40, 40, 0.0])
+    mb.add_line("z", [-20, 30])
+    mb.add_line("z", np.linspace(0, 1.6, 3))
+    grid = mb.build(5.0)
+    scene = Scene()
+    scene.add_material_box("sub", 4.3, 0.005, [-20, -20, 0], [20, 20, 1.6], 0)
+    scene.add_metal_box("patch", [-15, -12, 1.6], [15, 12, 1.6], priority=10)
+    scene.add_metal_box("gnd", [-20, -20, 0], [20, 20, 0], priority=10)
+    scene.add_lumped_port(1, 50.0, [-6, 0, 0], [-6, 0, 1.6], direction="z")
+    cfg = FDTDConfig(
+        n_steps_max=n_steps, check_every=50, end_criteria=1e-30,
+        probe_decimation=5, use_pallas=use_pallas,
+    )
+    return build_simulation(
+        scene, grid, f0=2.45e9, fc=1.225e9, cfg=cfg,
+        port_freqs_hz=np.linspace(2e9, 3e9, 11),
+        nf_freqs_hz=np.array([2.45e9]),
+    )
+
+
+def test_checkpoint_crosses_run_paths(tmp_path):
+    """State fields are stored in the canonical 3D layout regardless of
+    which path produced them: a checkpoint written by the Pallas chunk
+    kernel (interpret mode on CPU) must resume cleanly on the XLA path,
+    and vice versa — cross-process/backends resume is advertised."""
+    ref = _build_pallas_opt(100, use_pallas=False).run()
+
+    # Pallas run → checkpoint → XLA resume
+    out_a = _build_pallas_opt(50, use_pallas=True).run()
+    assert np.asarray(out_a["state"]["fields"][0]).ndim == 3
+    ckpt = tmp_path / "pl.npz"
+    save_state(ckpt, out_a)
+    out_b = _build_pallas_opt(100, use_pallas=False).run(
+        resume_state=load_state(ckpt)
+    )
+    assert int(out_b["steps"]) == 100
+    for fa, fb in zip(out_b["fields"], ref["fields"]):
+        np.testing.assert_allclose(
+            np.asarray(fa), np.asarray(fb), rtol=1e-4,
+            atol=1e-5 * max(np.abs(np.asarray(fb)).max(), 1e-30),
+        )
+
+    # XLA run → checkpoint → Pallas resume
+    out_c = _build_pallas_opt(50, use_pallas=False).run()
+    ckpt2 = tmp_path / "xla.npz"
+    save_state(ckpt2, out_c)
+    out_d = _build_pallas_opt(100, use_pallas=True).run(
+        resume_state=load_state(ckpt2)
+    )
+    assert int(out_d["steps"]) == 100
+    for fa, fb in zip(out_d["fields"], ref["fields"]):
+        np.testing.assert_allclose(
+            np.asarray(fa), np.asarray(fb), rtol=1e-4,
+            atol=1e-5 * max(np.abs(np.asarray(fb)).max(), 1e-30),
+        )
+
+
 def test_state_roundtrip_identity(tmp_path):
     sim = _build(100)
     out = sim.run()

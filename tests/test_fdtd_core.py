@@ -133,3 +133,46 @@ def test_zero_padding_is_physics_neutral():
     np.testing.assert_allclose(out_a["if_"], out_b["if_"], rtol=1e-5, atol=1e-12)
     for a, b in zip(out_a["nf_e"], out_b["nf_e"]):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-12)
+
+
+def test_final_chunk_overrun_injects_zero_source():
+    """When n_steps_max is not a multiple of the chunk size, the final
+    chunk overruns; the overrun steps must inject ZERO source, not replay
+    earlier (still-active) waveform samples via index clamping.
+
+    Equality oracle: run B (n_steps_max=90, chunk 60 → executes 120 steps,
+    waveform zero-padded internally) must bit-match run A (n_steps_max=120
+    with waveform[90:] manually zeroed — same 120 steps, same source)."""
+    def build(n_steps):
+        mb = MeshBuilder()
+        mb.add_line("x", [-30, 30, 0.0])
+        mb.add_line("y", [-30, 30, 0.0])
+        mb.add_line("z", [-20, 25])
+        mb.add_line("z", np.linspace(0, 3.0, 3))
+        scene = Scene()
+        scene.add_lumped_port(1, 50.0, [0, 0, 0], [0, 0, 3.0], direction="z")
+        cfg = FDTDConfig(
+            n_steps_max=n_steps, check_every=60, end_criteria=1e-30,
+            probe_decimation=2,
+        )
+        return build_simulation(
+            scene, mb.build(5.0), f0=3e9, fc=1.5e9, cfg=cfg,
+            port_freqs_hz=np.array([2.5e9, 3e9]), nf_freqs_hz=np.array([3e9]),
+            nf_margin_cells=2,
+        )
+
+    sim_a = build(120)
+    assert abs(sim_a.waveform[89]) > 1e-3, "source must still be active"
+    sim_a.waveform = sim_a.waveform.copy()
+    sim_a.waveform[90:] = 0.0
+    out_a = sim_a.run()
+
+    sim_b = build(90)
+    out_b = sim_b.run()
+    assert int(out_a["steps"]) == int(out_b["steps"]) == 120
+
+    for fa, fb in zip(out_a["fields"], out_b["fields"]):
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+    np.testing.assert_array_equal(
+        np.asarray(out_a["uf"]), np.asarray(out_b["uf"])
+    )

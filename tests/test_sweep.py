@@ -73,6 +73,32 @@ def test_sweep_validation():
     assert "substrate thickness" in prep.message
 
 
+def test_sweep_forces_xla_path(monkeypatch):
+    """On TPU the base sim resolves use_pallas=True; batched runs must
+    still take the XLA path — the Pallas chunk kernel bakes the base
+    sim's coefficient arrays in as compile-time constants, so under vmap
+    every variant would silently get variant 0's geometry."""
+    import fdtd_solver_antennas_tpu.ops.fdtd as fdtd_mod
+
+    monkeypatch.setattr(fdtd_mod, "_resolve_use_pallas", lambda sim: True)
+    variants = [
+        PatchAntennaParams.from_user_units(
+            frequency_ghz=2.45, er=4.3, h_mm=1.6, L_mm=L, W_mm=W
+        )
+        for (L, W) in GEOMS
+    ]
+    prep = prepare_patch_geometry_sweep(variants, n_steps_max=1500)
+    assert prep.ok, prep.message
+    assert prep.sim.use_pallas  # the TPU auto-on condition is active
+    res = run_patch_geometry_sweep(prep)
+    assert res.ok, res.message
+    # distinct geometries must give distinct spectra (the bug broadcast
+    # variant 0's coefficients to the whole batch)
+    s0 = np.abs(res.spectra[0].s11)
+    s1 = np.abs(res.spectra[1].s11)
+    assert not np.allclose(s0, s1, rtol=1e-3)
+
+
 # --- horn aperture sweep (beyond-reference) --------------------------------
 
 @pytest.fixture(scope="module")
