@@ -39,6 +39,12 @@ from .voxelize import cell_to_edge_average, voxelize
 
 _AXIS_OF = {"x": 0, "y": 1, "z": 2}
 
+# Unroll factor for the inner per-sample step loop in streaming-kernel
+# mode: XLA while iterations carry the full field state (~177 MB on the
+# 4.2M-cell workload) and cost ~0.7 ms each through the TPU runtime, so
+# steps between probe samples are unrolled to amortize it.
+_STEP_UNROLL = 16
+
 
 def nf_to_complex(stacked) -> np.ndarray:
     """Convert a stacked (re, im)-leading float array to complex on host."""
@@ -116,6 +122,10 @@ class FDTDConfig:
     # None → auto (on for TPU backends when the boundary is MUR/PEC and the
     # grid fits VMEM); True/False force it.
     use_pallas: bool | None = None
+    # Force a specific Pallas kernel: "chunk" (whole grid VMEM-resident)
+    # or "stream" (HBM-streaming x-blocked, for large grids / z > 128).
+    # None → auto: chunk when it fits, else stream, else the XLA path.
+    pallas_mode: str | None = None
 
     def pml_cells(self) -> int:
         """0 when not a PML boundary, else the slab thickness in cells."""
@@ -328,6 +338,9 @@ class PreparedSimulation:
     padded_shape: Tuple[int, int, int] = None  # array shape incl. zero pad
     probe_decim: int = 1  # probe sampling stride (see FDTDConfig)
     use_pallas: bool = False  # resolved Pallas-kernel enable flag
+    pallas_mode: Optional[str] = None  # resolved kernel: "chunk" | "stream"
+    stream_block: int = 0  # x-block height of the streaming kernel
+    stream_T: int = 1  # leapfrog steps per streaming-kernel invocation
     field_sharding: object = None  # optional jax.sharding.NamedSharding
     _run_fn: object = None
     _resume_fn: object = None
@@ -699,6 +712,17 @@ def build_simulation(
         int(-(-grid.shape[a] // pad_multiple[a]) * pad_multiple[a])
         for a in range(3)
     )
+    # Streaming-kernel pre-pass: when the HBM-streaming kernel may engage
+    # (TPU intent, MUR/PEC, grid too big for the VMEM-resident chunk
+    # kernel), x must be a multiple of the stream block height. Padding is
+    # physics-neutral (zero coefficients keep pad cells identically zero),
+    # so over-padding when the mode ultimately resolves differently is
+    # harmless. The authoritative mode resolution happens after the sim is
+    # constructed (_resolve_pallas_mode).
+    stream_block = _stream_prepass(cfg, grid.shape, padded_shape, scene)
+    if stream_block:
+        px = int(-(-padded_shape[0] // stream_block) * stream_block)
+        padded_shape = (px, padded_shape[1], padded_shape[2])
     if padded_shape != grid.shape:
         pads = tuple(padded_shape[a] - grid.shape[a] for a in range(3))
         coeffs = {
@@ -779,9 +803,89 @@ def build_simulation(
         probe_decim=probe_decim,
     )
     sim._aux = (inv_p, inv_d, mur_coef, pml)
-    sim.use_pallas = _resolve_use_pallas(sim)
+    _resolve_pallas_mode(sim, stream_block)
     sim._run_fn = jax.jit(_make_run_fn(sim, inv_p, inv_d, mur_coef, pml))
     return sim
+
+
+def _pallas_wanted(cfg: FDTDConfig) -> bool:
+    """True when a Pallas kernel should be considered at all."""
+    if cfg.use_pallas is not None:
+        return bool(cfg.use_pallas)
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        return False
+    return backend in ("tpu", "axon")
+
+
+def _stream_prepass(cfg, grid_shape, padded_shape, scene) -> int:
+    """Pick the stream-kernel x-block height (0 → no extra x padding).
+
+    Mirrors the eligibility conditions of :func:`_resolve_pallas_mode`
+    cheaply, before coefficient padding, so x can be padded to a block
+    multiple when the streaming kernel may engage.
+    """
+    from .fdtd_pallas import STREAM_VMEM_BUDGET, stream_vmem_bytes
+
+    if cfg.pallas_mode == "chunk" or not _pallas_wanted(cfg):
+        return 0
+    if cfg.pml_cells() > 0:
+        return 0
+    n_src = len(
+        {p.direction for p in scene.ports}
+        | ({"z"} if scene.msl_ports else set())
+    )
+    qx = grid_shape[0]
+    for b in (8, 16, 24, 32):
+        if (qx - 1) % b == 0:
+            continue
+        if stream_vmem_bytes(
+            padded_shape[1], padded_shape[2], n_src, b
+        ) <= STREAM_VMEM_BUDGET:
+            return b
+    return 0
+
+
+def _resolve_pallas_mode(sim: "PreparedSimulation", stream_block: int) -> None:
+    """Resolve which Pallas kernel (if any) the run fn uses.
+
+    Sets ``sim.pallas_mode`` ("chunk" | "stream" | None), ``sim.use_pallas``
+    and ``sim.stream_block``. Preference: the VMEM-resident chunk kernel
+    when the whole working set fits (fastest), else the HBM-streaming
+    kernel (large grids, z up to several lane tiles), else the XLA path.
+    """
+    cfg = sim.cfg
+    forced = cfg.pallas_mode
+    if forced != "stream" and _resolve_use_pallas(sim):
+        sim.pallas_mode = "chunk"
+        sim.use_pallas = True
+        return
+    px = (sim.padded_shape or sim.grid.shape)[0]
+    if (
+        forced != "chunk"
+        and _pallas_wanted(cfg)
+        and cfg.pml_cells() == 0
+        and sim.field_sharding is None
+        and stream_block > 0
+        and px % stream_block == 0
+    ):
+        sim.pallas_mode = "stream"
+        sim.stream_block = stream_block
+        sim.use_pallas = True
+        # trapezoid depth: T leapfrog steps per kernel invocation; must
+        # divide the probe decimation (rounded down to keep cadence) and
+        # stay within the halo the neighbor block provides (T <= B-1)
+        T = 1
+        for cand in (4, 2):
+            if cand <= stream_block - 1 and sim.probe_decim >= cand:
+                T = cand
+                break
+        sim.stream_T = T
+        sim.probe_decim = max(T, (sim.probe_decim // T) * T)
+        return
+    sim.pallas_mode = None
+    sim.use_pallas = False
 
 
 def _resolve_use_pallas(sim: "PreparedSimulation") -> bool:
@@ -830,6 +934,7 @@ def rebuild_run_fn(sim: "PreparedSimulation") -> None:
     inv_p, inv_d, mur_coef, pml = sim._aux
     if sim.field_sharding is not None:
         sim.use_pallas = False  # sharded runs use the SPMD XLA path
+        sim.pallas_mode = None
     sim._run_fn = jax.jit(_make_run_fn(sim, inv_p, inv_d, mur_coef, pml))
 
 
@@ -900,14 +1005,24 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None,
 
     pallas_step = None
     pallas_chunk = None
+    stream_step = None
     _pl_to_flat = _pl_from_flat = None
+    _flat_Z = 128
     if sim.use_pallas and not _expose_step and not force_xla:
-        from .fdtd_pallas import build_pallas_chunk_stepper
+        if sim.pallas_mode == "stream":
+            from .fdtd_pallas import build_pallas_stream_stepper
 
-        pallas_chunk, _pl_to_flat, _pl_from_flat, _pl_n_sub = (
-            build_pallas_chunk_stepper(sim, inv_p, inv_d, mur_coef)
-        )
-        pallas_step = True  # flat-field carry mode marker
+            stream_step, _pl_to_flat, _pl_from_flat, _flat_Z, _stream_T = (
+                build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef)
+            )
+            pallas_step = True  # flat-field carry mode marker
+        else:
+            from .fdtd_pallas import build_pallas_chunk_stepper
+
+            pallas_chunk, _pl_to_flat, _pl_from_flat, _pl_n_sub = (
+                build_pallas_chunk_stepper(sim, inv_p, inv_d, mur_coef)
+            )
+            pallas_step = True  # flat-field carry mode marker
 
     # CPML recursive-convolution coefficients: E-side derivatives live on
     # node positions, H-side on half positions, broadcast along their axis.
@@ -1029,7 +1144,7 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None,
     # (Px, Py·128) layout (no per-sample relayout); probe gather indices
     # use the matching z-stride.
     flat_fields = pallas_step is not None
-    Pz_stride = 128 if flat_fields else Pz
+    Pz_stride = _flat_Z if flat_fields else Pz
 
     def _flat_idx(comp, i, j, k):
         return ((comp * Px + i) * Py + j) * Pz_stride + k
@@ -1117,7 +1232,7 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None,
     def init_carry(coeffs, n_nf_freqs, n_port_freqs):
         def zeros():
             if flat_fields:
-                return jnp.zeros((Px, Py * 128), jnp.float32)
+                return jnp.zeros((Px, Py * _flat_Z), jnp.float32)
             z = jnp.zeros((Px, Py, Pz), jnp.float32)
             if sim.field_sharding is not None:
                 z = jax.lax.with_sharding_constraint(z, sim.field_sharding)
@@ -1212,14 +1327,32 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None,
                 fh=jnp.zeros((n_sub, T_faces), jnp.float32),
             )
 
-            def step_only(_, c):
-                c2, _probes = field_step(c, c["n"], coeffs, waveform)
-                c2["n"] = c["n"] + 1
-                return c2
+            if stream_step is not None:
+                def step_only(_, c):
+                    wf_t = jax.lax.dynamic_slice(
+                        waveform, (c["n"],), (_stream_T,)
+                    )
+                    f2 = stream_step(c["fields"], wf_t)
+                    return dict(c, fields=f2, n=c["n"] + _stream_T)
+            else:
+                def step_only(_, c):
+                    c2, _probes = field_step(c, c["n"], coeffs, waveform)
+                    c2["n"] = c["n"] + 1
+                    return c2
 
             def sub_body(j, st):
                 c, b = st
-                c = jax.lax.fori_loop(0, decim, step_only, c)
+                # unroll: each while-loop iteration costs ~0.7 ms of carry
+                # copy/sync on big grids (measured on v5e via axon), so the
+                # D steps between probe samples must share one iteration.
+                # In stream mode each iteration advances stream_T steps.
+                if stream_step is not None:
+                    c = jax.lax.fori_loop(
+                        0, decim // _stream_T, step_only, c,
+                        unroll=_STEP_UNROLL,
+                    )
+                else:
+                    c = jax.lax.fori_loop(0, decim, step_only, c)
                 E, H = c["fields"][:3], c["fields"][3:]
                 fe, fh, v, i_ = sample_probes(E, H)
                 b_new = dict(

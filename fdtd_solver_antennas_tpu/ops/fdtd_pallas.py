@@ -267,6 +267,357 @@ def build_pallas_stepper(sim, inv_p, inv_d, mur_coef, alias: bool = False):
 # chunk-level kernel: D·n_sub steps + in-kernel probe extraction per sample
 # ---------------------------------------------------------------------------
 
+def stream_vmem_bytes(py: int, pz: int, n_src: int, block: int) -> int:
+    """Estimated peak VMEM of the streaming E-call at block height ``block``.
+
+    ~(12+n_src) double-buffered input blocks + 3 output blocks + ~8 blocks
+    of temporaries, each ``block`` rows of ``py·Z`` lanes of f32.
+    """
+    zt = -(-pz // 128)
+    row_bytes = py * 128 * zt * 4
+    # (9 field + 2 halo + 6 coeff + n_src) double-buffered inputs,
+    # 3 double-buffered outputs, ~8 blocks of temporaries
+    n_bufs = 2 * (17 + n_src) + 2 * 3 + 8
+    return n_bufs * block * row_bytes
+
+
+def pick_stream_block(qx: int, px: int, py: int, pz: int, n_src: int):
+    """Choose the x-block height for the streaming kernel.
+
+    Constraints: divides the padded x-extent, keeps the MUR top face row
+    (Qx−1) and its neighbor (Qx−2) in the same block ((Qx−1) % B ≠ 0), and
+    fits the VMEM budget. Returns 0 if no candidate works (→ XLA path).
+    """
+    for b in (8, 16, 24, 32):
+        if px % b or (qx - 1) % b == 0:
+            continue
+        if stream_vmem_bytes(py, pz, n_src, b) <= STREAM_VMEM_BUDGET:
+            return b
+    return 0
+
+
+# Peak VMEM allowed for one streaming-kernel invocation. The v5e exposes
+# 128 MB of VMEM; ~30 MB resident blocks are validated on this chip and
+# the chunk kernel already runs with a 110 MB limit, so 72 MB of (mostly
+# double-buffered DMA) blocks leaves ample headroom.
+STREAM_VMEM_BUDGET = 72 * 1024 * 1024
+
+
+def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef):
+    """HBM-streaming x-blocked trapezoidal T-step kernel for large grids.
+
+    The VMEM-resident chunk kernel requires the whole working set in VMEM
+    and z <= 128; big scenes (the 4.2M-cell mixed patch+horn workload) fell
+    back to the XLA path at ~1 Gcell/s. This kernel streams x-blocks of the
+    flat layout through VMEM and advances T leapfrog steps per fetch using
+    overlapped (trapezoidal) tiling:
+
+    - layout (R=Px, C=Py*Z) with Z = 128*ceil(Pz/128) -- grids with z > 128
+      use several lane tiles per y row; the zero-mask roll invariant holds
+      (pad lanes have zero coefficients / inverse spacings);
+    - each grid iteration j fetches the (prev, cur, next) blocks of every
+      field/coefficient array (whole-block halos: Mosaic requires sublane
+      extents divisible by 8), forms a (B+2T)-row window, and runs T
+      Python-unrolled leapfrog steps whose valid row range shrinks by one
+      per side per step -- after T steps exactly the B cur rows are valid
+      and written. Amortized HBM traffic: ~(45 block moves)/(T steps)
+      ~ 28 B/cell-step at T=4 vs ~750 B on the XLA fallback;
+    - boundary clamping of the halo specs is safe at every intermediate
+      step: all couplings across the x=0 / x=Qx-1 planes go through terms
+      masked by zero boundary cb / zero inverse spacings (same invariant
+      as the XLA path), so clamped garbage rows never contaminate valid
+      rows;
+    - MUR faces are pure value selects applied at every step in the XLA
+      path's face order (x rows -> y tiles -> z masked blend).
+
+    T is ``sim.stream_T`` (must divide the probe decimation; the mode
+    resolver rounds ``probe_decim`` to a multiple of T and requires
+    T <= B-1). MUR/PEC only; PML uses the XLA path.
+
+    Returns ``(step_fn, to_flat, from_flat, Z, T)`` with
+    ``step_fn(fields6_flat, wf_t) -> fields6_flat`` advancing T steps
+    (``wf_t``: (T,) waveform samples).
+    """
+    Px, Py, Pz = sim.padded_shape or sim.grid.shape
+    ZT = -(-Pz // 128)
+    Z = 128 * ZT
+    R, C = Px, Py * Z
+    B = int(sim.stream_block)
+    T = int(sim.stream_T)
+    if B <= 0 or R % B:
+        raise ValueError(f"invalid stream block {B} for R={R}")
+    if not (1 <= T <= B - 1):
+        raise ValueError(f"stream T={T} must satisfy 1 <= T <= B-1={B-1}")
+    nb = R // B
+    Qx, Qy, Qz = sim.grid.shape
+    jq = (Qx - 1) // B
+    r1 = (Qx - 1) % B
+    if r1 == 0:
+        raise ValueError("MUR top x-face must not sit on a block boundary")
+    dtmu = np.float32(sim.dt / MU0)
+    mur = sim.cfg.boundary.upper().startswith("MUR")
+    if sim.cfg.pml_cells() > 0:
+        raise ValueError("MUR/PEC only")
+
+    def to_flat(a3):
+        return jnp.pad(a3, ((0, 0), (0, 0), (0, Z - Pz))).reshape(R, C)
+
+    def from_flat(a2):
+        return a2.reshape(R, Py, Z)[:, :, :Pz]
+
+    coeffs_flat = {k: to_flat(v) for k, v in sim.coeffs.items()}
+
+    yy = np.repeat(np.arange(Py), Z)
+    zz = np.tile(np.arange(Z), Py)
+    z_valid = zz < Pz
+
+    def lane_vec(per_y=None, per_z=None):
+        v = np.ones(C, np.float32)
+        if per_y is not None:
+            v *= np.asarray(per_y, np.float32)[yy]
+        if per_z is not None:
+            vz = np.zeros(Z, np.float32)
+            vz[:Pz] = np.asarray(per_z, np.float32)
+            v *= vz[zz]
+        v *= z_valid
+        return v.reshape(1, C)
+
+    iy_p = lane_vec(per_y=inv_p[1])
+    iz_p = lane_vec(per_z=inv_p[2])
+    iy_d = lane_vec(per_y=inv_d[1])
+    iz_d = lane_vec(per_z=inv_d[2])
+    ix_p = np.asarray(inv_p[0], np.float32).reshape(R, 1)
+    ix_d = np.asarray(inv_d[0], np.float32).reshape(R, 1)
+
+    mz0 = np.zeros(C, np.float32)
+    mz1 = np.zeros(C, np.float32)
+    mz0[(zz == 0) & (yy < Qy)] = 1.0
+    mz1[(zz == Qz - 1) & (yy < Qy)] = 1.0
+    my0 = (yy == 0).astype(np.float32)
+    my1 = (yy == Qy - 1).astype(np.float32)
+
+    src_mats = {}
+    for prt in sim.ports:
+        comp = prt.spec.direction
+        mat = src_mats.setdefault(comp, np.zeros((Px, Py, Pz), np.float32))
+        mat[prt.sl] += prt.src_col
+    for msl in sim.msl_ports:
+        mat = src_mats.setdefault("z", np.zeros((Px, Py, Pz), np.float32))
+        mat[msl.sl] += msl.src_col
+    src_comps = sorted(src_mats)
+    src_inputs = [
+        np.asarray(to_flat(jnp.asarray(src_mats[c]))) for c in src_comps
+    ]
+    n_src = len(src_comps)
+    cxs = {k: np.float32(v) for k, v in mur_coef.items()}
+
+    def up(a, axis, n):
+        return pltpu.roll(a, a.shape[axis] - n, axis)
+
+    def dn(a, axis, n):
+        return pltpu.roll(a, n, axis)
+
+    # field index layout inside the kernel argument list
+    n_coef = 6 * 3
+    n_srcw = n_src * 3
+
+    def kernel(*refs):
+        wf_ref = refs[0]
+        (iyp_r, izp_r, iyd_r, izd_r) = refs[1:5]
+        (mz0_r, mz1_r, my0_r, my1_r) = refs[5:9]
+        ix_cols = refs[9:15]          # ixp prev/cur/next, ixd prev/cur/next
+        coef_refs = refs[15 : 15 + n_coef]
+        src_refs = refs[15 + n_coef : 15 + n_coef + n_srcw]
+        f_refs = refs[15 + n_coef + n_srcw : 15 + n_coef + n_srcw + 18]
+        (ex_o, ey_o, ez_o, hx_o, hy_o, hz_o) = refs[15 + n_coef + n_srcw + 18 :]
+
+        j = pl.program_id(0)
+        iyp, izp = iyp_r[:], izp_r[:]
+        iyd, izd = iyd_r[:], izd_r[:]
+
+        def win3(p, c, n, lo, hi):
+            """Window rows [lo, hi) in window coords (0 = prev block start,
+            B = cur block start, 2B = next block start)."""
+            parts = []
+            if lo < B:
+                parts.append(p[lo:min(hi, B)])
+            if hi > B and lo < 2 * B:
+                parts.append(c[max(lo - B, 0):min(hi - B, B)])
+            if hi > 2 * B:
+                parts.append(n[max(lo - 2 * B, 0):hi - 2 * B])
+            return parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
+
+        # E^0 window rows [B-T, 2B+T); H^0 rows [B-T-1, 2B+T)
+        aE0, bE0 = B - T, 2 * B + T
+        aH0, bH0 = B - T - 1, 2 * B + T
+        E = [win3(f_refs[c][:], f_refs[6 + c][:], f_refs[12 + c][:], aE0, bE0)
+             for c in range(3)]
+        H = [win3(f_refs[3 + c][:], f_refs[9 + c][:], f_refs[15 + c][:],
+                  aH0, bH0) for c in range(3)]
+        ixp_w = jnp.concatenate([r[:] for r in ix_cols[0:3]], 0)
+        ixd_w = jnp.concatenate([r[:] for r in ix_cols[3:6]], 0)
+        caw = [win3(coef_refs[c][:], coef_refs[6 + c][:],
+                    coef_refs[12 + c][:], 0, 3 * B) for c in range(6)]
+        srcw = [win3(src_refs[s][:], src_refs[n_src + s][:],
+                     src_refs[2 * n_src + s][:], 0, 3 * B)
+                for s in range(n_src)]
+
+        for k in range(1, T + 1):
+            a_k = B - (T - k)
+            b_k = 2 * B + (T - k)
+            Lk = b_k - a_k
+            Ex, Ey, Ez = E    # rows [a_k-1, b_k+1), len Lk+2
+            Hx, Hy, Hz = H    # rows [a_k-2, b_k+1), len Lk+3
+
+            # ---- H half-step on rows [a_k-1, b_k), len Lk+1 -----------
+            ExL, EyL, EzL = Ex[:-1], Ey[:-1], Ez[:-1]
+            ixp_k = ixp_w[a_k - 1 : b_k]
+            Hxn = Hx[1:-1] - dtmu * (
+                (up(EzL, 1, Z) - EzL) * iyp - (up(EyL, 1, 1) - EyL) * izp
+            )
+            Hyn = Hy[1:-1] - dtmu * (
+                (up(ExL, 1, 1) - ExL) * izp - (Ez[1:] - EzL) * ixp_k
+            )
+            Hzn = Hz[1:-1] - dtmu * (
+                (Ey[1:] - EyL) * ixp_k - (up(ExL, 1, Z) - ExL) * iyp
+            )
+
+            # ---- E half-step on rows [a_k, b_k), len Lk ---------------
+            HxT, HyT, HzT = Hxn[1:], Hyn[1:], Hzn[1:]
+            ixd_k = ixd_w[a_k : b_k]
+            ca = [c[a_k : b_k] for c in caw]
+            Exn = ca[0] * Ex[1:-1] + ca[1] * (
+                (HzT - dn(HzT, 1, Z)) * iyd - (HyT - dn(HyT, 1, 1)) * izd
+            )
+            Eyn = ca[2] * Ey[1:-1] + ca[3] * (
+                (HxT - dn(HxT, 1, 1)) * izd - (HzT - Hzn[:-1]) * ixd_k
+            )
+            Ezn = ca[4] * Ez[1:-1] + ca[5] * (
+                (HyT - Hyn[:-1]) * ixd_k - (HxT - dn(HxT, 1, Z)) * iyd
+            )
+            s_val = wf_ref[0, k - 1]
+            for s, comp in enumerate(src_comps):
+                mat = srcw[s][a_k : b_k] * s_val
+                if comp == "x":
+                    Exn = Exn + mat
+                elif comp == "y":
+                    Eyn = Eyn + mat
+                else:
+                    Ezn = Ezn + mat
+
+            if mur:
+                # x faces: masked row selects, only in blocks 0 / jq.
+                # local index of global row 0 is T-k; of row Qx-1 is
+                # r1+T-k (old-field locals are +1: E^{k-1} starts one
+                # row lower).
+                c00, c01 = cxs[(0, 0)], cxs[(0, 1)]
+                l0 = T - k
+                lt = r1 + T - k
+                rows = jax.lax.broadcasted_iota(jnp.int32, (Lk, 1), 0)
+                m_r0 = (rows == l0) & (j == 0)
+                m_rt = (rows == lt) & (j == jq)
+                fix0_ey = Ey[l0 + 2 : l0 + 3] + c00 * (
+                    Eyn[l0 + 1 : l0 + 2] - Ey[l0 + 1 : l0 + 2]
+                )
+                fix0_ez = Ez[l0 + 2 : l0 + 3] + c00 * (
+                    Ezn[l0 + 1 : l0 + 2] - Ez[l0 + 1 : l0 + 2]
+                )
+                fixt_ey = Ey[lt : lt + 1] + c01 * (
+                    Eyn[lt - 1 : lt] - Ey[lt + 1 : lt + 2]
+                )
+                fixt_ez = Ez[lt : lt + 1] + c01 * (
+                    Ezn[lt - 1 : lt] - Ez[lt + 1 : lt + 2]
+                )
+                Eyn = jnp.where(m_r0, fix0_ey, jnp.where(m_rt, fixt_ey, Eyn))
+                Ezn = jnp.where(m_r0, fix0_ez, jnp.where(m_rt, fixt_ez, Ezn))
+
+                # y faces: whole-Z-lane-tile masked blend (roll by Z pulls
+                # the neighboring y plane), reading post-x-fix Ezn
+                c10, c11 = cxs[(1, 0)], cxs[(1, 1)]
+                ky0, ky1 = my0_r[:], my1_r[:]
+                keep_y = 1.0 - ky0 - ky1
+                ExO, EyO, EzO = Ex[1:-1], Ey[1:-1], Ez[1:-1]
+                v0 = up(ExO, 1, Z) + c10 * (up(Exn, 1, Z) - ExO)
+                v1 = dn(ExO, 1, Z) + c11 * (dn(Exn, 1, Z) - ExO)
+                Exn = Exn * keep_y + ky0 * v0 + ky1 * v1
+                v0 = up(EzO, 1, Z) + c10 * (up(Ezn, 1, Z) - EzO)
+                v1 = dn(EzO, 1, Z) + c11 * (dn(Ezn, 1, Z) - EzO)
+                Ezn = Ezn * keep_y + ky0 * v0 + ky1 * v1
+
+                # z faces (lane-strided): masked blend, post-y-fix values
+                c20, c21 = cxs[(2, 0)], cxs[(2, 1)]
+                m0, m1 = mz0_r[:], mz1_r[:]
+                keep_z = 1.0 - m0 - m1
+                v0 = up(ExO, 1, 1) + c20 * (up(Exn, 1, 1) - ExO)
+                v1 = dn(ExO, 1, 1) + c21 * (dn(Exn, 1, 1) - ExO)
+                Exn = Exn * keep_z + m0 * v0 + m1 * v1
+                v0 = up(EyO, 1, 1) + c20 * (up(Eyn, 1, 1) - EyO)
+                v1 = dn(EyO, 1, 1) + c21 * (dn(Eyn, 1, 1) - EyO)
+                Eyn = Eyn * keep_z + m0 * v0 + m1 * v1
+
+            E = [Exn, Eyn, Ezn]
+            H = [Hxn, Hyn, Hzn]
+
+        ex_o[:], ey_o[:], ez_o[:] = E
+        hx_o[:], hy_o[:], hz_o[:] = (h[1:] for h in H)
+
+    # ---- BlockSpecs --------------------------------------------------------
+    blk = pl.BlockSpec((B, C), lambda j: (j, 0), memory_space=pltpu.VMEM)
+    const_row = pl.BlockSpec((1, C), lambda j: (0, 0), memory_space=pltpu.VMEM)
+    prev_i = lambda j: (jnp.maximum(j - 1, 0), 0)
+    next_i = lambda j: (jnp.minimum(j + 1, nb - 1), 0)
+    blk_p = pl.BlockSpec((B, C), prev_i, memory_space=pltpu.VMEM)
+    blk_n = pl.BlockSpec((B, C), next_i, memory_space=pltpu.VMEM)
+    col_p = pl.BlockSpec((B, 1), prev_i, memory_space=pltpu.VMEM)
+    col_c = pl.BlockSpec((B, 1), lambda j: (j, 0), memory_space=pltpu.VMEM)
+    col_n = pl.BlockSpec((B, 1), next_i, memory_space=pltpu.VMEM)
+
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    out6 = jax.ShapeDtypeStruct((R, C), jnp.float32)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=(
+            [pl.BlockSpec(memory_space=pltpu.SMEM)]          # waveform (1,T)
+            + [const_row] * 4                                 # iyp izp iyd izd
+            + [const_row] * 4                                 # mz0 mz1 my0 my1
+            + [col_p, col_c, col_n, col_p, col_c, col_n]      # ixp3, ixd3
+            + [blk_p] * 6 + [blk] * 6 + [blk_n] * 6           # coeffs p/c/n
+            + [blk_p] * n_src + [blk] * n_src + [blk_n] * n_src
+            + [blk_p] * 6 + [blk] * 6 + [blk_n] * 6           # fields p/c/n
+        ),
+        out_specs=(blk,) * 6,
+        out_shape=(out6,) * 6,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(127 * 1024 * 1024),
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )
+
+    statics = (
+        [jnp.asarray(iy_p), jnp.asarray(iz_p),
+         jnp.asarray(iy_d), jnp.asarray(iz_d),
+         jnp.asarray(mz0.reshape(1, C)), jnp.asarray(mz1.reshape(1, C)),
+         jnp.asarray(my0.reshape(1, C)), jnp.asarray(my1.reshape(1, C)),
+         jnp.asarray(ix_p), jnp.asarray(ix_p), jnp.asarray(ix_p),
+         jnp.asarray(ix_d), jnp.asarray(ix_d), jnp.asarray(ix_d)]
+        + [coeffs_flat[k] for k in
+           ("ca_ex", "cb_ex", "ca_ey", "cb_ey", "ca_ez", "cb_ez")] * 3
+        + [jnp.asarray(v) for v in src_inputs] * 3
+    )
+
+    def step_fn(fields_flat, wf_t):
+        ex, ey, ez, hx, hy, hz = fields_flat
+        wf2 = jnp.asarray(wf_t, jnp.float32).reshape(1, T)
+        fields = (ex, ey, ez, hx, hy, hz)
+        out = call(wf2, *statics, *fields, *fields, *fields)
+        return tuple(out)
+
+    return step_fn, to_flat, from_flat, Z, T
+
+
 def build_pallas_chunk_stepper(sim, inv_p, inv_d, mur_coef):
     """One kernel invocation per termination chunk.
 

@@ -1,0 +1,109 @@
+"""HBM-streaming x-blocked Pallas kernel (large grids / z > 128).
+
+Runs in interpreter mode on CPU (no TPU needed) and requires the streamed
+path to reproduce the XLA path: fields, port spectra and NF2FF surface
+DFTs. Covers MUR and PEC boundaries and a grid whose z extent spans two
+lane tiles (Pz > 128), which the VMEM-resident chunk kernel cannot handle.
+"""
+
+import numpy as np
+import pytest
+
+from fdtd_solver_antennas_tpu.models.scene import Scene
+from fdtd_solver_antennas_tpu.ops.fdtd import FDTDConfig, build_simulation
+from fdtd_solver_antennas_tpu.ops.mesh import MeshBuilder
+
+
+def _build(pallas_mode, boundary="MUR", n_steps=120, tall=False):
+    mb = MeshBuilder()
+    mb.add_line("x", [-40, 40, 0.0, -6.0])
+    mb.add_line("y", [-30, 30, 0.0])
+    if tall:
+        # force > 128 z nodes: beyond the chunk kernel's single lane tile
+        mb.add_line("z", np.linspace(-20, 30, 131))
+    else:
+        mb.add_line("z", [-20, 30])
+        mb.add_line("z", np.linspace(0, 1.6, 3))
+    grid = mb.build(5.0)
+    scene = Scene()
+    scene.add_material_box("sub", 4.3, 0.005, [-20, -20, 0], [20, 20, 1.6], 0)
+    scene.add_metal_box("patch", [-15, -12, 1.6], [15, 12, 1.6], priority=10)
+    scene.add_metal_box("gnd", [-20, -20, 0], [20, 20, 0], priority=10)
+    scene.add_lumped_port(1, 50.0, [-6, 0, 0], [-6, 0, 1.6], direction="z")
+    cfg = FDTDConfig(
+        n_steps_max=n_steps, check_every=40, end_criteria=1e-30,
+        boundary=boundary, probe_decimation=4,
+        use_pallas=pallas_mode is not None,
+        pallas_mode=pallas_mode,
+    )
+    return build_simulation(
+        scene, grid, f0=2.45e9, fc=1.225e9, cfg=cfg,
+        port_freqs_hz=np.linspace(2e9, 3e9, 7),
+        nf_freqs_hz=np.array([2.45e9]),
+        nf_margin_cells=2,
+    )
+
+
+@pytest.mark.parametrize("boundary", ["MUR", "PEC"])
+@pytest.mark.parametrize("tall", [False, True])
+def test_stream_matches_xla(boundary, tall):
+    sim_ref = _build(None, boundary=boundary, tall=tall)
+    sim_st = _build("stream", boundary=boundary, tall=tall)
+    assert sim_st.pallas_mode == "stream", (
+        sim_st.pallas_mode, sim_st.stream_block
+    )
+    out_ref = sim_ref.run()
+    out_st = sim_st.run()
+    assert int(out_ref["steps"]) == int(out_st["steps"])
+
+    # fields may live on different padded x extents — compare true grid
+    Qx, Qy, Qz = sim_ref.grid.shape
+    for name, fr, fs in zip(
+        ("Ex", "Ey", "Ez", "Hx", "Hy", "Hz"),
+        out_ref["fields"], out_st["fields"],
+    ):
+        a = np.asarray(fr)[:Qx, :Qy, :Qz]
+        b = np.asarray(fs)[:Qx, :Qy, :Qz]
+        scale = max(np.abs(a).max(), 1e-20)
+        np.testing.assert_allclose(
+            b, a, atol=5e-5 * scale, rtol=5e-4,
+            err_msg=f"{name} stream vs XLA mismatch ({boundary}, tall={tall})",
+        )
+    np.testing.assert_allclose(
+        np.asarray(out_st["uf"]), np.asarray(out_ref["uf"]),
+        rtol=5e-4, atol=1e-10,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_st["if_"]), np.asarray(out_ref["if_"]),
+        rtol=5e-4, atol=1e-12,
+    )
+    for a, b in zip(out_st["nf_e"], out_ref["nf_e"]):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(
+            a, b, rtol=5e-4, atol=5e-5 * max(np.abs(b).max(), 1e-30)
+        )
+
+
+def test_tall_grid_auto_resolves_stream():
+    """With Pallas wanted and z spanning two lane tiles, the chunk kernel
+    is ineligible and the mode must auto-resolve to the streaming kernel."""
+    sim = _build(None, tall=True)
+    assert sim.pallas_mode is None  # CPU default: Pallas off
+
+    cfg_forced = FDTDConfig(use_pallas=True)
+    assert cfg_forced.pallas_mode is None
+    mb = MeshBuilder()
+    mb.add_line("x", [-40, 40, 0.0])
+    mb.add_line("y", [-30, 30, 0.0])
+    mb.add_line("z", np.linspace(-20, 30, 131))
+    grid = mb.build(5.0)
+    scene = Scene()
+    scene.add_lumped_port(1, 50.0, [0, 0, 0], [0, 0, 5.0], direction="z")
+    sim2 = build_simulation(
+        scene, grid, f0=2.45e9, fc=1.225e9, cfg=cfg_forced,
+        port_freqs_hz=np.array([2.45e9]), nf_freqs_hz=np.array([2.45e9]),
+        nf_margin_cells=2,
+    )
+    assert sim2.pallas_mode == "stream"
+    assert sim2.stream_block > 0
+    assert sim2.padded_shape[0] % sim2.stream_block == 0
