@@ -356,6 +356,33 @@ class PreparedSimulation:
         the factor that turns raw DFT sums into Fourier-integral estimates."""
         return self.dt * self.probe_decim
 
+    def _adapt_resume_arrays(self, resume_state):
+        """Crop/zero-pad a resume state's 3D arrays to this sim's padded
+        shape.
+
+        Different run paths pad the grid differently (e.g. the streaming
+        Pallas pre-pass pads x to a block multiple); the pad region is
+        physics-neutral (zero coefficients keep its fields identically
+        zero), so cropping it away or re-padding with zeros is exact and a
+        checkpoint written under one padding resumes under another.
+        """
+        tgt = self.padded_shape or self.grid.shape
+
+        def fix(a):
+            a = np.asarray(a)
+            if a.ndim != 3 or a.shape == tuple(tgt):
+                return a
+            a = a[tuple(slice(0, min(a.shape[i], tgt[i])) for i in range(3))]
+            pads = [(0, tgt[i] - a.shape[i]) for i in range(3)]
+            return np.pad(a, pads) if any(p[1] for p in pads) else a
+
+        out = dict(resume_state)
+        out["fields"] = tuple(fix(f) for f in resume_state["fields"])
+        for grp in ("psi_e", "psi_h"):
+            if resume_state.get(grp):
+                out[grp] = {k: fix(v) for k, v in resume_state[grp].items()}
+        return out
+
     def run(self, resume_state=None):
         """Execute (or resume) the simulation.
 
@@ -364,6 +391,8 @@ class PreparedSimulation:
         the loop continues from that step count until ``n_steps_max`` or
         the energy criterion.
         """
+        if resume_state is not None:
+            resume_state = self._adapt_resume_arrays(resume_state)
         args = (
             self.coeffs,
             jnp.asarray(self.waveform),
@@ -891,10 +920,12 @@ def _resolve_pallas_mode(sim: "PreparedSimulation", stream_block: int) -> None:
 def _resolve_use_pallas(sim: "PreparedSimulation") -> bool:
     """Resolve the VMEM-resident-kernel enable flag.
 
-    Auto-on for TPU backends when the kernel applies: MUR/PEC boundary,
-    single chip, z-extent within one lane tile, and the resident working
-    set within the validated VMEM budget. The kernel is bit-exact against
-    the XLA path on hardware (see tests/test_pallas_kernel.py).
+    Auto-on for TPU backends when the kernel applies: MUR/PEC/CPML
+    boundary, single chip, z-extent within one lane tile, and the resident
+    working set within the validated VMEM budget (PML carries 12 extra ψ
+    arrays in+out, so its footprint is ~2.3× the MUR one). The kernel is
+    bit-exact against the XLA path on hardware
+    (see tests/test_pallas_kernel.py).
     """
     cfg = sim.cfg
     if cfg.use_pallas is not None:
@@ -907,7 +938,7 @@ def _resolve_use_pallas(sim: "PreparedSimulation") -> bool:
         enabled = backend in ("tpu", "axon")
     if not enabled:
         return False
-    if cfg.pml_cells() > 0 or sim.field_sharding is not None:
+    if sim.field_sharding is not None:
         return False
     px, py, pz = sim.padded_shape or sim.grid.shape
     if pz > 128:
@@ -917,14 +948,20 @@ def _resolve_use_pallas(sim: "PreparedSimulation") -> bool:
     if len(sim.ports) + len(sim.msl_ports) > 8:
         return False
     # 6 field inputs + 6 outputs + 6 coefficient arrays + source matrices
-    # resident in VMEM (vectors/masks negligible); ~30 MB of resident
-    # blocks validated empirically on v5e; leave headroom for temporaries.
+    # (+ 12 ψ in + 12 ψ out under PML) resident in VMEM (vectors/masks
+    # negligible); ~30 MB of resident blocks validated empirically on
+    # v5e; leave headroom for temporaries.
     n_src_mats = len(
         {p.spec.direction for p in sim.ports}
         | ({"z"} if sim.msl_ports else set())
     )
-    resident = (18 + n_src_mats) * px * py * 128 * 4
-    if cfg.use_pallas is None and resident > 48 * 1024 * 1024:
+    has_pml = cfg.pml_cells() > 0
+    n_resident = 18 + n_src_mats + (24 if has_pml else 0)
+    resident = n_resident * px * py * 128 * 4
+    # validated on v5e: MUR canonical ~30 MB OK, unit 5.2 MB fails;
+    # PML canonical 68 MB OK (5.98 Gcell/s), resident ≥ 99 MB fails
+    budget = (72 if has_pml else 48) * 1024 * 1024
+    if cfg.use_pallas is None and resident > budget:
         return False  # auto mode stays inside the validated VMEM budget
     return True
 
@@ -961,6 +998,87 @@ def make_single_step(sim: "PreparedSimulation"):
         jnp.asarray(sim.waveform),
     )
     return field_step, args
+
+
+def build_probe_gathers(sim: "PreparedSimulation", Px: int, Py: int,
+                        Pz_stride: int):
+    """Flat gather indices + weights for every probe quantity.
+
+    Indices address the length-(6·Px·Py·Pz_stride) flattened stack of the
+    six field arrays (E then H, component-major). Returns
+    ``(pg_e_idx, pg_e_w, pg_h_idx, pg_h_w, face_layout, T_faces,
+    pv_idx, pv_w, pi_idx, pi_w)`` — face tangential E/H gathers (with the
+    per-face slot layout), and per-port V/I gathers. Shared by the XLA
+    path, the Pallas flat-layout carry (``Pz_stride = 128``), and the
+    explicit-collective shard_map path (which localizes the indices
+    per device).
+    """
+    faces = sim.faces
+    nf_shapes = [(f.u1 - f.u0, f.v1 - f.v0) for f in faces]
+    n_ports = len(sim.ports) + len(sim.msl_ports)
+
+    def _flat_idx(comp, i, j, k):
+        return ((comp * Px + i) * Py + j) * Pz_stride + k
+
+    e_idx, e_w, h_idx, h_w = [], [], [], []
+    layout = []
+    off = 0
+    for face, (nu, nv) in zip(faces, nf_shapes):
+        a, m = face.axis, face.m
+        ua, va = face.u_axis, face.v_axis
+        uu = np.arange(face.u0, face.u1)
+        vv = np.arange(face.v0, face.v1)
+        U, V = np.meshgrid(uu, vv, indexing="ij")
+
+        def coords(a_i, u_off, v_off):
+            c = [None, None, None]
+            c[a] = np.full_like(U, a_i)
+            c[ua] = U + u_off
+            c[va] = V + v_off
+            return c
+
+        def eidx(comp, a_i, u_off, v_off):
+            c = coords(a_i, u_off, v_off)
+            return _flat_idx(comp, c[0], c[1], c[2]).ravel()
+
+        # E_u then E_v (comp-major, row-major within), matching the
+        # (2, nu, nv) per-face accumulator layout
+        e_idx.append(np.stack([eidx(ua, m, 0, 0), eidx(ua, m, 0, 1)], -1))
+        e_idx.append(np.stack([eidx(va, m, 0, 0), eidx(va, m, 1, 0)], -1))
+        e_w.extend([np.full((nu * nv, 2), 0.5, np.float32)] * 2)
+        h_idx.append(np.stack([
+            eidx(ua, m - 1, 0, 0), eidx(ua, m, 0, 0),
+            eidx(ua, m - 1, 1, 0), eidx(ua, m, 1, 0)], -1))
+        h_idx.append(np.stack([
+            eidx(va, m - 1, 0, 0), eidx(va, m, 0, 0),
+            eidx(va, m - 1, 0, 1), eidx(va, m, 0, 1)], -1))
+        h_w.extend([np.full((nu * nv, 4), 0.25, np.float32)] * 2)
+        layout.append((off, nu, nv))
+        off += 2 * nu * nv
+    pg_e_idx = np.concatenate(e_idx)
+    pg_e_w = np.concatenate(e_w)
+    pg_h_idx = np.concatenate(h_idx)
+    pg_h_w = np.concatenate(h_w)
+    T_faces = off
+
+    # port probes as gathers from the generic per-port source lists
+    # (lumped ports first, then MSL — see port_probe_sources)
+    v_lists, i_lists = port_probe_sources(sim)
+
+    def _pack_sources(lists):
+        S = max([1] + [len(l) for l in lists])
+        idx = np.zeros((n_ports, S), np.int64)
+        w = np.zeros((n_ports, S), np.float32)
+        for piNo, lst in enumerate(lists):
+            for e, ((comp, ii, jj, kk), weight) in enumerate(lst):
+                idx[piNo, e] = _flat_idx(comp, ii, jj, kk)
+                w[piNo, e] = weight
+        return idx, w
+
+    pv_idx, pv_w = _pack_sources(v_lists)
+    pi_idx, pi_w = _pack_sources(i_lists)
+    return (pg_e_idx, pg_e_w, pg_h_idx, pg_h_w, layout, T_faces,
+            pv_idx, pv_w, pi_idx, pi_w)
 
 
 # ---------------------------------------------------------------------------
@@ -1020,7 +1138,7 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None,
             from .fdtd_pallas import build_pallas_chunk_stepper
 
             pallas_chunk, _pl_to_flat, _pl_from_flat, _pl_n_sub = (
-                build_pallas_chunk_stepper(sim, inv_p, inv_d, mur_coef)
+                build_pallas_chunk_stepper(sim, inv_p, inv_d, mur_coef, pml)
             )
             pallas_step = True  # flat-field carry mode marker
 
@@ -1146,69 +1264,8 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None,
     flat_fields = pallas_step is not None
     Pz_stride = _flat_Z if flat_fields else Pz
 
-    def _flat_idx(comp, i, j, k):
-        return ((comp * Px + i) * Py + j) * Pz_stride + k
-
-    def _face_slots():
-        e_idx, e_w, h_idx, h_w = [], [], [], []
-        layout = []
-        off = 0
-        for face, (nu, nv) in zip(faces, nf_shapes):
-            a, m = face.axis, face.m
-            ua, va = face.u_axis, face.v_axis
-            uu = np.arange(face.u0, face.u1)
-            vv = np.arange(face.v0, face.v1)
-            U, V = np.meshgrid(uu, vv, indexing="ij")
-
-            def coords(a_i, u_off, v_off):
-                c = [None, None, None]
-                c[a] = np.full_like(U, a_i)
-                c[ua] = U + u_off
-                c[va] = V + v_off
-                return c
-
-            def eidx(comp, a_i, u_off, v_off):
-                c = coords(a_i, u_off, v_off)
-                return _flat_idx(comp, c[0], c[1], c[2]).ravel()
-
-            # E_u then E_v (comp-major, row-major within), matching the
-            # (2, nu, nv) per-face accumulator layout
-            e_idx.append(np.stack([eidx(ua, m, 0, 0), eidx(ua, m, 0, 1)], -1))
-            e_idx.append(np.stack([eidx(va, m, 0, 0), eidx(va, m, 1, 0)], -1))
-            e_w.extend([np.full((nu * nv, 2), 0.5, np.float32)] * 2)
-            h_idx.append(np.stack([
-                eidx(ua, m - 1, 0, 0), eidx(ua, m, 0, 0),
-                eidx(ua, m - 1, 1, 0), eidx(ua, m, 1, 0)], -1))
-            h_idx.append(np.stack([
-                eidx(va, m - 1, 0, 0), eidx(va, m, 0, 0),
-                eidx(va, m - 1, 0, 1), eidx(va, m, 0, 1)], -1))
-            h_w.extend([np.full((nu * nv, 4), 0.25, np.float32)] * 2)
-            layout.append((off, nu, nv))
-            off += 2 * nu * nv
-        return (
-            np.concatenate(e_idx), np.concatenate(e_w),
-            np.concatenate(h_idx), np.concatenate(h_w),
-            layout, off,
-        )
-
-    (pg_e_idx, pg_e_w, pg_h_idx, pg_h_w, face_layout, T_faces) = _face_slots()
-
-    # port probes as gathers from the generic per-port source lists
-    # (lumped ports first, then MSL — see port_probe_sources)
-    v_lists, i_lists = port_probe_sources(sim)
-
-    def _pack_sources(lists):
-        S = max([1] + [len(l) for l in lists])
-        idx = np.zeros((n_ports, S), np.int64)
-        w = np.zeros((n_ports, S), np.float32)
-        for piNo, lst in enumerate(lists):
-            for e, ((comp, ii, jj, kk), weight) in enumerate(lst):
-                idx[piNo, e] = _flat_idx(comp, ii, jj, kk)
-                w[piNo, e] = weight
-        return idx, w
-
-    pv_idx, pv_w = _pack_sources(v_lists)
-    pi_idx, pi_w = _pack_sources(i_lists)
+    (pg_e_idx, pg_e_w, pg_h_idx, pg_h_w, face_layout, T_faces,
+     pv_idx, pv_w, pi_idx, pi_w) = build_probe_gathers(sim, Px, Py, Pz_stride)
 
     pg_e_idx = jnp.asarray(pg_e_idx, jnp.int32)
     pg_e_w = jnp.asarray(pg_e_w)
@@ -1365,13 +1422,26 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None,
 
             n0 = carry["n"]
             if pallas_chunk is not None:
-                # one kernel invocation per chunk: fields stay in VMEM for
-                # all n_sub·D steps and probes stream out per sample
+                # one kernel invocation per chunk: fields (and, under PML,
+                # the 12 ψ arrays) stay in VMEM for all n_sub·D steps and
+                # probes stream out per sample
+                from .fdtd_pallas import PSI_KEYS
+
                 wf_chunk = jax.lax.dynamic_slice(waveform, (n0,), (chunk,))
-                fields, pv, pi_, xf, yf, zf = pallas_chunk(
-                    carry["fields"], wf_chunk
+                psi_e_in = tuple(
+                    carry["psi_e"][k] for k in PSI_KEYS
+                ) if pml is not None else ()
+                psi_h_in = tuple(
+                    carry["psi_h"][k] for k in PSI_KEYS
+                ) if pml is not None else ()
+                fields, psi_e_out, psi_h_out, pv, pi_, xf, yf, zf = (
+                    pallas_chunk(carry["fields"], psi_e_in, psi_h_in,
+                                 wf_chunk)
                 )
                 carry = dict(carry, fields=fields, n=n0 + chunk)
+                if pml is not None:
+                    carry["psi_e"] = dict(zip(PSI_KEYS, psi_e_out))
+                    carry["psi_h"] = dict(zip(PSI_KEYS, psi_h_out))
                 fe_parts, fh_parts = [], []
                 xfr = xf.reshape(n_sub, 2, 4, Py, 128)
                 for side, face in enumerate(faces[:2]):
@@ -1444,13 +1514,19 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None,
         carry = init_carry(coeffs, n_nf_freqs, n_port_freqs)
         if resume_state is not None:
             resume_state = dict(resume_state)
-            # Checkpoints store fields in the canonical 3D padded layout;
+            # Checkpoints store fields/ψ in the canonical 3D padded layout;
             # convert to the kernel's flat layout when resuming on the
             # Pallas path (layouts are a static property of the trace).
             if flat_fields and resume_state["fields"][0].ndim == 3:
                 resume_state["fields"] = tuple(
                     _pl_to_flat(f) for f in resume_state["fields"]
                 )
+                for grp in ("psi_e", "psi_h"):
+                    if resume_state.get(grp):
+                        resume_state[grp] = {
+                            k: _pl_to_flat(v)
+                            for k, v in resume_state[grp].items()
+                        }
             carry = dict(carry, **resume_state, done=jnp.bool_(False))
         carry = jax.lax.while_loop(cond, chunk_body, carry)
 
@@ -1467,10 +1543,16 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None,
         out_fields = carry["fields"]
         if flat_fields:
             out_fields = tuple(_pl_from_flat(f) for f in out_fields)
-        # state fields use the canonical 3D layout regardless of the run
+        # state fields/ψ use the canonical 3D layout regardless of the run
         # path, so a checkpoint written on the Pallas path resumes cleanly
         # on the XLA path (and vice versa, on any process/backend)
         state = {k: carry[k] for k in state_keys}
+        if flat_fields:
+            for grp in ("psi_e", "psi_h"):
+                if carry[grp]:
+                    state[grp] = {
+                        k: _pl_from_flat(v) for k, v in carry[grp].items()
+                    }
         state["fields"] = out_fields
         return dict(
             uf=carry["uf"],

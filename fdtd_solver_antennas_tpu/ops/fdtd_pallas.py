@@ -618,7 +618,11 @@ def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef):
     return step_fn, to_flat, from_flat, Z, T
 
 
-def build_pallas_chunk_stepper(sim, inv_p, inv_d, mur_coef):
+# ψ key order shared between the chunk kernel and the XLA carry dicts
+PSI_KEYS = ("xy", "xz", "yz", "yx", "zx", "zy")
+
+
+def build_pallas_chunk_stepper(sim, inv_p, inv_d, mur_coef, pml=None):
     """One kernel invocation per termination chunk.
 
     The kernel runs a grid of ``n_sub`` sample intervals; each grid step
@@ -635,8 +639,19 @@ def build_pallas_chunk_stepper(sim, inv_p, inv_d, mur_coef):
     one load of statics+fields, one store of fields, plus the small probe
     windows — the XLA side only assembles windows and runs the chunk DFTs.
 
+    With ``pml`` (the :func:`fdtd._cpml_profiles` dict) the kernel also
+    carries the 12 CPML recursive-convolution ψ arrays resident in VMEM —
+    the reference's PML_8 boundary (``solver_fdtd_openems.py:188``) then
+    runs on the fast path. The b/c profiles enter as broadcast lane/column
+    vectors; ψ wrap-lane contamination is masked by the same zero
+    coefficient invariant as the curls (c = 0 at pad/wrap positions, and
+    ψ is only read by the co-located E/H update whose cb/inverse-spacing
+    is zero on boundary planes).
+
     Returns ``(chunk_fn, to_flat, from_flat, n_sub)`` with
-    ``chunk_fn(fields6, wf_chunk) -> (fields6', pv, pi, xf, yf, zf)``:
+    ``chunk_fn(fields6, psi_e6, psi_h6, wf_chunk) ->
+    (fields6', psi_e6', psi_h6', pv, pi, xf, yf, zf)``
+    (ψ tuples are empty without ``pml``, ordered by :data:`PSI_KEYS`):
       pv, pi: (n_sub, 8)
       xf:     (n_sub, 2, 4, C)        rows at the two x-face planes
       yf:     (n_sub, 2, 4, R, 128)   lane tiles at the two y-face planes
@@ -651,8 +666,10 @@ def build_pallas_chunk_stepper(sim, inv_p, inv_d, mur_coef):
     n_sub = max(1, int(sim.cfg.check_every) // D)
     dtmu = np.float32(sim.dt / MU0)
     mur = sim.cfg.boundary.upper().startswith("MUR")
-    if sim.cfg.pml_cells() > 0:
-        raise ValueError("MUR/PEC only")
+    if sim.cfg.pml_cells() > 0 and pml is None:
+        raise ValueError("PML boundary requires the pml profile dict")
+    has_pml = pml is not None
+    n_psi = 12 if has_pml else 0
 
     def to_flat(a3):
         return jnp.pad(a3, ((0, 0), (0, 0), (0, LANE - Pz))).reshape(R, C)
@@ -704,6 +721,28 @@ def build_pallas_chunk_stepper(sim, inv_p, inv_d, mur_coef):
     src_inputs = [np.asarray(to_flat(jnp.asarray(src_mats[c]))) for c in src_comps]
     n_src = len(src_comps)
 
+    # --- CPML b/c profiles as broadcast vectors ----------------------------
+    # ψ_h uses half-position profiles, ψ_e node-position; y/z-graded ones
+    # are lane vectors, x-graded ones column vectors. Order matches the
+    # kernel's unpacking below.
+    if has_pml:
+        def _prof(axis, kind, which):
+            arr = pml[axis][kind][which]
+            if axis == 0:
+                return np.asarray(arr, np.float32).reshape(R, 1)
+            if axis == 1:
+                return np.asarray(lane_vec(per_y=arr))
+            return np.asarray(lane_vec(per_z=arr))
+
+        pml_vecs = [
+            _prof(a, kind, w)
+            for kind in ("half", "node")
+            for a in (0, 1, 2)
+            for w in (0, 1)
+        ]  # [bh_x, ch_x, bh_y, ch_y, bh_z, ch_z, be_x, ce_x, ...]
+    else:
+        pml_vecs = []
+
     # --- port probes: generic per-port source lists (lumped then MSL),
     # evaluated as unrolled scalar reads in flat (row, col) coordinates ----
     from .fdtd import port_probe_sources
@@ -751,10 +790,15 @@ def build_pallas_chunk_stepper(sim, inv_p, inv_d, mur_coef):
         (ix_p_r, ix_d_r) = refs[11:13]
         (mz0_r, mz1_r) = refs[13:15]
         s_lo_r, s_hi_r = refs[15:17]
-        src_refs = refs[17 : 17 + n_src]
-        field_in = refs[17 + n_src : 23 + n_src]
-        (ex, ey, ez, hx, hy, hz,
-         pv_o, pi_o, xf_o, yf_o, zf_o) = refs[23 + n_src :]
+        pml_refs = refs[17 : 17 + len(pml_vecs)]
+        o = 17 + len(pml_vecs)
+        src_refs = refs[o : o + n_src]
+        field_in = refs[o + n_src : o + n_src + 6]
+        psi_in = refs[o + n_src + 6 : o + n_src + 6 + n_psi]
+        outs = refs[o + n_src + 6 + n_psi :]
+        (ex, ey, ez, hx, hy, hz) = outs[:6]
+        psi_refs = outs[6 : 6 + n_psi]
+        (pv_o, pi_o, xf_o, yf_o, zf_o) = outs[6 + n_psi :]
 
         j = pl.program_id(0)
 
@@ -762,34 +806,75 @@ def build_pallas_chunk_stepper(sim, inv_p, inv_d, mur_coef):
         def _():
             for dst, src in zip((ex, ey, ez, hx, hy, hz), field_in):
                 dst[:] = src[:]
+            for dst, src in zip(psi_refs, psi_in):
+                dst[:] = src[:]
 
         iyp, izp = iy_p_r[:], iz_p_r[:]
         iyd, izd = iy_d_r[:], iz_d_r[:]
         ixp, ixd = ix_p_r[:], ix_d_r[:]
         src_vals = {c: r[:] for c, r in zip(src_comps, src_refs)}
+        if has_pml:
+            (bh_x, ch_x, bh_y, ch_y, bh_z, ch_z,
+             be_x, ce_x, be_y, ce_y, be_z, ce_z) = [r[:] for r in pml_refs]
+            # ψ refs in PSI_KEYS order, ψ_e then ψ_h
+            (pe_xy, pe_xz, pe_yz, pe_yx, pe_zx, pe_zy,
+             ph_xy, ph_xz, ph_yz, ph_yx, ph_zx, ph_zy) = psi_refs
 
         def body(d, _):
             Ex, Ey, Ez = ex[:], ey[:], ez[:]
             Hx, Hy, Hz = hx[:], hy[:], hz[:]
-            Hxn = Hx - dtmu * (
-                (up(Ez, 1, LANE) - Ez) * iyp - (up(Ey, 1, 1) - Ey) * izp
-            )
-            Hyn = Hy - dtmu * (
-                (up(Ex, 1, 1) - Ex) * izp - (up(Ez, 0, 1) - Ez) * ixp
-            )
-            Hzn = Hz - dtmu * (
-                (up(Ey, 0, 1) - Ey) * ixp - (up(Ex, 1, LANE) - Ex) * iyp
-            )
+            dEz_y = (up(Ez, 1, LANE) - Ez) * iyp
+            dEy_z = (up(Ey, 1, 1) - Ey) * izp
+            dEx_z = (up(Ex, 1, 1) - Ex) * izp
+            dEz_x = (up(Ez, 0, 1) - Ez) * ixp
+            dEy_x = (up(Ey, 0, 1) - Ey) * ixp
+            dEx_y = (up(Ex, 1, LANE) - Ex) * iyp
+            if has_pml:
+                # recursive-convolution ψ_h update (half-position profiles)
+                phxy = bh_y * ph_xy[:] + ch_y * dEz_y
+                phxz = bh_z * ph_xz[:] + ch_z * dEy_z
+                phyz = bh_z * ph_yz[:] + ch_z * dEx_z
+                phyx = bh_x * ph_yx[:] + ch_x * dEz_x
+                phzx = bh_x * ph_zx[:] + ch_x * dEy_x
+                phzy = bh_y * ph_zy[:] + ch_y * dEx_y
+                ph_xy[:], ph_xz[:], ph_yz[:] = phxy, phxz, phyz
+                ph_yx[:], ph_zx[:], ph_zy[:] = phyx, phzx, phzy
+                Hxn = Hx - dtmu * ((dEz_y + phxy) - (dEy_z + phxz))
+                Hyn = Hy - dtmu * ((dEx_z + phyz) - (dEz_x + phyx))
+                Hzn = Hz - dtmu * ((dEy_x + phzx) - (dEx_y + phzy))
+            else:
+                Hxn = Hx - dtmu * (dEz_y - dEy_z)
+                Hyn = Hy - dtmu * (dEx_z - dEz_x)
+                Hzn = Hz - dtmu * (dEy_x - dEx_y)
             s_val = wf_ref[0, j * D + d]
-            Exn = ca_ex[:] * Ex + cb_ex[:] * (
-                (Hzn - dn(Hzn, 1, LANE)) * iyd - (Hyn - dn(Hyn, 1, 1)) * izd
-            )
-            Eyn = ca_ey[:] * Ey + cb_ey[:] * (
-                (Hxn - dn(Hxn, 1, 1)) * izd - (Hzn - dn(Hzn, 0, 1)) * ixd
-            )
-            Ezn = ca_ez[:] * Ez + cb_ez[:] * (
-                (Hyn - dn(Hyn, 0, 1)) * ixd - (Hxn - dn(Hxn, 1, LANE)) * iyd
-            )
+            dHz_y = (Hzn - dn(Hzn, 1, LANE)) * iyd
+            dHy_z = (Hyn - dn(Hyn, 1, 1)) * izd
+            dHx_z = (Hxn - dn(Hxn, 1, 1)) * izd
+            dHz_x = (Hzn - dn(Hzn, 0, 1)) * ixd
+            dHy_x = (Hyn - dn(Hyn, 0, 1)) * ixd
+            dHx_y = (Hxn - dn(Hxn, 1, LANE)) * iyd
+            if has_pml:
+                pexy = be_y * pe_xy[:] + ce_y * dHz_y
+                pexz = be_z * pe_xz[:] + ce_z * dHy_z
+                peyz = be_z * pe_yz[:] + ce_z * dHx_z
+                peyx = be_x * pe_yx[:] + ce_x * dHz_x
+                pezx = be_x * pe_zx[:] + ce_x * dHy_x
+                pezy = be_y * pe_zy[:] + ce_y * dHx_y
+                pe_xy[:], pe_xz[:], pe_yz[:] = pexy, pexz, peyz
+                pe_yx[:], pe_zx[:], pe_zy[:] = peyx, pezx, pezy
+                Exn = ca_ex[:] * Ex + cb_ex[:] * (
+                    (dHz_y + pexy) - (dHy_z + pexz)
+                )
+                Eyn = ca_ey[:] * Ey + cb_ey[:] * (
+                    (dHx_z + peyz) - (dHz_x + peyx)
+                )
+                Ezn = ca_ez[:] * Ez + cb_ez[:] * (
+                    (dHy_x + pezx) - (dHx_y + pezy)
+                )
+            else:
+                Exn = ca_ex[:] * Ex + cb_ex[:] * (dHz_y - dHy_z)
+                Eyn = ca_ey[:] * Ey + cb_ey[:] * (dHx_z - dHz_x)
+                Ezn = ca_ez[:] * Ez + cb_ez[:] * (dHy_x - dHx_y)
             if "x" in src_vals:
                 Exn = Exn + src_vals["x"] * s_val
             if "y" in src_vals:
@@ -888,6 +973,7 @@ def build_pallas_chunk_stepper(sim, inv_p, inv_d, mur_coef):
         + [jnp.asarray(v) for v in col_vecs]
         + [jnp.asarray(v) for v in z_masks]
         + [jnp.asarray(S_lo), jnp.asarray(S_hi)]
+        + [jnp.asarray(v) for v in pml_vecs]
         + [jnp.asarray(v) for v in src_inputs]
     )
 
@@ -902,20 +988,21 @@ def build_pallas_chunk_stepper(sim, inv_p, inv_d, mur_coef):
     in_specs = (
         [pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [const(a.shape) for a in static_inputs]
-        + [const((R, C))] * 6
+        + [const((R, C))] * (6 + n_psi)
     )
     smem_full = pl.BlockSpec(
         (n_sub, 8), lambda j: (0, 0), memory_space=pltpu.SMEM
     )
     out_specs = (
-        tuple([const((R, C))] * 6)
+        tuple([const((R, C))] * (6 + n_psi))
         # pv/pi are scalar-indexed writes → SMEM (VMEM cannot store scalars)
         + (smem_full, smem_full,
            stepped((2, 4, C)), stepped((2, 4, R, LANE)),
            stepped((2, 4, R, Py)))
     )
     out_shape = (
-        tuple(jax.ShapeDtypeStruct((R, C), jnp.float32) for _ in range(6))
+        tuple(jax.ShapeDtypeStruct((R, C), jnp.float32)
+              for _ in range(6 + n_psi))
         + (
             jax.ShapeDtypeStruct((n_sub, 8), jnp.float32),
             jax.ShapeDtypeStruct((n_sub, 8), jnp.float32),
@@ -939,9 +1026,12 @@ def build_pallas_chunk_stepper(sim, inv_p, inv_d, mur_coef):
         interpret=interpret,
     )
 
-    def chunk_fn(fields_flat, wf_chunk):
+    def chunk_fn(fields_flat, psi_e, psi_h, wf_chunk):
         wf2 = wf_chunk.reshape(1, n_sub * D)
-        out = call(wf2, *static_inputs, *fields_flat)
-        return tuple(out[:6]), out[6], out[7], out[8], out[9], out[10]
+        out = call(wf2, *static_inputs, *fields_flat, *psi_e, *psi_h)
+        k = 6 + n_psi
+        psi_out = out[6:k]
+        return (tuple(out[:6]), tuple(psi_out[:6]), tuple(psi_out[6:]),
+                out[k], out[k + 1], out[k + 2], out[k + 3], out[k + 4])
 
     return chunk_fn, to_flat, from_flat, n_sub

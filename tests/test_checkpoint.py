@@ -91,8 +91,22 @@ def test_checkpoint_crosses_run_paths(tmp_path):
     """State fields are stored in the canonical 3D layout regardless of
     which path produced them: a checkpoint written by the Pallas chunk
     kernel (interpret mode on CPU) must resume cleanly on the XLA path,
-    and vice versa — cross-process/backends resume is advertised."""
-    ref = _build_pallas_opt(100, use_pallas=False).run()
+    and vice versa — cross-process/backends resume is advertised. The two
+    paths may pad the grid differently (the streaming pre-pass pads x to a
+    block multiple), so fields are compared over the physical grid region."""
+    ref = _build_pallas_opt(100, use_pallas=False)
+    gx, gy, gz = ref.grid.shape
+    crop = (slice(0, gx), slice(0, gy), slice(0, gz))
+    ref = ref.run()
+
+    def assert_fields_match(out):
+        for fa, fb in zip(out["fields"], ref["fields"]):
+            fa = np.asarray(fa)[crop]
+            fb = np.asarray(fb)[crop]
+            np.testing.assert_allclose(
+                fa, fb, rtol=1e-4,
+                atol=1e-5 * max(np.abs(fb).max(), 1e-30),
+            )
 
     # Pallas run → checkpoint → XLA resume
     out_a = _build_pallas_opt(50, use_pallas=True).run()
@@ -103,11 +117,7 @@ def test_checkpoint_crosses_run_paths(tmp_path):
         resume_state=load_state(ckpt)
     )
     assert int(out_b["steps"]) == 100
-    for fa, fb in zip(out_b["fields"], ref["fields"]):
-        np.testing.assert_allclose(
-            np.asarray(fa), np.asarray(fb), rtol=1e-4,
-            atol=1e-5 * max(np.abs(np.asarray(fb)).max(), 1e-30),
-        )
+    assert_fields_match(out_b)
 
     # XLA run → checkpoint → Pallas resume
     out_c = _build_pallas_opt(50, use_pallas=False).run()
@@ -117,11 +127,7 @@ def test_checkpoint_crosses_run_paths(tmp_path):
         resume_state=load_state(ckpt2)
     )
     assert int(out_d["steps"]) == 100
-    for fa, fb in zip(out_d["fields"], ref["fields"]):
-        np.testing.assert_allclose(
-            np.asarray(fa), np.asarray(fb), rtol=1e-4,
-            atol=1e-5 * max(np.abs(np.asarray(fb)).max(), 1e-30),
-        )
+    assert_fields_match(out_d)
 
 
 def test_state_roundtrip_identity(tmp_path):

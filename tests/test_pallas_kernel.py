@@ -38,15 +38,21 @@ def _build(use_pallas, boundary="MUR", n_steps=120):
 
 def _close(a, b, rtol=2e-4):
     a, b = np.asarray(a), np.asarray(b)
+    if a.ndim == 3 and a.shape != b.shape:
+        # run paths may pad the grid differently (stream prepass pads x);
+        # pad cells are identically zero, so compare the common region
+        sl = tuple(slice(0, min(sa, sb)) for sa, sb in zip(a.shape, b.shape))
+        a, b = a[sl], b[sl]
     atol = 1e-5 * max(np.abs(b).max(), 1e-20)
     np.testing.assert_allclose(a, b, rtol=rtol, atol=atol)
 
 
-@pytest.mark.parametrize("boundary", ["MUR", "PEC"])
+@pytest.mark.parametrize("boundary", ["MUR", "PEC", "PML_4"])
 def test_pallas_matches_xla(boundary):
     sim_ref = _build(use_pallas=False, boundary=boundary)
     sim_pl = _build(use_pallas=True, boundary=boundary)
     assert sim_pl.use_pallas
+    assert sim_pl.pallas_mode == "chunk"
     out_ref = sim_ref.run()
     out_pl = sim_pl.run()
     assert int(out_pl["steps"]) == int(out_ref["steps"])
@@ -58,6 +64,11 @@ def test_pallas_matches_xla(boundary):
         _close(a, b)
     for a, b in zip(out_pl["nf_h"], out_ref["nf_h"]):
         _close(a, b)
+    if boundary.startswith("PML"):
+        # ψ state must round-trip through the kernel in the canonical
+        # 3D layout (checkpoint contract)
+        for k, v in out_pl["state"]["psi_e"].items():
+            _close(v, out_ref["state"]["psi_e"][k])
 
 
 def test_pallas_two_ports_mixed_axes():
@@ -97,11 +108,12 @@ def test_pallas_two_ports_mixed_axes():
         _close(a, b)
 
 
-def test_pallas_disabled_under_pml():
+def test_pallas_pml_eligibility():
     from fdtd_solver_antennas_tpu.ops.fdtd import _resolve_use_pallas
 
-    sim = _build(use_pallas=None, boundary="MUR")
-    # CPU backend → auto-off, but the eligibility logic must also reject PML
-    cfg_pml = FDTDConfig(boundary="PML_8", use_pallas=None)
-    sim.cfg = cfg_pml
+    # PML is chunk-kernel eligible when forced on (ψ arrays fit VMEM here)
+    sim = _build(use_pallas=True, boundary="PML_4")
+    assert _resolve_use_pallas(sim)
+    # auto mode on a CPU backend stays off regardless of boundary
+    sim.cfg = FDTDConfig(boundary="PML_4", use_pallas=None)
     assert not _resolve_use_pallas(sim)
