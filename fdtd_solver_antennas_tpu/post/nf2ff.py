@@ -10,25 +10,33 @@ Huygens box; this module applies the equivalence theorem
     E_θ = −jk/(4πr)·(L_φ + η0 N_θ),   E_φ = +jk/(4πr)·(L_θ − η0 N_φ)
 
 with the radiation integrals expressed as complex matmuls over surface
-points × angle grid — MXU work on TPU. Radiated power comes from the
-Poynting flux through the same surface, so ``Dmax``/``E_norm`` match the
-openEMS result contract (dBi grid = 20·log10(E/Emax) + 10·log10(Dmax)).
+points × angle grid — MXU work on TPU. All six faces are concatenated into
+one point cloud and all frequencies (and, for sweeps, all batch members)
+run in a single jitted ``lax.scan`` — one device program, no per-face or
+per-frequency host round trips. Radiated power comes from the Poynting
+flux through the same surface, so ``Dmax``/``E_norm`` match the openEMS
+result contract (dBi grid = 20·log10(E/Emax) + 10·log10(Dmax)).
 
 Phase-center shifts (the ``center`` argument / ``nf_center`` contract) are
-applied here, so patterns can be recomputed for new centers without
-re-simulating — the same property the reference gets from disk replay.
+applied as the exact post-factor e^{−jk r̂·c} on the integrals, so patterns
+can be recomputed for new centers without re-integrating — the same
+property the reference gets from disk replay.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Sequence
+from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..physics import C0, ETA0
+
+# Cap on P·A_chunk elements per device intermediate (~256 MB of f32);
+# larger angle grids are processed in host-sliced chunks of rhat.
+_MAX_CHUNK_ELEMS = 64 * 1024 * 1024
 
 
 @dataclass
@@ -57,21 +65,176 @@ class FarField:
 
 
 @jax.jit
-def _radiation_integral(pts, weights, F_re, F_im, rhat, k):
-    """N(θφ) = Σ_p F_s[p]·w[p]·e^{+jk r̂·r'_p}.
+def _radiation_integrals(pts, w, F_re, F_im, G_re, G_im, k_arr, rhat):
+    """All radiation integrals in one device program.
 
-    pts: (P, 3) float32; weights: (P,); F_re/F_im: (P, 3) float32;
-    rhat: (A, 3) float32. Returns stacked (2, 3, A) float32 (re, im) —
-    complex64 is kept off the host-transfer path (some PJRT transports
-    cannot move complex arrays) and the four real matmuls hit the MXU.
+    pts: (P, 3); w: (P,); F_*/G_* (J_s and M_s): (K, P, 3) — K rows are
+    (batch·)frequency entries; k_arr: (K,); rhat: (A, 3). Returns stacked
+    float32 (K, 2, 2, 3, A): axes (row, N/L, re/im, xyz, angle). Each row
+    is four real (3, P) @ (P, A) matmuls per integral — MXU work.
     """
-    kr = k * (pts @ rhat.T)  # (P, A)
-    c, s = jnp.cos(kr), jnp.sin(kr)
-    wre = F_re * weights[:, None]
-    wim = F_im * weights[:, None]
-    out_re = wre.T @ c - wim.T @ s
-    out_im = wre.T @ s + wim.T @ c
-    return jnp.stack([out_re, out_im])
+    KR0 = pts @ rhat.T  # (P, A)
+    wcol = w[:, None]
+
+    def body(_, x):
+        k, fre, fim, gre, gim = x
+        ph = k * KR0
+        c, s = jnp.cos(ph), jnp.sin(ph)
+
+        def integ(re_, im_):
+            wre = (re_ * wcol).T  # (3, P)
+            wim = (im_ * wcol).T
+            return jnp.stack([wre @ c - wim @ s, wre @ s + wim @ c])
+
+        return 0, jnp.stack([integ(fre, fim), integ(gre, gim)])
+
+    _, out = jax.lax.scan(body, 0, (k_arr, F_re, F_im, G_re, G_im))
+    return out
+
+
+def _face_geometry(faces: Sequence):
+    """Concatenate the Huygens faces into one point cloud.
+
+    Returns (pts (P,3), w (P,), u_hat (P,3), v_hat (P,3), normals (P,3),
+    slices) — ``slices[i]`` selects face i's points in the concatenation.
+    """
+    pts, w, u_hats, v_hats, normals, slices = [], [], [], [], [], []
+    off = 0
+    for face in faces:
+        p = face.centers_m.reshape(-1, 3)
+        n = p.shape[0]
+        pts.append(p)
+        w.append(face.areas_m2.reshape(-1))
+        uh = np.zeros((n, 3))
+        uh[:, face.u_axis] = 1.0
+        u_hats.append(uh)
+        vh = np.zeros((n, 3))
+        vh[:, face.v_axis] = 1.0
+        v_hats.append(vh)
+        normals.append(np.broadcast_to(face.normal, (n, 3)))
+        slices.append(slice(off, off + n))
+        off += n
+    return (
+        np.concatenate(pts),
+        np.concatenate(w),
+        np.concatenate(u_hats),
+        np.concatenate(v_hats),
+        np.concatenate(normals),
+        slices,
+    )
+
+
+def _face_complex(a) -> np.ndarray:
+    """Accept complex accumulators or the engine's stacked (re, im) floats."""
+    a = np.asarray(a)
+    if not np.iscomplexobj(a):
+        a = a[0] + 1j * a[1]
+    return a
+
+
+def select_face_freqs(accs: Sequence, fi) -> List[np.ndarray]:
+    """Slice per-face accumulators to frequency row(s) ``fi``.
+
+    Handles both the complex (nf, 2, nu, nv) layout and the engine's
+    stacked (2, nf, 2, nu, nv) float layout. ``fi`` may be an int or a
+    slice. Use this when transforming a subset of the recorded NF2FF
+    frequencies — the transform requires accumulator rows and ``freq_hz``
+    to correspond 1:1.
+    """
+    if isinstance(fi, int):
+        fi = slice(fi, fi + 1)
+    out = []
+    for a in accs:
+        a = np.asarray(a)
+        out.append(a[:, fi] if not np.iscomplexobj(a) else a[fi])
+    return out
+
+
+def _surface_currents(geo, nf_e, nf_h, dt: float):
+    """Tangential fields → (J_s, M_s, P_rad) for a (nf,)-leading stack.
+
+    nf_e[i]/nf_h[i]: (nf, 2, nu, nv) complex accumulators for face i.
+    Returns J_s, M_s: (nf, P, 3) complex128; P_rad: (nf,).
+    """
+    pts, w, u_hat, v_hat, normals, slices = geo
+    nf = nf_e[0].shape[0]
+    P = pts.shape[0]
+    E_t = np.zeros((nf, P, 3), np.complex128)
+    H_t = np.zeros_like(E_t)
+    for sl, acc_e, acc_h in zip(slices, nf_e, nf_h):
+        Eu = acc_e[:, 0].reshape(nf, -1) * dt
+        Ev = acc_e[:, 1].reshape(nf, -1) * dt
+        Hu = acc_h[:, 0].reshape(nf, -1) * dt
+        Hv = acc_h[:, 1].reshape(nf, -1) * dt
+        E_t[:, sl] = Eu[..., None] * u_hat[sl] + Ev[..., None] * v_hat[sl]
+        H_t[:, sl] = Hu[..., None] * u_hat[sl] + Hv[..., None] * v_hat[sl]
+    J_s = np.cross(np.broadcast_to(normals, E_t.shape), H_t)
+    M_s = -np.cross(np.broadcast_to(normals, E_t.shape), E_t)
+    S = 0.5 * np.real(np.cross(E_t, np.conj(H_t)))  # (nf, P, 3)
+    P_rad = np.einsum("fpc,pc,p->f", S, normals, w)
+    return J_s, M_s, P_rad
+
+
+def _angles(theta_deg, phi_deg):
+    theta = np.deg2rad(np.asarray(theta_deg, float)).ravel()
+    phi = np.deg2rad(np.asarray(phi_deg, float)).ravel()
+    th, ph = np.meshgrid(theta, phi, indexing="ij")
+    st, ct = np.sin(th), np.cos(th)
+    sp, cp = np.sin(ph), np.cos(ph)
+    rhat = np.stack([st * cp, st * sp, ct], axis=-1).reshape(-1, 3)
+    trig = (ct.reshape(-1), st.reshape(-1), cp.reshape(-1), sp.reshape(-1))
+    return theta, phi, rhat, trig
+
+
+def _run_integrals(pts, w, J_s, M_s, k_rows, rhat):
+    """Chunked driver around the jitted scan; returns N, L (K, 3, A) complex."""
+    K, P, _ = J_s.shape
+    A = rhat.shape[0]
+    chunk = max(1, min(A, _MAX_CHUNK_ELEMS // max(P, 1)))
+    pts32 = jnp.asarray(pts, jnp.float32)
+    w32 = jnp.asarray(w, jnp.float32)
+    F_re = jnp.asarray(J_s.real, jnp.float32)
+    F_im = jnp.asarray(J_s.imag, jnp.float32)
+    G_re = jnp.asarray(M_s.real, jnp.float32)
+    G_im = jnp.asarray(M_s.imag, jnp.float32)
+    k32 = jnp.asarray(k_rows, jnp.float32)
+    N = np.zeros((K, 3, A), np.complex128)
+    L = np.zeros((K, 3, A), np.complex128)
+    for a0 in range(0, A, chunk):
+        rh = jnp.asarray(rhat[a0 : a0 + chunk], jnp.float32)
+        out = np.asarray(
+            _radiation_integrals(pts32, w32, F_re, F_im, G_re, G_im, k32, rh)
+        )  # (K, 2, 2, 3, a)
+        N[:, :, a0 : a0 + chunk] = out[:, 0, 0] + 1j * out[:, 0, 1]
+        L[:, :, a0 : a0 + chunk] = out[:, 1, 0] + 1j * out[:, 1, 1]
+    return N, L
+
+
+def _assemble_far_field(N, L, k_rows, rhat, trig, centers, P_rad, nth, nph):
+    """N/L integrals → per-row E_θ/E_φ with center phase post-factors."""
+    ct, st, cp, sp = trig
+    K = N.shape[0]
+    E_theta = np.zeros((K, nth, nph), np.complex128)
+    E_phi = np.zeros_like(E_theta)
+    for r in range(K):
+        k = k_rows[r]
+        # exact phase-center shift: e^{+jk r̂·(r'−c)} = e^{+jk r̂·r'}·e^{−jk r̂·c}
+        shift = np.exp(-1j * k * (rhat @ centers[r]))
+        Nr = N[r] * shift
+        Lr = L[r] * shift
+        N_th = Nr[0] * ct * cp + Nr[1] * ct * sp - Nr[2] * st
+        N_ph = -Nr[0] * sp + Nr[1] * cp
+        L_th = Lr[0] * ct * cp + Lr[1] * ct * sp - Lr[2] * st
+        L_ph = -Lr[0] * sp + Lr[1] * cp
+        pref = 1j * k / (4.0 * np.pi)  # r = 1 m, e^{−jkr} phase dropped
+        E_theta[r] = (-pref * (L_ph + ETA0 * N_th)).reshape(nth, nph)
+        E_phi[r] = (pref * (L_th - ETA0 * N_ph)).reshape(nth, nph)
+    E_norm = np.sqrt(np.abs(E_theta) ** 2 + np.abs(E_phi) ** 2)
+    U = E_norm**2 / (2.0 * ETA0)  # r = 1 m
+    with np.errstate(divide="ignore", invalid="ignore"):
+        directivity = 4.0 * np.pi * U / np.maximum(P_rad[:, None, None], 1e-30)
+    Dmax = directivity.reshape(K, -1).max(axis=1)
+    return E_theta, E_phi, E_norm, directivity, Dmax
 
 
 def nf2ff_transform(
@@ -90,93 +253,27 @@ def nf2ff_transform(
     (nf, 2, nu, nv) complex accumulators for face i (tangential u, v
     components in face order).
     """
-    # accept either complex per-face accumulators or the engine's stacked
-    # (re, im)-leading float format (kept real on device for transfer)
-    def _face_complex(a):
-        a = np.asarray(a)
-        if not np.iscomplexobj(a):
-            a = a[0] + 1j * a[1]
-        return a
-
     nf_e = [_face_complex(a) for a in nf_e]
     nf_h = [_face_complex(a) for a in nf_h]
-
     freq_hz = np.atleast_1d(np.asarray(freq_hz, float))
-    theta = np.deg2rad(np.asarray(theta_deg, float)).ravel()
-    phi = np.deg2rad(np.asarray(phi_deg, float)).ravel()
+    nf = len(freq_hz)
+    if nf_e[0].shape[0] != nf:
+        raise ValueError(
+            f"accumulators hold {nf_e[0].shape[0]} frequency rows but "
+            f"freq_hz has {nf}; slice with select_face_freqs() first"
+        )
+    theta, phi, rhat, trig = _angles(theta_deg, phi_deg)
     nth, nph = len(theta), len(phi)
-    th, ph = np.meshgrid(theta, phi, indexing="ij")
-    st, ct = np.sin(th), np.cos(th)
-    sp, cp = np.sin(ph), np.cos(ph)
-    rhat = np.stack([st * cp, st * sp, ct], axis=-1).reshape(-1, 3)  # (A,3)
-    A = rhat.shape[0]
     center = np.zeros(3) if center_m is None else np.asarray(center_m, float)
 
-    E_theta = np.zeros((len(freq_hz), nth, nph), np.complex128)
-    E_phi = np.zeros_like(E_theta)
-    P_rad = np.zeros(len(freq_hz))
-
-    # Per-face static geometry
-    geo = []
-    for face in faces:
-        pts = (face.centers_m.reshape(-1, 3) - center).astype(np.float32)
-        w = face.areas_m2.reshape(-1).astype(np.float32)
-        geo.append((pts, w, face.normal.astype(np.float32)))
-
-    rhat32 = jnp.asarray(rhat, jnp.float32)
-
-    for fi, f in enumerate(freq_hz):
-        k = 2.0 * np.pi * f / C0
-        N = np.zeros((3, A), np.complex128)
-        L = np.zeros((3, A), np.complex128)
-        for face, (pts, w, normal), acc_e, acc_h in zip(faces, geo, nf_e, nf_h):
-            # tangential complex fields at face cells (apply DFT dt factor)
-            Eu = np.asarray(acc_e[fi, 0]).reshape(-1) * dt
-            Ev = np.asarray(acc_e[fi, 1]).reshape(-1) * dt
-            Hu = np.asarray(acc_h[fi, 0]).reshape(-1) * dt
-            Hv = np.asarray(acc_h[fi, 1]).reshape(-1) * dt
-            u_hat = np.zeros(3)
-            u_hat[face.u_axis] = 1.0
-            v_hat = np.zeros(3)
-            v_hat[face.v_axis] = 1.0
-            E_t = Eu[:, None] * u_hat + Ev[:, None] * v_hat  # (P, 3)
-            H_t = Hu[:, None] * u_hat + Hv[:, None] * v_hat
-            J_s = np.cross(np.broadcast_to(normal, E_t.shape), H_t)
-            M_s = -np.cross(np.broadcast_to(normal, E_t.shape), E_t)
-
-            for acc, F in ((N, J_s), (L, M_s)):
-                ri = np.asarray(
-                    _radiation_integral(
-                        jnp.asarray(pts),
-                        jnp.asarray(w),
-                        jnp.asarray(F.real.astype(np.float32)),
-                        jnp.asarray(F.imag.astype(np.float32)),
-                        rhat32,
-                        jnp.float32(k),
-                    )
-                )
-                acc += ri[0] + 1j * ri[1]
-            # Poynting flux through this face (outward)
-            S = 0.5 * np.real(np.cross(E_t, np.conj(H_t))) @ normal
-            P_rad[fi] += float(S @ w)
-
-        ct_f, st_f = ct.reshape(-1), st.reshape(-1)
-        cp_f, sp_f = cp.reshape(-1), sp.reshape(-1)
-        N_th = N[0] * ct_f * cp_f + N[1] * ct_f * sp_f - N[2] * st_f
-        N_ph = -N[0] * sp_f + N[1] * cp_f
-        L_th = L[0] * ct_f * cp_f + L[1] * ct_f * sp_f - L[2] * st_f
-        L_ph = -L[0] * sp_f + L[1] * cp_f
-
-        pref = 1j * k / (4.0 * np.pi)  # r = 1 m, e^{−jkr} phase dropped
-        E_theta[fi] = (-pref * (L_ph + ETA0 * N_th)).reshape(nth, nph)
-        E_phi[fi] = (pref * (L_th - ETA0 * N_ph)).reshape(nth, nph)
-
-    E_norm = np.sqrt(np.abs(E_theta) ** 2 + np.abs(E_phi) ** 2)
-    U = E_norm**2 / (2.0 * ETA0)  # r = 1 m
-    with np.errstate(divide="ignore", invalid="ignore"):
-        directivity = 4.0 * np.pi * U / np.maximum(P_rad[:, None, None], 1e-30)
-    Dmax = directivity.reshape(len(freq_hz), -1).max(axis=1)
-
+    geo = _face_geometry(faces)
+    J_s, M_s, P_rad = _surface_currents(geo, nf_e, nf_h, dt)
+    k_rows = 2.0 * np.pi * freq_hz / C0
+    N, L = _run_integrals(geo[0], geo[1], J_s, M_s, k_rows, rhat)
+    centers = np.broadcast_to(center, (nf, 3))
+    E_theta, E_phi, E_norm, directivity, Dmax = _assemble_far_field(
+        N, L, k_rows, rhat, trig, centers, P_rad, nth, nph
+    )
     return FarField(
         freq_hz=freq_hz,
         theta=theta,
@@ -188,3 +285,73 @@ def nf2ff_transform(
         P_rad=P_rad,
         directivity=directivity,
     )
+
+
+def nf2ff_transform_batch(
+    faces: Sequence,
+    nf_e_batched: Sequence[np.ndarray],
+    nf_h_batched: Sequence[np.ndarray],
+    dt: float,
+    freq_hz: np.ndarray,
+    theta_deg: np.ndarray,
+    phi_deg: np.ndarray,
+    centers_m: np.ndarray | None = None,
+) -> List[FarField]:
+    """Batched transform for vmapped sweeps: one device program for all
+    variants × frequencies.
+
+    ``nf_e_batched[i]``/``nf_h_batched[i]``: (B, nf, 2, nu, nv) per-face
+    accumulators with a leading batch axis (the layout ``vmap`` produces);
+    ``centers_m``: (B, 3) per-variant phase centers (or None → origin).
+    Returns one :class:`FarField` per batch member. Batch members reuse the
+    same face geometry, so batching is exact concatenation along the scan
+    axis of :func:`_radiation_integrals`.
+    """
+
+    def _batched_complex(a):
+        # engine layout under vmap: (B, 2(re/im), nf, 2(u/v), nu, nv)
+        a = np.asarray(a)
+        if not np.iscomplexobj(a):
+            a = a[:, 0] + 1j * a[:, 1]
+        return a
+
+    nf_e_batched = [_batched_complex(a) for a in nf_e_batched]
+    nf_h_batched = [_batched_complex(a) for a in nf_h_batched]
+    B, nf = nf_e_batched[0].shape[:2]
+    freq_hz = np.atleast_1d(np.asarray(freq_hz, float))
+    assert len(freq_hz) == nf, "freq axis mismatch"
+    theta, phi, rhat, trig = _angles(theta_deg, phi_deg)
+    nth, nph = len(theta), len(phi)
+    if centers_m is None:
+        centers_m = np.zeros((B, 3))
+    centers_m = np.asarray(centers_m, float).reshape(B, 3)
+
+    geo = _face_geometry(faces)
+    # fold the batch axis into the frequency axis: rows = B·nf
+    nf_e_rows = [a.reshape((B * nf,) + a.shape[2:]) for a in nf_e_batched]
+    nf_h_rows = [a.reshape((B * nf,) + a.shape[2:]) for a in nf_h_batched]
+    J_s, M_s, P_rad = _surface_currents(geo, nf_e_rows, nf_h_rows, dt)
+    k_rows = np.tile(2.0 * np.pi * freq_hz / C0, B)
+    centers_rows = np.repeat(centers_m, nf, axis=0)
+    N, L = _run_integrals(geo[0], geo[1], J_s, M_s, k_rows, rhat)
+    E_theta, E_phi, E_norm, directivity, Dmax = _assemble_far_field(
+        N, L, k_rows, rhat, trig, centers_rows, P_rad, nth, nph
+    )
+
+    results = []
+    for b in range(B):
+        sl = slice(b * nf, (b + 1) * nf)
+        results.append(
+            FarField(
+                freq_hz=freq_hz,
+                theta=theta,
+                phi=phi,
+                E_theta=E_theta[sl],
+                E_phi=E_phi[sl],
+                E_norm=E_norm[sl],
+                Dmax=Dmax[sl],
+                P_rad=P_rad[sl],
+                directivity=directivity[sl],
+            )
+        )
+    return results

@@ -30,7 +30,7 @@ from ..models.scene import PEC, Scene, make_plate
 from ..ops.fdtd import FDTDConfig, build_simulation
 from ..ops.mesh import MeshBuilder
 from ..physics import C0
-from ..post.nf2ff import nf2ff_transform
+from ..post.nf2ff import nf2ff_transform, select_face_freqs
 from ..post.ports import find_resonance, port_spectra
 from .base import FDTDSolverResult, SolverPrepared, radiation_efficiency
 
@@ -202,7 +202,8 @@ def run_prepared_horn(
         theta = np.asarray(prepared.theta)
         phi = np.asarray(prepared.phi)
         ff = nf2ff_transform(
-            sim.faces, out["nf_e"], out["nf_h"], sim.dft_dt,
+            sim.faces, select_face_freqs(out["nf_e"], fi),
+            select_face_freqs(out["nf_h"], fi), sim.dft_dt,
             sim.nf_freqs_hz[fi : fi + 1], theta, phi,
             center_m=prepared.nf_center,
         )

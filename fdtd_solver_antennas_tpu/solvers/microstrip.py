@@ -25,7 +25,7 @@ from ..models.scene import MSLPortSpec, Scene
 from ..ops.fdtd import FDTDConfig, build_simulation
 from ..ops.mesh import MeshBuilder
 from ..physics import C0, design_patch_for_frequency, substrate_conductivity
-from ..post.nf2ff import nf2ff_transform
+from ..post.nf2ff import nf2ff_transform, select_face_freqs
 from ..post.ports import find_resonance, port_spectra
 from .base import FDTDSolverResult, SolverPrepared, SolverProbe, radiation_efficiency
 from .patch_fixed import probe_fdtd
@@ -296,8 +296,8 @@ def run_prepared_microstrip(
         phi = np.asarray(prepared.phi)
         ff = nf2ff_transform(
             sim.faces,
-            out["nf_e"],
-            out["nf_h"],
+            select_face_freqs(out["nf_e"], fi),
+            select_face_freqs(out["nf_h"], fi),
             sim.dft_dt,
             sim.nf_freqs_hz[fi : fi + 1],
             theta,

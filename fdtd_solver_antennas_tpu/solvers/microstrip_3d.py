@@ -21,7 +21,7 @@ import jax
 from ..models.params import PatchAntennaParams
 from ..ops.fdtd import FDTDConfig, build_simulation
 from ..physics import C0
-from ..post.nf2ff import nf2ff_transform
+from ..post.nf2ff import nf2ff_transform, select_face_freqs
 from ..post.ports import find_resonance, port_spectra
 from .base import FDTDSolverResult, SolverPrepared, radiation_efficiency
 from .microstrip import FeedDirection, build_microstrip_scene
@@ -123,8 +123,8 @@ def run_prepared_microstrip_3d(
         phi = np.asarray(prepared.phi)
         ff = nf2ff_transform(
             sim.faces,
-            out["nf_e"],
-            out["nf_h"],
+            select_face_freqs(out["nf_e"], fi),
+            select_face_freqs(out["nf_h"], fi),
             sim.dft_dt,
             sim.nf_freqs_hz[fi : fi + 1],
             theta,

@@ -376,33 +376,31 @@ def run_horn_aperture_sweep(
     try:
         if not prepared.ok or prepared.sim is None:
             return SweepResult(False, prepared.message)
-        from ..post.nf2ff import nf2ff_transform
+        from ..post.nf2ff import nf2ff_transform_batch
 
         sim = prepared.sim
         out, wall, steps = _run_batched(prepared)
         n_var = len(prepared.variants)
 
         spectra = _batched_port_spectra(prepared, out)
-        f_res, s11_min, dmax_dbi = [], [], []
-        # nf_e / nf_h are per-face lists (ragged shapes); vmap puts the
-        # batch axis at the front of each face array
-        nf_e = [np.asarray(face) for face in out["nf_e"]]
-        nf_h = [np.asarray(face) for face in out["nf_h"]]
-        for b, (sp, v) in enumerate(zip(spectra, prepared.variants)):
+        f_res, s11_min = [], []
+        for sp, v in zip(spectra, prepared.variants):
             fr, _ = find_resonance(sp, v.frequency_hz)
             f_res.append(fr)
             s11_min.append(
                 float(20 * np.log10(np.maximum(np.abs(sp.s11), 1e-30)).min())
             )
-            ff = nf2ff_transform(
-                sim.faces,
-                [face[b] for face in nf_e],
-                [face[b] for face in nf_h],
-                sim.dft_dt, sim.nf_freqs_hz,
-                prepared.theta, prepared.phi,
-                center_m=prepared.nf_centers[b],
-            )
-            dmax_dbi.append(float(10 * np.log10(ff.Dmax[0])))
+        # nf_e / nf_h are per-face lists; vmap puts the batch axis at the
+        # front of each face array — one batched NF2FF device program for
+        # all variants × frequencies instead of a serial per-variant loop
+        nf_e = [np.asarray(face) for face in out["nf_e"]]
+        nf_h = [np.asarray(face) for face in out["nf_h"]]
+        ffs = nf2ff_transform_batch(
+            sim.faces, nf_e, nf_h, sim.dft_dt, sim.nf_freqs_hz,
+            prepared.theta, prepared.phi,
+            centers_m=np.asarray(prepared.nf_centers),
+        )
+        dmax_dbi = [float(10 * np.log10(ff.Dmax[0])) for ff in ffs]
         rate = sim.grid.num_cells * steps * n_var / wall / 1e6
         if verbose:
             print(
