@@ -65,6 +65,76 @@ def test_sharded_matches_single_device():
         close(fa, fb)
 
 
+def _build_pml(pad_x=1):
+    mb = MeshBuilder()
+    mb.add_line("x", [-60, 60, 0.0, -6.0])
+    mb.add_line("y", [-60, 60, 0.0])
+    mb.add_line("z", [-40, 50])
+    mb.add_line("z", np.linspace(0, 1.6, 3))
+    grid = mb.build(4.0)
+    scene = Scene()
+    scene.add_material_box("sub", 4.3, 0.005, [-20, -20, 0], [20, 20, 1.6], 0)
+    scene.add_metal_box("patch", [-15, -12, 1.6], [15, 12, 1.6], priority=10)
+    scene.add_metal_box("gnd", [-20, -20, 0], [20, 20, 0], priority=10)
+    scene.add_lumped_port(1, 50.0, [-6, 0, 0], [-6, 0, 1.6], direction="z")
+    cfg = FDTDConfig(
+        n_steps_max=200, check_every=100, end_criteria=1e-12,
+        boundary="PML_8",
+    )
+    return build_simulation(
+        scene, grid, f0=2.45e9, fc=1.225e9, cfg=cfg,
+        port_freqs_hz=np.linspace(2e9, 3e9, 21),
+        nf_freqs_hz=np.array([2.45e9]),
+        pad_multiple=(pad_x, 1, 1),
+    )
+
+
+def _close_explicit(a, b, rtol=1e-3):
+    a, b = np.asarray(a), np.asarray(b)
+    if a.ndim == 3 and a.shape != b.shape:
+        sl = tuple(slice(0, min(x, y)) for x, y in zip(a.shape, b.shape))
+        a, b = a[sl], b[sl]
+    atol = 1e-4 * max(np.abs(b).max(), 1e-20)
+    np.testing.assert_allclose(a, b, rtol=rtol, atol=atol)
+
+
+def test_explicit_collectives_match_single_device():
+    """The hand-scheduled shard_map + ppermute path must reproduce the
+    single-device XLA run (SURVEY §2.3: explicit halo exchange over the
+    mesh axis; probe DFTs reduced by one final psum)."""
+    from fdtd_solver_antennas_tpu.parallel.explicit import build_explicit_run
+
+    ref = _build(pad_x=8).run()
+    sim = _build(pad_x=8)
+    mesh = make_device_mesh((8,), ("x",))
+    got = build_explicit_run(sim, mesh)()
+
+    assert int(got["steps"]) == int(ref["steps"])
+    _close_explicit(got["uf"], ref["uf"])
+    _close_explicit(got["if_"], ref["if_"])
+    for a, b in zip(got["nf_e"], ref["nf_e"]):
+        _close_explicit(a, b)
+    for fa, fb in zip(got["fields"], ref["fields"]):
+        _close_explicit(fa, fb)
+
+
+def test_explicit_collectives_pml():
+    """Explicit path under CPML: ψ recursions are elementwise given the
+    halo-extended derivatives, so the sharded run must still match."""
+    from fdtd_solver_antennas_tpu.parallel.explicit import build_explicit_run
+
+    ref = _build_pml(pad_x=8).run()
+    sim = _build_pml(pad_x=8)
+    mesh = make_device_mesh((8,), ("x",))
+    got = build_explicit_run(sim, mesh)()
+    assert int(got["steps"]) == int(ref["steps"])
+    _close_explicit(got["uf"], ref["uf"])
+    for a, b in zip(got["nf_e"], ref["nf_e"]):
+        _close_explicit(a, b)
+    for fa, fb in zip(got["fields"], ref["fields"]):
+        _close_explicit(fa, fb)
+
+
 def test_two_axis_mesh():
     """2D spatial decomposition (x × y) also reproduces the reference."""
     ref = _build(pad_x=4, pad_y=2).run()
