@@ -37,6 +37,23 @@ class PEC:
 
 
 @dataclass(frozen=True)
+class ConductiveSheet:
+    """Finite-conductivity zero-thickness metallization.
+
+    ``sigma_s`` is the sheet conductance σ·t_eff in S (inverse of the
+    sheet resistance R_s). The voxelizer spreads it over the dual cell as
+    an added edge conductivity σ_s/Δn on the sheet's *in-plane* E edges,
+    so conductor (ohmic) loss enters the power balance physically —
+    beyond the reference, whose openEMS scenes model all metal as PEC.
+    Use :func:`fdtd_solver_antennas_tpu.physics.sheet_conductance` to get
+    σ·t_eff with the skin-depth cap at the design frequency.
+    """
+
+    name: str
+    sigma_s: float  # sheet conductance σ·t_eff, S (per square)
+
+
+@dataclass(frozen=True)
 class Box:
     """Axis-aligned box primitive (before transform), in mm.
 
@@ -247,6 +264,22 @@ class Scene:
         priority: int = 10, **kw,
     ) -> Box:
         box = Box(PEC(name), tuple(start), tuple(stop), priority=priority, **kw)
+        self.boxes.append(box)
+        return box
+
+    def add_conductive_sheet(
+        self, name: str, sigma_s: float, start: Sequence[float],
+        stop: Sequence[float], priority: int = 10, **kw,
+    ) -> Box:
+        """Finite-conductivity metallization (sheet conductance σ·t_eff, S).
+
+        The box should be degenerate (zero extent) along the sheet normal,
+        like the PEC sheets the reference draws for patch/ground metal.
+        """
+        box = Box(
+            ConductiveSheet(name, float(sigma_s)),
+            tuple(start), tuple(stop), priority=priority, **kw,
+        )
         self.boxes.append(box)
         return box
 

@@ -682,6 +682,14 @@ def build_simulation(
         "ey": cell_to_edge_average(vox.sigma, "ey"),
         "ez": cell_to_edge_average(vox.sigma, "ez"),
     }
+    # finite-conductivity metallization: per-edge added conductivity from
+    # ConductiveSheet primitives (subcell thin-sheet model; conductor loss
+    # then appears physically in the power balance)
+    for comp, sheet in (("ex", vox.sheet_sigma_ex),
+                        ("ey", vox.sheet_sigma_ey),
+                        ("ez", vox.sheet_sigma_ez)):
+        if sheet is not None:
+            sigma_edges[comp] = sigma_edges[comp] + sheet
     eps_edges = {
         c: cell_to_edge_average(vox.eps_r, c) * EPS0 for c in ("ex", "ey", "ez")
     }

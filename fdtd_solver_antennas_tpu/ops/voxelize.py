@@ -20,7 +20,14 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..models.scene import Box, ConvexPolyhedron, Material, PEC, Scene
+from ..models.scene import (
+    Box,
+    ConductiveSheet,
+    ConvexPolyhedron,
+    Material,
+    PEC,
+    Scene,
+)
 from .mesh import YeeGrid
 
 # Inflation (mm) applied to degenerate box axes so edges lying exactly in a
@@ -31,13 +38,20 @@ _SHEET_TOL_MM = 1e-6
 @dataclass
 class VoxelizedScene:
     """Raster output; all arrays are full padded shape (Px, Py, Pz) except
-    the cell-centered material arrays which are (Px-1, Py-1, Pz-1)."""
+    the cell-centered material arrays which are (Px-1, Py-1, Pz-1).
+
+    ``sheet_sigma_*`` are per-edge *added* conductivities (S/m) from
+    finite-conductivity metallization (:class:`ConductiveSheet`); ``None``
+    when the scene has no lossy metal."""
 
     eps_r: np.ndarray
     sigma: np.ndarray
     pec_ex: np.ndarray
     pec_ey: np.ndarray
     pec_ez: np.ndarray
+    sheet_sigma_ex: np.ndarray | None = None
+    sheet_sigma_ey: np.ndarray | None = None
+    sheet_sigma_ez: np.ndarray | None = None
 
 
 def _inflated_bounds(box: Box):
@@ -124,6 +138,7 @@ def voxelize(scene: Scene, grid: YeeGrid, background_eps: float = 1.0) -> Voxeli
     )
     mat_boxes = [b for _, b in ordered if isinstance(b.prop, Material)]
     pec_boxes = [b for _, b in ordered if isinstance(b.prop, PEC)]
+    sheet_boxes = [b for _, b in ordered if isinstance(b.prop, ConductiveSheet)]
     # the native core understands boxes only; any polyhedron in the
     # material set forces the ordered NumPy painting path (priority
     # interleaving must be preserved)
@@ -195,12 +210,48 @@ def voxelize(scene: Scene, grid: YeeGrid, background_eps: float = 1.0) -> Voxeli
             m = m | poly.contains(pts)
         pec[comp] = m
 
+    # --- finite-conductivity sheets → per-edge added conductivity --------
+    # An in-plane E edge inside a sheet gets σ_s/Δn, the sheet conductance
+    # spread over the dual cell's extent normal to the sheet (standard
+    # subcell thin-sheet averaging). The normal is the box's degenerate
+    # local axis (dominant rotated axis for transformed instances).
+    sheets = {"ex": None, "ey": None, "ez": None}
+    if sheet_boxes:
+        dual = {a: grid.dual_deltas_m("xyz"[a]) for a in range(3)}
+        comp_axis = {"ex": 0, "ey": 1, "ez": 2}
+        for comp in ("ex", "ey", "ez"):
+            add = np.zeros((Px, Py, Pz), np.float64)
+            pts = _edge_midpoints(grid, comp)
+            for box in sheet_boxes:
+                ext = box.hi - box.lo
+                n_axis = int(np.argmin(ext))
+                if box.rotation is not None:
+                    n_local = np.zeros(3)
+                    n_local[n_axis] = 1.0
+                    n_world = np.asarray(box.rotation, float) @ n_local
+                    n_axis = int(np.argmax(np.abs(n_world)))
+                if comp_axis[comp] == n_axis:
+                    continue  # normal component carries no sheet current
+                m = _inflated_contains(box, pts)
+                if not m.any():
+                    continue
+                # Δn at each edge: dual spacing along the normal axis,
+                # indexed by the edge's position on that axis
+                dn = dual[n_axis]
+                idx = np.indices((Px, Py, Pz))[n_axis]
+                idx = np.minimum(idx, len(dn) - 1)
+                add[m] += box.prop.sigma_s / dn[idx][m]
+            sheets[comp] = add if add.any() else None
+
     return VoxelizedScene(
         eps_r=eps,
         sigma=sigma,
         pec_ex=pec["ex"],
         pec_ey=pec["ey"],
         pec_ez=pec["ez"],
+        sheet_sigma_ex=sheets["ex"],
+        sheet_sigma_ey=sheets["ey"],
+        sheet_sigma_ez=sheets["ez"],
     )
 
 

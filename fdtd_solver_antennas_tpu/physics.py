@@ -28,6 +28,26 @@ eps0 = EPS0
 eta0 = ETA0
 
 
+def skin_depth(f_hz: float, sigma_s_per_m: float) -> float:
+    """Conductor skin depth δ = √(2/(ωμ0σ)) in meters."""
+    return math.sqrt(2.0 / (2.0 * math.pi * f_hz * MU0 * sigma_s_per_m))
+
+
+def sheet_conductance(
+    sigma_s_per_m: float, thickness_m: float, f_hz: float
+) -> float:
+    """Effective sheet conductance σ·t_eff (S) for thin metallization.
+
+    At ``f_hz`` the current crowds into one skin depth per face, so the
+    effective thickness is capped at 2δ (both faces conducting): a
+    first-order surface-impedance model. For 35 µm copper at 2.45 GHz
+    (δ ≈ 1.3 µm) this gives R_s = 1/(σ·2δ) ≈ 6.4 mΩ/sq instead of the
+    0.5 mΩ/sq a DC sheet model would claim.
+    """
+    t_eff = min(thickness_m, 2.0 * skin_depth(f_hz, sigma_s_per_m))
+    return sigma_s_per_m * t_eff
+
+
 def wavelength(f_hz: float) -> float:
     """Free-space wavelength (reference: physics.py:15-16)."""
     return C0 / f_hz

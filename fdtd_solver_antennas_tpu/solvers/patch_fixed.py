@@ -64,8 +64,15 @@ def prepare_patch_fixed(
     n_steps_max: int = 30_000,
     end_criteria: float = 1e-4,
     boundary: str = "MUR",
+    lossy_metal: bool = False,
 ) -> SolverPrepared:
-    """Build the canonical patch scene and compile the simulation."""
+    """Build the canonical patch scene and compile the simulation.
+
+    ``lossy_metal=True`` models the patch and ground as finite-conductivity
+    sheets of ``params.metal`` (skin-depth-capped sheet conductance at f0)
+    instead of PEC, so conductor loss enters the power balance physically —
+    beyond the reference, whose openEMS metal is always PEC.
+    """
     try:
         f0 = params.frequency_hz
         fc = f0 / 2.0
@@ -92,15 +99,26 @@ def prepare_patch_fixed(
             "substrate", params.eps_r, kappa,
             [-sub_W / 2, -sub_L / 2, 0.0], [sub_W / 2, sub_L / 2, h], priority=0,
         )
-        scene.add_metal_box(
+        if lossy_metal:
+            from ..physics import sheet_conductance
+
+            sig_s = sheet_conductance(
+                params.metal.conductivity_s_per_m, params.metal.thickness_m, f0
+            )
+            add_metal = lambda name, lo, hi: scene.add_conductive_sheet(
+                name, sig_s, lo, hi, priority=10
+            )
+        else:
+            add_metal = lambda name, lo, hi: scene.add_metal_box(
+                name, lo, hi, priority=10
+            )
+        add_metal(
             "patch",
             [-patch_W / 2, -patch_L / 2, h], [patch_W / 2, patch_L / 2, h],
-            priority=10,
         )
-        scene.add_metal_box(
+        add_metal(
             "gnd",
             [-sub_W / 2, -sub_L / 2, 0.0], [sub_W / 2, sub_L / 2, 0.0],
-            priority=10,
         )
         scene.add_lumped_port(
             1, feed_R, [feed_pos, 0.0, 0.0], [feed_pos, 0.0, h],
