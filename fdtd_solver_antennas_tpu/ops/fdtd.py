@@ -156,18 +156,27 @@ class PortRuntime:
 class MSLRuntime:
     """Static MSL-port geometry consumed by the traced step function.
 
-    ``sl`` selects the excited block of Ez edges at the excitation plane;
-    ``v_sources``/``i_sources`` are generic linear-probe source lists
-    [((comp, i, j, k), weight)] over the E / H field stacks at the
-    measurement plane.
+    ``sl`` selects the excited block of Ez edges at the excitation plane.
+    ``v_probes`` / ``i_probes`` are generic linear-probe source lists
+    [((comp, i, j, k), weight)] over the E / H field stacks: three V
+    probes on node planes m−1, m, m+1 and two Ampère-loop I probes on
+    dual planes m−½, m+½ around the measurement plane (openEMS-style
+    3-probe deembedding). ``v_pos_m`` / ``i_pos_m`` are the probe-plane
+    coordinates along the propagation axis, in meters.
     """
 
     spec: object  # models.scene.MSLPortSpec
     sl: Tuple
     src_col: np.ndarray  # filled once cb is known
-    v_sources: list
-    i_sources: list
+    v_probes: list  # 3 probe source lists
+    i_probes: list  # 2 probe source lists
+    v_pos_m: np.ndarray
+    i_pos_m: np.ndarray
     z_ref: float
+
+    # each MSL port occupies this many probe rows in the uf/if_
+    # accumulators: (V@m−1, I@m−½), (V@m, I@m+½), (V@m+1, —)
+    N_ROWS = 3
 
 
 def port_probe_sources(sim: "PreparedSimulation"):
@@ -202,18 +211,31 @@ def port_probe_sources(sim: "PreparedSimulation"):
             ((hu, *g[2]), -float(du)), ((hu, *g[3]), float(du)),
         ])
     for msl in sim.msl_ports:
-        v_lists.append(msl.v_sources)
-        i_lists.append(msl.i_sources)
+        # 3 probe rows per MSL port (see MSLRuntime): the V@m+1 row has
+        # no paired I probe — its zero-weight gather contributes nothing
+        v_lists += msl.v_probes
+        i_lists += [msl.i_probes[0], msl.i_probes[1], []]
     return v_lists, i_lists
+
+
+def n_probe_rows(sim: "PreparedSimulation") -> int:
+    """Rows in the uf/if_ port-DFT accumulators: one per lumped port,
+    MSLRuntime.N_ROWS per MSL port (3-probe deembedding layout)."""
+    return len(sim.ports) + MSLRuntime.N_ROWS * len(sim.msl_ports)
 
 
 def _build_msl_runtime(spec, grid: YeeGrid) -> MSLRuntime:
     """Resolve an MSL port spec onto the grid.
 
     Excitation: uniform vertical-E (quasi-TEM) soft source on the plane of
-    Ez edges under the strip at ``exc_pos``. Probes at ``meas_pos``:
-    V = −∫E·dl at the strip center; I = Ampère patch enclosing the strip
-    sheet (interior H contributions telescope to the enclosing contour).
+    Ez edges under the strip at ``exc_pos``. Probes use the openEMS-style
+    3-probe deembedding layout around ``meas_pos`` (the scheme the
+    reference's disabled MSL path would have used, multi_3d.py:458-467):
+    three V probes (−∫E·dl at the strip center) on the node planes
+    m−1, m, m+1 and two Ampère-loop I probes on the dual planes m−½, m+½.
+    Post-processing (post/ports.py:msl_port_spectra) forms centered
+    estimates of V, I, dV/dx, dI/dx at the measurement plane and derives
+    the line's measured Z_L and β for the traveling-wave split.
     """
     axis = _AXIS_OF[spec.prop_axis]
     if axis == 2:
@@ -254,44 +276,62 @@ def _build_msl_runtime(spec, grid: YeeGrid) -> MSLRuntime:
         out[2] = k
         return tuple(out)
 
-    v_sources = [
-        ((2, *idx3(meas_i, jc, k)), -float(dz[k])) for k in range(k0, kh)
-    ]
+    def v_probe_at(p):
+        """−∫Ez·dl at the strip center on node plane ``p``."""
+        return [((2, *idx3(p, jc, k)), -float(dz[k])) for k in range(k0, kh)]
 
     # propagation direction sign: I measured along exc → meas travel
     direction = 1.0 if spec.meas_pos_mm >= spec.exc_pos_mm else -1.0
-    # H components: curl_prop = ∂H_t2/∂u − ... with (axis, u, v) cyclic.
-    # For axis=0 (x): curl_x = ∂Hz/∂y − ∂Hy/∂z; for axis=1 (y):
-    # curl_y = ∂Hx/∂z − ∂Hz/∂x.
-    i_sources = []
-    for j in range(max(j_lo - 1, 1), min(j_hi + 2, len(lines[t_axis]) - 1)):
-        if axis == 0:
-            base = idx3(meas_i, j, kh)
-            jm = idx3(meas_i, j - 1, kh)
-            km = idx3(meas_i, j, kh - 1)
-            w_t = float(dd[2][kh]) * direction
-            w_z = float(dd[t_axis][j]) * direction
-            i_sources += [
-                ((2, *base), w_t), ((2, *jm), -w_t),   # ΔHz·dzd
-                ((1, *base), -w_z), ((1, *km), w_z),   # −ΔHy·dyd
-            ]
-        else:  # axis == 1 (propagation along y)
-            base = idx3(meas_i, j, kh)
-            km = idx3(meas_i, j, kh - 1)
-            jm = idx3(meas_i, j - 1, kh)
-            w_x = float(dd[t_axis][j]) * direction
-            w_z = float(dd[2][kh]) * direction
-            i_sources += [
-                ((0, *base), w_x), ((0, *km), -w_x),   # ΔHx·dxd
-                ((2, *base), -w_z), ((2, *jm), w_z),   # −ΔHz·dzd
-            ]
 
+    def i_probe_at(p):
+        """Ampère loop around the strip sheet using H on dual plane p+½.
+
+        H components: curl_prop = ∂H_t2/∂u − … with (axis, u, v) cyclic.
+        For axis=0 (x): curl_x = ∂Hz/∂y − ∂Hy/∂z; for axis=1 (y):
+        curl_y = ∂Hx/∂z − ∂Hz/∂x.
+        """
+        srcs = []
+        for j in range(max(j_lo - 1, 1), min(j_hi + 2, len(lines[t_axis]) - 1)):
+            if axis == 0:
+                base = idx3(p, j, kh)
+                jm = idx3(p, j - 1, kh)
+                km = idx3(p, j, kh - 1)
+                w_t = float(dd[2][kh]) * direction
+                w_z = float(dd[t_axis][j]) * direction
+                srcs += [
+                    ((2, *base), w_t), ((2, *jm), -w_t),   # ΔHz·dzd
+                    ((1, *base), -w_z), ((1, *km), w_z),   # −ΔHy·dyd
+                ]
+            else:  # axis == 1 (propagation along y)
+                base = idx3(p, j, kh)
+                km = idx3(p, j, kh - 1)
+                jm = idx3(p, j - 1, kh)
+                w_x = float(dd[t_axis][j]) * direction
+                w_z = float(dd[2][kh]) * direction
+                srcs += [
+                    ((0, *base), w_x), ((0, *km), -w_x),   # ΔHx·dxd
+                    ((2, *base), -w_z), ((2, *jm), w_z),   # −ΔHz·dzd
+                ]
+        return srcs
+
+    if not (1 <= meas_i - 1 and meas_i + 1 < len(lines[axis])):
+        raise ValueError(
+            "MSL measurement plane too close to the grid edge for the "
+            "3-probe deembedding layout"
+        )
+    ax_mm = np.asarray(lines[axis], np.float64)
+    v_planes = [meas_i - 1, meas_i, meas_i + 1]
+    i_planes = [meas_i - 1, meas_i]
     return MSLRuntime(
         spec=spec,
         sl=sl,
         src_col=np.zeros((j_hi + 1 - j_lo, kh - k0), np.float32),
-        v_sources=v_sources,
-        i_sources=i_sources,
+        v_probes=[v_probe_at(p) for p in v_planes],
+        i_probes=[i_probe_at(p) for p in i_planes],
+        v_pos_m=ax_mm[v_planes] * 1e-3,
+        i_pos_m=np.array(
+            [0.5 * (ax_mm[p] + ax_mm[p + 1]) for p in i_planes]
+        ) * 1e-3,
         z_ref=float(spec.z0_ohm),
     )
 
@@ -951,9 +991,10 @@ def _resolve_use_pallas(sim: "PreparedSimulation") -> bool:
     px, py, pz = sim.padded_shape or sim.grid.shape
     if pz > 128:
         return False
-    # the chunk kernel's SMEM probe buffers are sized for 8 ports
+    # the chunk kernel's SMEM probe buffers are sized for 8 probe rows
     # (fdtd_pallas.py); beyond that the write would be out of bounds
-    if len(sim.ports) + len(sim.msl_ports) > 8:
+    # (each MSL port takes MSLRuntime.N_ROWS rows)
+    if n_probe_rows(sim) > 8:
         return False
     # 6 field inputs + 6 outputs + 6 coefficient arrays + source matrices
     # (+ 12 ψ in + 12 ψ out under PML) resident in VMEM (vectors/masks
@@ -1023,7 +1064,7 @@ def build_probe_gathers(sim: "PreparedSimulation", Px: int, Py: int,
     """
     faces = sim.faces
     nf_shapes = [(f.u1 - f.u0, f.v1 - f.v0) for f in faces]
-    n_ports = len(sim.ports) + len(sim.msl_ports)
+    n_ports = n_probe_rows(sim)
 
     def _flat_idx(comp, i, j, k):
         return ((comp * Px + i) * Py + j) * Pz_stride + k
@@ -1104,7 +1145,7 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None,
     ports = sim.ports
     msl_ports = sim.msl_ports
     faces = sim.faces
-    n_ports = len(ports) + len(msl_ports)
+    n_ports = len(ports) + MSLRuntime.N_ROWS * len(msl_ports)
     n_src = sim.n_source_steps
     decim = int(sim.probe_decim)
     n_sub = max(1, int(cfg.check_every) // decim)

@@ -49,6 +49,7 @@ from ..ops.fdtd import (
     _plane,
     _set_plane,
     build_probe_gathers,
+    n_probe_rows,
     nf_to_complex,
 )
 
@@ -111,7 +112,7 @@ def build_explicit_run(sim, mesh: Mesh, axis_name: str | None = None):
     dtmu = np.float32(dt / MU0)
     mur = cfg.boundary.upper().startswith("MUR")
     inv_p, inv_d, mur_coef, pml = sim._aux
-    n_ports = len(sim.ports) + len(sim.msl_ports)
+    n_ports = n_probe_rows(sim)
     n_src_steps = sim.n_source_steps
     decim = int(sim.probe_decim)
     n_sub = max(1, int(cfg.check_every) // decim)

@@ -26,7 +26,7 @@ from ..ops.fdtd import FDTDConfig, build_simulation
 from ..ops.mesh import MeshBuilder
 from ..physics import C0, design_patch_for_frequency, substrate_conductivity
 from ..post.nf2ff import nf2ff_transform, select_face_freqs
-from ..post.ports import find_resonance, port_spectra
+from ..post.ports import find_resonance, msl_port_spectra, port_spectra
 from .base import FDTDSolverResult, SolverPrepared, SolverProbe, radiation_efficiency
 from .patch_fixed import probe_fdtd
 
@@ -274,10 +274,25 @@ def run_prepared_microstrip(
         wall = time.perf_counter() - t_start
         mcells = sim.grid.num_cells * steps / wall / 1e6
 
-        spectra = port_spectra(
-            sim.port_freqs_hz, np.asarray(out["uf"][0]), np.asarray(out["if_"][0]),
-            sim.dft_dt, z_ref=50.0,
-        )
+        if sim.msl_ports:
+            # MSL port: 3-probe deembedding over the port's probe rows
+            # (rows come after any lumped ports; see port_probe_sources)
+            msl = sim.msl_ports[0]
+            base = len(sim.ports)
+            spectra = msl_port_spectra(
+                sim.port_freqs_hz,
+                np.asarray(out["uf"][base : base + 3]),
+                np.asarray(out["if_"][base : base + 2]),
+                sim.dft_dt,
+                msl.v_pos_m,
+                msl.i_pos_m,
+                z0_nominal=msl.z_ref,
+            )
+        else:
+            spectra = port_spectra(
+                sim.port_freqs_hz, np.asarray(out["uf"][0]),
+                np.asarray(out["if_"][0]), sim.dft_dt, z_ref=50.0,
+            )
         f_res, s11_db_res = find_resonance(spectra, frequency_hz)
         if verbose:
             if s11_db_res is not None:
@@ -329,6 +344,7 @@ def run_prepared_microstrip(
                 "nf2ff_freq_hz": float(sim.nf_freqs_hz[fi]),
                 "energy_ratio": float(out["e_ratio"]),
                 "rad_eff_converged": rad_eff_conv,
+                "port_spectra": spectra,
             },
         )
     except Exception as e:

@@ -1,25 +1,27 @@
 """MSL (microstrip-line) port: a working implementation of the port type
-the reference ships but force-disables (multi_3d.py:458-467).
+the reference ships but force-disables (multi_3d.py:458-467), with
+openEMS-style 3-probe deembedding (3 V planes + 2 Ampère-loop I planes
+around the measurement plane; measured Z_L/β drive the wave split).
 
-Validation: on the same microstrip-fed patch, the MSL port's fundamental
-S11 dip must coincide with the lumped port's (cross-port-type agreement,
-measured at 1.93 vs 1.89 GHz with near-identical depths in the full run).
-This test runs the MSL side and checks against the lumped-port dip
-frequency pinned from the converged comparison run.
+Validation is cross-port-type agreement: on the same microstrip-fed
+patch, the MSL port's fundamental S11 dip must coincide with the lumped
+port's, with the lumped dip derived in-test from a lumped-port run of
+the identical scene (no pinned magic frequencies), and the deembedded
+line impedance must come out near the Wheeler-synthesized 50 Ω.
 """
 
 import numpy as np
 import pytest
 
 from fdtd_solver_antennas_tpu import FeedDirection, PatchAntennaParams
-from fdtd_solver_antennas_tpu.models.scene import MSLPortSpec, Scene
+from fdtd_solver_antennas_tpu.post.ports import MSLPortSpectra
 from fdtd_solver_antennas_tpu.solvers.microstrip import (
     build_microstrip_scene,
     prepare_microstrip_patch,
     run_prepared_microstrip,
 )
 
-LUMPED_FUNDAMENTAL_HZ = 1.928e9  # from the converged lumped-port run
+N_STEPS = 5000  # truncated ring-down; enough to localize the dip
 
 
 def test_msl_scene_construction():
@@ -37,21 +39,75 @@ def test_msl_scene_construction():
     assert spec.strip_width_mm == pytest.approx(info["feed_width"])
 
 
-def test_msl_port_s11_fundamental():
+def test_msl_probe_layout():
+    """3 V probe rows + 2 I probe rows per MSL port, positions ordered
+    along the propagation axis and centered on the measurement plane."""
+    from fdtd_solver_antennas_tpu.ops.fdtd import n_probe_rows
+
     params = PatchAntennaParams.from_user_units(
-        frequency_ghz=2.45, er=4.3, h_mm=1.6, loss_tangent=0.02
+        frequency_ghz=2.45, er=4.3, h_mm=1.6
     )
     prep = prepare_microstrip_patch(
         params, feed_direction=FeedDirection.NEG_X, port_mode="msl",
-        boundary="PML_8", n_steps_max=5000,
+        n_steps_max=100,
     )
     assert prep.ok, prep.message
-    res = run_prepared_microstrip(prep, frequency_hz=2.45e9, verbose=0)
-    assert res.ok, res.message
-    db = 20 * np.log10(np.abs(res.s11) + 1e-12)
-    assert np.isfinite(db).all()
-    # fundamental dip within 5% of the lumped-port fundamental
-    win = (res.freq > 1.7e9) & (res.freq < 2.2e9)
+    sim = prep.sim
+    assert n_probe_rows(sim) == 3
+    msl = sim.msl_ports[0]
+    assert len(msl.v_probes) == 3 and len(msl.i_probes) == 2
+    assert np.all(np.diff(msl.v_pos_m) > 0)
+    assert np.all(np.diff(msl.i_pos_m) > 0)
+    # I planes interleave the V planes (dual grid): v0 < i0 < v1 < i1 < v2
+    assert msl.v_pos_m[0] < msl.i_pos_m[0] < msl.v_pos_m[1]
+    assert msl.v_pos_m[1] < msl.i_pos_m[1] < msl.v_pos_m[2]
+
+
+@pytest.fixture(scope="module")
+def port_runs():
+    """One lumped + one MSL run of the identical scene (shared across
+    the comparison tests below — these are the expensive CPU runs)."""
+    params = PatchAntennaParams.from_user_units(
+        frequency_ghz=2.45, er=4.3, h_mm=1.6, loss_tangent=0.02
+    )
+    results = {}
+    for mode in ("lumped", "msl"):
+        prep = prepare_microstrip_patch(
+            params, feed_direction=FeedDirection.NEG_X, port_mode=mode,
+            boundary="PML_8", n_steps_max=N_STEPS,
+        )
+        assert prep.ok, prep.message
+        res = run_prepared_microstrip(prep, frequency_hz=2.45e9, verbose=0)
+        assert res.ok, res.message
+        results[mode] = res
+    return results
+
+
+def _band_dip(freq, s11):
+    db = 20 * np.log10(np.abs(s11) + 1e-12)
+    win = (freq > 1.6e9) & (freq < 2.3e9)
     i = int(np.argmin(np.where(win, db, 0.0)))
-    assert db[i] < -4.0
-    assert res.freq[i] == pytest.approx(LUMPED_FUNDAMENTAL_HZ, rel=0.05)
+    return float(freq[i]), float(db[i])
+
+
+def test_msl_port_s11_matches_lumped(port_runs):
+    for res in port_runs.values():
+        assert np.isfinite(np.abs(res.s11)).all()
+    f_lumped, _ = _band_dip(port_runs["lumped"].freq, port_runs["lumped"].s11)
+    f_msl, db_msl = _band_dip(port_runs["msl"].freq, port_runs["msl"].s11)
+    # cross-port-type agreement on the fundamental, derived in-test
+    assert f_msl == pytest.approx(f_lumped, rel=0.02)
+    assert db_msl < -10.0  # clean matched dip through the deembedding
+
+
+def test_msl_deembedded_line_impedance(port_runs):
+    """The measured Z_L from the 3-probe derivatives must recover the
+    Wheeler-synthesized 50 Ω line within 10% (band average)."""
+    sp = port_runs["msl"].diagnostics["port_spectra"]
+    assert isinstance(sp, MSLPortSpectra)
+    f = sp.freq_hz
+    sel = (f > 2.0e9) & (f < 2.9e9)
+    z_mean = float(np.mean(np.real(sp.z_line[sel])))
+    assert z_mean == pytest.approx(50.0, rel=0.10)
+    # forward-propagating wave: Re(beta) > 0 across the band
+    assert np.all(np.real(sp.beta[sel]) > 0)
