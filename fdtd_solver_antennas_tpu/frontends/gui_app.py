@@ -6,26 +6,37 @@ Per SURVEY §7 the platform-specific presentation is re-scoped: this module
 provides the same *capabilities* as a portable Tk app over the headless
 ``MultiPatchScene``/solver APIs:
 
-- dark-themed parameter sidebar (frequency/εr/h/tanδ/metal/solver type/
-  feed direction/boundary/θφ steps — gui_app.py:113-327);
+- dark-themed parameter sidebar with the reference's full control set
+  (frequency/εr/h/tanδ/metal/solver type incl. legacy+2D/feed direction/
+  boundary/θ·φ steps/normalization mode — gui_app.py:113-327);
+- a Port Diagnostics pane fed by structured ``log_cb`` messages and
+  per-run port summaries (gui_app.py:330-441);
 - Run button executing the solver on a background thread with all UI
   mutations marshaled through ``root.after`` (the reference's thread
   contract, gui_app.py:2678-2705) and control locking during runs;
 - scrolling log with openEMS-style step-line coalescing
   (``LogFrame.append_log`` analog, gui_app.py:489-517);
 - tabbed matplotlib plots: geometry, S11 sweep, polar cuts (mirrored to
-  360°), 3D pattern (gui_app.py:528-961, 1113-1348);
-- single-antenna and multi-patch scene modes (designer-backed).
+  360°), 3D pattern with dBi/Normalized scale switch
+  (gui_app.py:528-961, 1113-1348);
+- Scene tab over the headless designer with per-instance placement,
+  rot x/y/z, feed direction, and the full simulation-control block
+  (θ/φ steps, end criteria, NF2FF center, boundary, sim box auto/manual
+  — multi_patch_designer.py:291-465, 1449-1547), plus an "Open 3D view"
+  button that renders the interactive scene viewer (viz/scene3d.py) in
+  the default browser — the portable PyVista-view replacement.
 
 Requires a display; ``python -m fdtd_solver_antennas_tpu.frontends.gui_app``
 launches it. All compute paths are the same TPU-native solvers the CLI and
-web UI use.
+web UI use. The module-level helpers below are headless and unit-tested
+(tests/test_gui_helpers.py).
 """
 
 from __future__ import annotations
 
 import queue
 import threading
+from typing import Optional
 
 import numpy as np
 
@@ -100,6 +111,185 @@ def pattern_grid_for_plot(res):
     return res.theta, phi_full, grid_db
 
 
+def apply_norm_mode(grid_db: np.ndarray, mode: str) -> np.ndarray:
+    """Apply the 3D-scale normalization mode (reference '3D scale'
+    combobox, gui_app.py:239-256): 'dBi' passes absolute values through,
+    'Normalized' shifts the peak to 0 dB."""
+    grid_db = np.asarray(grid_db, float)
+    if mode.lower().startswith("norm"):
+        return grid_db - float(np.max(grid_db))
+    return grid_db
+
+
+#: sidebar solver choices → solver keys (reference offers 3 solver types,
+#: gui_app.py:174-178; we add the legacy + quasi-2D families the
+#: reference only exposes through Streamlit)
+SOLVER_CHOICES = (
+    ("fixed", "Simple (Lumped Port)"),
+    ("microstrip", "Microstrip Fed"),
+    ("microstrip_3d", "Microstrip Fed (3D sphere)"),
+    ("legacy", "Legacy 3D (PML)"),
+    ("2d", "Quasi-2D (fast)"),
+)
+
+
+def dispatch_prepare(
+    params,
+    solver_kind: str,
+    *,
+    feed: str = "-X",
+    boundary: str = "MUR",
+    theta_step_deg: float = 2.0,
+    phi_step_deg: float = 5.0,
+    **kw,
+):
+    """Prepare the selected solver; returns ``(prepared, runner_fn)``.
+
+    Maps each GUI control onto the solver it affects (θ step →
+    microstrip/3D NF2FF grid, φ step → 3D sphere sampling, boundary →
+    fixed/microstrip, feed → microstrip family). Extra ``kw`` (e.g.
+    ``n_steps_max``) pass through to the prepare function.
+    """
+    from ..solvers.microstrip import (
+        FeedDirection,
+        prepare_microstrip_patch,
+        run_prepared_microstrip,
+    )
+    from ..solvers.microstrip_3d import (
+        prepare_microstrip_patch_3d,
+        run_prepared_microstrip_3d,
+    )
+    from ..solvers.patch_2d import prepare_patch_2d, run_prepared_2d
+    from ..solvers.patch_fixed import prepare_patch_fixed, run_prepared_fixed
+    from ..solvers.patch_legacy import (
+        prepare_patch_legacy,
+        run_prepared_legacy,
+    )
+
+    if solver_kind == "microstrip":
+        prep = prepare_microstrip_patch(
+            params, feed_direction=FeedDirection(feed), boundary=boundary,
+            theta_step_deg=theta_step_deg, **kw,
+        )
+        return prep, run_prepared_microstrip
+    if solver_kind == "microstrip_3d":
+        prep = prepare_microstrip_patch_3d(
+            params, feed_direction=FeedDirection(feed), boundary=boundary,
+            theta_step_deg=theta_step_deg, phi_step_deg=phi_step_deg, **kw,
+        )
+        return prep, run_prepared_microstrip_3d
+    if solver_kind == "legacy":
+        prep = prepare_patch_legacy(params, **kw)
+        return prep, run_prepared_legacy
+    if solver_kind == "2d":
+        prep = prepare_patch_2d(params, **kw)
+        return prep, run_prepared_2d
+    prep = prepare_patch_fixed(params, boundary=boundary, **kw)
+    return prep, run_prepared_fixed
+
+
+def format_port_diagnostics(res) -> list:
+    """Structured lines for the Port Diagnostics pane
+    (reference pane: gui_app.py:330-441, fed by multi_3d log_cb
+    messages; single runs get a per-port summary)."""
+    lines = []
+    if res.f_res_hz:
+        lines.append(f"resonance: {res.f_res_hz / 1e9:.4f} GHz")
+    d = res.diagnostics or {}
+    if d.get("s11_db_at_res") is not None:
+        lines.append(f"S11 at resonance: {d['s11_db_at_res']:.2f} dB")
+    if res.z_in is not None and res.freq is not None and res.f_res_hz:
+        i = int(np.argmin(np.abs(np.asarray(res.freq) - res.f_res_hz)))
+        z = complex(np.asarray(res.z_in)[i])
+        lines.append(f"Z_in at resonance: {z.real:.1f} {z.imag:+.1f}j Ω")
+    if res.radiation_efficiency is not None:
+        conv = d.get("rad_eff_converged", True)
+        flag = "" if conv else "  [NOT CONVERGED — lower bound]"
+        lines.append(
+            f"radiation efficiency: {res.radiation_efficiency:.1%}{flag}"
+        )
+    if d.get("energy_ratio") is not None:
+        lines.append(f"energy decay ratio: {d['energy_ratio']:.2e}")
+    if res.steps_run:
+        lines.append(
+            f"{res.steps_run} steps, {res.wall_time_s:.2f} s, "
+            f"{res.mcells_per_s:.0f} Mcells/s"
+        )
+    return lines
+
+
+def apply_sim_controls(scene, values: dict) -> Optional[str]:
+    """Apply the Scene tab's simulation-control values onto
+    ``scene.controls`` (SimControls). Returns an error string or None.
+
+    Accepted keys: theta_step_deg, phi_step_deg, mesh_quality,
+    end_criteria_db, nf_center_mode, boundary, simbox_mode,
+    manual_size_mm (3-tuple). Mirrors multi_patch_designer.py:291-465.
+    """
+    c = scene.controls
+    try:
+        if "theta_step_deg" in values:
+            c.theta_step_deg = max(0.5, float(values["theta_step_deg"]))
+        if "phi_step_deg" in values:
+            c.phi_step_deg = max(1.0, float(values["phi_step_deg"]))
+        if "mesh_quality" in values:
+            c.mesh_quality = max(1, min(10, int(values["mesh_quality"])))
+        if "end_criteria_db" in values:
+            # reference clamp contract: multi_3d.py:275-282
+            c.end_criteria_db = max(-80.0, min(-10.0, float(values["end_criteria_db"])))
+        if "nf_center_mode" in values:
+            mode = str(values["nf_center_mode"])
+            if mode not in ("origin", "centroid"):
+                return f"bad NF2FF center mode: {mode}"
+            c.nf_center_mode = mode
+        if "boundary" in values:
+            b = str(values["boundary"])
+            if b not in ("MUR", "PML_8"):
+                return f"bad boundary: {b}"
+            c.boundary = b
+        if "simbox_mode" in values:
+            m = str(values["simbox_mode"])
+            if m not in ("auto", "manual"):
+                return f"bad sim-box mode: {m}"
+            c.simbox_mode = m
+        if "manual_size_mm" in values and values["manual_size_mm"] is not None:
+            size = tuple(float(v) for v in values["manual_size_mm"])
+            if len(size) != 3 or any(v <= 0 for v in size):
+                return "manual sim-box size must be 3 positive numbers (mm)"
+            c.manual_size_mm = size
+    except (TypeError, ValueError) as e:
+        return f"bad control value: {e}"
+    return None
+
+
+def apply_instance_fields(scene, inst, values: dict) -> Optional[str]:
+    """Apply per-instance placement/orientation/feed edits
+    (multi_patch_designer.py:1449-1547 per-field apply). Keys:
+    x_mm, y_mm, z_mm, rot_x_deg, rot_y_deg, rot_z_deg, feed_direction."""
+    from ..solvers.microstrip import FeedDirection
+
+    try:
+        for key, attr, scale in (
+            ("x_mm", "center_x_m", 1e-3),
+            ("y_mm", "center_y_m", 1e-3),
+            ("z_mm", "center_z_m", 1e-3),
+            ("rot_x_deg", "rot_x_deg", 1.0),
+            ("rot_y_deg", "rot_y_deg", 1.0),
+            ("rot_z_deg", "rot_z_deg", 1.0),
+        ):
+            if key in values:
+                scene.update_field(inst, attr, float(values[key]) * scale)
+        if "feed_direction" in values:
+            if not hasattr(inst, "feed_direction"):
+                return "horns have no feed direction"
+            scene.update_field(
+                inst, "feed_direction", FeedDirection(str(values["feed_direction"]))
+            )
+    except (TypeError, ValueError) as e:
+        return f"bad instance value: {e}"
+    return None
+
+
 def default_horn_params_for(frequency_hz: float):
     """Reasonable pyramidal-horn defaults scaled to the design frequency
     (throat above TE10 cutoff, ~15 dBi aperture)."""
@@ -116,8 +306,23 @@ def default_horn_params_for(frequency_hz: float):
     )
 
 
+def open_scene_3d_view(scene, path: Optional[str] = None) -> str:
+    """Write the interactive scene HTML and return its path (the GUI
+    opens it in the default browser). Portable replacement for the
+    reference's PyVista view (gui_app.py:1352-2480)."""
+    import os
+    import tempfile
+
+    from ..viz.scene3d import save_scene_html, scene_meshes
+
+    if path is None:
+        path = os.path.join(tempfile.gettempdir(), "antenna_scene_3d.html")
+    return save_scene_html(scene_meshes(scene), path)
+
+
 def main() -> None:  # pragma: no cover — needs a display
     import tkinter as tk
+    import webbrowser
     from tkinter import ttk
 
     import matplotlib
@@ -128,15 +333,13 @@ def main() -> None:  # pragma: no cover — needs a display
 
     from ..models.params import PatchAntennaParams
     from ..solvers.analytical import AnalyticalPatchSolver
-    from ..solvers.microstrip import FeedDirection, prepare_microstrip_patch, run_prepared_microstrip
-    from ..solvers.patch_fixed import prepare_patch_fixed, run_prepared_fixed
     from ..viz.patterns import mirror_half_cut
     from .designer import MultiPatchScene
 
     root = tk.Tk()
     root.title("Patch Antenna Simulator — TPU-native FDTD")
     root.configure(bg=ModernStyle.BG)
-    root.geometry("1280x860")
+    root.geometry("1380x900")
 
     style = ttk.Style(root)
     try:
@@ -156,43 +359,65 @@ def main() -> None:  # pragma: no cover — needs a display
 
     fields = {}
 
-    def add_field(label, default):
-        ttk.Label(side, text=label).pack(anchor="w")
+    def add_field(label, default, parent=None):
+        parent = parent or side
+        ttk.Label(parent, text=label).pack(anchor="w")
         var = tk.StringVar(value=str(default))
-        ttk.Entry(side, textvariable=var, width=14).pack(anchor="w", pady=2)
+        ttk.Entry(parent, textvariable=var, width=14).pack(anchor="w", pady=2)
         fields[label] = var
+        return var
+
+    def add_combo(label, default, values, parent=None):
+        parent = parent or side
+        ttk.Label(parent, text=label).pack(anchor="w")
+        var = tk.StringVar(value=default)
+        ttk.Combobox(
+            parent, textvariable=var, width=18, values=list(values),
+            state="readonly",
+        ).pack(anchor="w", pady=2)
+        return var
 
     add_field("Frequency (GHz)", 2.45)
     add_field("Substrate εr", 4.3)
     add_field("Substrate h (mm)", 1.6)
     add_field("Loss tangent", 0.02)
-    ttk.Label(side, text="Metal").pack(anchor="w")
-    metal_var = tk.StringVar(value="copper")
-    ttk.Combobox(
-        side, textvariable=metal_var, width=12,
-        values=["copper", "aluminum", "gold", "silver", "tin"],
-    ).pack(anchor="w", pady=2)
-    ttk.Label(side, text="Solver").pack(anchor="w")
-    solver_var = tk.StringVar(value="fixed")
-    ttk.Combobox(
-        side, textvariable=solver_var, width=12,
-        values=["fixed", "microstrip"],
-    ).pack(anchor="w", pady=2)
-    ttk.Label(side, text="Feed direction").pack(anchor="w")
-    feed_var = tk.StringVar(value="-X")
-    ttk.Combobox(
-        side, textvariable=feed_var, width=12, values=["-X", "+X", "-Y", "+Y"]
-    ).pack(anchor="w", pady=2)
-    ttk.Label(side, text="Boundary").pack(anchor="w")
-    bc_var = tk.StringVar(value="MUR")
-    ttk.Combobox(
-        side, textvariable=bc_var, width=12, values=["MUR", "PML_8"]
-    ).pack(anchor="w", pady=2)
+    metal_var = add_combo(
+        "Metal", "copper", ["copper", "aluminum", "gold", "silver", "tin"]
+    )
+    solver_labels = {label: key for key, label in SOLVER_CHOICES}
+    solver_var = add_combo(
+        "Solver", SOLVER_CHOICES[0][1], [label for _, label in SOLVER_CHOICES]
+    )
+    feed_var = add_combo("Feed direction", "-X", ["-X", "+X", "-Y", "+Y"])
+    bc_var = add_combo("Boundary", "MUR", ["MUR", "PML_8"])
+    add_field("θ step (deg)", 2.0)
+    add_field("φ step (deg)", 5.0)
+    norm_var = add_combo("3D scale", "dBi", ["dBi", "Normalized"])
 
     run_btn = ttk.Button(side, text="Run FDTD")
     run_btn.pack(fill="x", pady=10)
     status_var = tk.StringVar(value="ready")
     ttk.Label(side, textvariable=status_var, wraplength=150).pack(anchor="w")
+
+    # Port Diagnostics pane (reference: gui_app.py:330-441)
+    ttk.Label(side, text="Port Diagnostics").pack(anchor="w", pady=(10, 0))
+    diag_text = tk.Text(
+        side, height=10, width=26, bg=ModernStyle.CONSOLE_BG,
+        fg=ModernStyle.WARN, font=("monospace", 8), state="disabled",
+    )
+    diag_text.pack(anchor="w", pady=2)
+
+    def set_diagnostics(lines):
+        diag_text.configure(state="normal")
+        diag_text.delete("1.0", "end")
+        diag_text.insert("1.0", "\n".join(lines))
+        diag_text.configure(state="disabled")
+
+    diag_lines: list = []
+
+    def diag_cb(msg):  # log_cb bridge — called from worker threads
+        diag_lines.append(str(msg))
+        root.after(0, lambda: set_diagnostics(diag_lines[-40:]))
 
     # ---------------- log console --------------------------------------
     log = LogCoalescer()
@@ -236,7 +461,7 @@ def main() -> None:  # pragma: no cover — needs a display
     scene_left.pack(side="left", fill="y", padx=(0, 8))
 
     inst_list = tk.Listbox(
-        scene_left, height=8, width=24, bg=ModernStyle.PANEL,
+        scene_left, height=6, width=24, bg=ModernStyle.PANEL,
         fg=ModernStyle.FG,
     )
     inst_list.pack(anchor="w", pady=2)
@@ -299,48 +524,101 @@ def main() -> None:  # pragma: no cover — needs a display
         side="left", padx=2
     )
 
+    # per-instance placement + orientation + feed direction
+    # (multi_patch_designer.py:1449-1547 per-field apply)
     place_fields = {}
-    for lbl, default in (
-        ("x (mm)", 0.0), ("y (mm)", 0.0), ("z (mm)", 0.0), ("rot z (°)", 0.0)
-    ):
-        ttk.Label(scene_left, text=lbl).pack(anchor="w")
+    place_grid = ttk.Frame(scene_left)
+    place_grid.pack(anchor="w")
+    for i, (lbl, default) in enumerate((
+        ("x (mm)", 0.0), ("y (mm)", 0.0), ("z (mm)", 0.0),
+        ("rot x (°)", 0.0), ("rot y (°)", 0.0), ("rot z (°)", 0.0),
+    )):
+        ttk.Label(place_grid, text=lbl).grid(row=i // 2, column=(i % 2) * 2,
+                                             sticky="w")
         var = tk.StringVar(value=str(default))
-        ttk.Entry(scene_left, textvariable=var, width=10).pack(
-            anchor="w", pady=1
+        ttk.Entry(place_grid, textvariable=var, width=7).grid(
+            row=i // 2, column=(i % 2) * 2 + 1, padx=2, pady=1
         )
         place_fields[lbl] = var
+    inst_feed_var = add_combo(
+        "Instance feed dir", "-X", ["-X", "+X", "-Y", "+Y"], parent=scene_left
+    )
 
     def on_apply_placement():
         inst = selected_instance()
         if inst is None:
             status_var.set("select an instance first")
             return
-        try:
-            scene.update_field(
-                inst, "center_x_m", float(place_fields["x (mm)"].get()) * 1e-3
-            )
-            scene.update_field(
-                inst, "center_y_m", float(place_fields["y (mm)"].get()) * 1e-3
-            )
-            scene.update_field(
-                inst, "center_z_m", float(place_fields["z (mm)"].get()) * 1e-3
-            )
-            scene.update_field(
-                inst, "rot_z_deg", float(place_fields["rot z (°)"].get())
-            )
-        except ValueError as e:
-            status_var.set(f"bad placement: {e}")
+        values = dict(
+            x_mm=place_fields["x (mm)"].get(),
+            y_mm=place_fields["y (mm)"].get(),
+            z_mm=place_fields["z (mm)"].get(),
+            rot_x_deg=place_fields["rot x (°)"].get(),
+            rot_y_deg=place_fields["rot y (°)"].get(),
+            rot_z_deg=place_fields["rot z (°)"].get(),
+        )
+        if hasattr(inst, "feed_direction"):
+            values["feed_direction"] = inst_feed_var.get()
+        err = apply_instance_fields(scene, inst, values)
+        status_var.set(err or f"applied to {inst.name}")
 
     ttk.Button(
         scene_left, text="Apply placement", command=on_apply_placement
     ).pack(anchor="w", pady=4)
 
-    ttk.Label(scene_left, text="Mesh quality (1–10)").pack(anchor="w")
-    meshq_var = tk.StringVar(value="3")
-    ttk.Entry(scene_left, textvariable=meshq_var, width=10).pack(anchor="w")
+    # simulation controls block (multi_patch_designer.py:291-465)
+    ctrl_grid = ttk.Frame(scene_left)
+    ctrl_grid.pack(anchor="w", pady=(6, 0))
+    ctrl_fields = {}
+    for i, (lbl, default) in enumerate((
+        ("θ step", 2.0), ("φ step", 5.0),
+        ("mesh q", 3), ("end dB", -25.0),
+        ("box x", 0.0), ("box y", 0.0), ("box z", 0.0),
+    )):
+        ttk.Label(ctrl_grid, text=lbl).grid(row=i // 2, column=(i % 2) * 2,
+                                            sticky="w")
+        var = tk.StringVar(value=str(default))
+        ttk.Entry(ctrl_grid, textvariable=var, width=7).grid(
+            row=i // 2, column=(i % 2) * 2 + 1, padx=2, pady=1
+        )
+        ctrl_fields[lbl] = var
+    nf_var = add_combo("NF2FF center", "origin", ["origin", "centroid"],
+                       parent=scene_left)
+    scene_bc_var = add_combo("Scene boundary", "MUR", ["MUR", "PML_8"],
+                             parent=scene_left)
+    simbox_var = add_combo("Sim box", "auto", ["auto", "manual"],
+                           parent=scene_left)
 
+    def collect_sim_controls():
+        values = dict(
+            theta_step_deg=ctrl_fields["θ step"].get(),
+            phi_step_deg=ctrl_fields["φ step"].get(),
+            mesh_quality=ctrl_fields["mesh q"].get(),
+            end_criteria_db=ctrl_fields["end dB"].get(),
+            nf_center_mode=nf_var.get(),
+            boundary=scene_bc_var.get(),
+            simbox_mode=simbox_var.get(),
+        )
+        if simbox_var.get() == "manual":
+            values["manual_size_mm"] = (
+                ctrl_fields["box x"].get(), ctrl_fields["box y"].get(),
+                ctrl_fields["box z"].get(),
+            )
+        return values
+
+    def on_open_3d():
+        if not scene_instances():
+            status_var.set("scene is empty — add instances first")
+            return
+        path = open_scene_3d_view(scene)
+        webbrowser.open(f"file://{path}")
+        status_var.set(f"3D view: {path}")
+
+    ttk.Button(scene_left, text="Open 3D view", command=on_open_3d).pack(
+        fill="x", pady=(6, 2)
+    )
     scene_run_btn = ttk.Button(scene_left, text="Run Scene FDTD")
-    scene_run_btn.pack(fill="x", pady=8)
+    scene_run_btn.pack(fill="x", pady=4)
 
     def params_from_ui():
         return PatchAntennaParams.from_user_units(
@@ -378,18 +656,13 @@ def main() -> None:  # pragma: no cover — needs a display
 
     result_q: "queue.Queue" = queue.Queue()
 
-    def worker(params, solver_kind, feed, boundary):
+    def worker(params, solver_kind, feed, boundary, theta_step, phi_step):
         try:
             log.append("prepare: building mesh + compiling…")
-            if solver_kind == "microstrip":
-                prep = prepare_microstrip_patch(
-                    params, feed_direction=FeedDirection(feed),
-                    boundary=boundary,
-                )
-                runner = run_prepared_microstrip
-            else:
-                prep = prepare_patch_fixed(params, boundary=boundary)
-                runner = run_prepared_fixed
+            prep, runner = dispatch_prepare(
+                params, solver_kind, feed=feed, boundary=boundary,
+                theta_step_deg=theta_step, phi_step_deg=phi_step,
+            )
             if not prep.ok:
                 result_q.put(("error", prep.message))
                 return
@@ -421,6 +694,8 @@ def main() -> None:  # pragma: no cover — needs a display
             f"step {res.steps_run}: finished in {res.wall_time_s:.2f}s"
         )
         refresh_log()
+        diag_lines.extend(format_port_diagnostics(res))
+        set_diagnostics(diag_lines[-40:])
 
         def build_s11(fig):
             ax = fig.add_subplot(111)
@@ -448,6 +723,7 @@ def main() -> None:  # pragma: no cover — needs a display
 
         def build_3d(fig):
             theta, phi_full, grid_db = pattern_grid_for_plot(res)
+            grid_db = apply_norm_mode(grid_db, norm_var.get())
             ax = fig.add_subplot(111, projection="3d")
             thg, phg = np.meshgrid(theta, phi_full, indexing="ij")
             lin = 10 ** ((grid_db - grid_db.max()) / 20.0)
@@ -462,13 +738,19 @@ def main() -> None:  # pragma: no cover — needs a display
                 cstride=1, linewidth=0, shade=False,
             )
             ax.set_box_aspect([1, 1, 1])
-            ax.set_title(f"3D pattern (Dmax {10 * np.log10(res.Dmax):.1f} dBi)")
+            unit = "dBi" if norm_var.get() == "dBi" else "dB (normalized)"
+            ax.set_title(
+                f"3D pattern, peak {grid_db.max():.1f} {unit} "
+                f"(Dmax {10 * np.log10(res.Dmax):.1f} dBi)"
+            )
 
         show_fig("3D Pattern", build_3d)
 
     def on_run():
         try:
             params = params_from_ui()
+            theta_step = float(fields["θ step (deg)"].get())
+            phi_step = float(fields["φ step (deg)"].get())
         except ValueError as e:
             status_var.set(f"bad input: {e}")
             return
@@ -476,16 +758,16 @@ def main() -> None:  # pragma: no cover — needs a display
         status_var.set("running…")
         threading.Thread(
             target=worker,
-            args=(params, solver_var.get(), feed_var.get(), bc_var.get()),
+            args=(params, solver_labels[solver_var.get()], feed_var.get(),
+                  bc_var.get(), theta_step, phi_step),
             daemon=True,
         ).start()
         root.after(200, poll_results)
 
-    def scene_worker(mesh_quality):
+    def scene_worker():
         try:
-            scene.controls.mesh_quality = mesh_quality
             log.append("scene prepare: voxelizing + compiling…")
-            res = scene.simulate(log_cb=log.append)
+            res = scene.simulate(log_cb=diag_cb)
             if not res.ok:  # failed prepare or failed run
                 result_q.put(("error", res.message))
             else:
@@ -497,17 +779,14 @@ def main() -> None:  # pragma: no cover — needs a display
         if not scene_instances():
             status_var.set("scene is empty — add instances first")
             return
-        try:
-            mesh_quality = max(1, min(10, int(meshq_var.get())))
-        except ValueError as e:
-            status_var.set(f"bad mesh quality: {e}")
+        err = apply_sim_controls(scene, collect_sim_controls())
+        if err:
+            status_var.set(err)
             return
         run_btn.state(["disabled"])
         scene_run_btn.state(["disabled"])
         status_var.set("running scene…")
-        threading.Thread(
-            target=scene_worker, args=(mesh_quality,), daemon=True
-        ).start()
+        threading.Thread(target=scene_worker, daemon=True).start()
         root.after(200, poll_results)
 
     run_btn.configure(command=on_run)

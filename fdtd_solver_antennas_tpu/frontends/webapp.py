@@ -5,24 +5,103 @@ Run with:  streamlit run fdtd_solver_antennas_tpu/frontends/webapp.py
 Parity flows:
 - sidebar parameter inputs (frequency, εr, h, L/W overrides, metal, tanδ);
 - instant analytical pattern + metric tiles (L, W, D0, G0, η — :116-123);
-- prepare / run buttons with ``st.session_state`` caching of the prepared
-  simulation (:25-28, 146-172) — here "prepare" builds + jit-compiles and
-  "run" executes the scan, so the two-phase flow is preserved;
+- fixed-solver prepare / run buttons with ``st.session_state`` caching of
+  the prepared simulation (:25-28, 222-344) — here "prepare" builds +
+  jit-compiles and "run" executes the scan, so the two-phase flow is
+  preserved;
+- legacy 3D + quasi-2D prepare/run panels with mode select and session
+  cache (:146-220), rendering φ = 0°/90° polar cuts with the reference's
+  ``normalize_and_bounds`` scaling — which the reference defines but never
+  uses (:215-220, dead code / truncated feature); here it is wired up;
+- the side-by-side "Compare with Analytical Solution" expander after
+  every FDTD result (:339-344) — the reference's signature validation UX;
 - pattern-analysis tiles with the dynamic-range classification (:268-290);
-- E/H-cut → full-sphere interpolated 3D surface (:346-469).
+- E/H-cut → full-sphere interpolated 3D surface (:346-469);
+- an interactive 3D scene view (viz/scene3d.py) replacing the reference's
+  Windows-only PyVista embedding (gui_app.py:1352-2480).
 
 Unlike the reference's abort flag (which could only prevent a run from
 *starting*, :165-168), runs here are fast enough on TPU that no abort
 machinery is needed.
 
 Streamlit is an optional dependency: importing this module without it
-raises a clear error, and ``main()`` is only wired when streamlit exists.
+raises a clear error only from ``main()``; the module-level helpers are
+headless and unit-tested (tests/test_gui_helpers.py).
 """
 
 from __future__ import annotations
 
+from typing import Tuple
+
 import numpy as np
 
+
+# ---------------------------------------------------------------------------
+# headless helpers (unit-tested; streamlit not required)
+# ---------------------------------------------------------------------------
+
+#: the reference's legacy-panel mode names (streamlit_app.py:61)
+LEGACY_MODES = ("2D (fast)", "3D legacy (full)")
+
+
+def normalize_and_bounds(curve) -> Tuple[np.ndarray, float, float]:
+    """Polar-plot scaling contract from the reference
+    (streamlit_app.py:215-220): normalize to peak (0 dB at max), snap the
+    radial minimum to 5 dB steps, clamp to [−40, 0].
+
+    The reference defines this and then renders nothing with it (dead
+    code / truncated feature, SURVEY §7); this UI actually uses it for
+    the legacy/2D polar cuts.
+    """
+    cur = np.asarray(curve, dtype=float)
+    cur = cur - float(np.max(cur))
+    rmin = max(-40.0, 5.0 * np.floor(float(np.min(cur)) / 5.0))
+    return cur, rmin, 0.0
+
+
+def prepare_legacy_mode(params, mode: str, **kw):
+    """Prepare the legacy-panel solver for ``mode`` (one of LEGACY_MODES).
+
+    Mode dispatch contract: streamlit_app.py:148-152 (``mode.startswith
+    ('2D')`` selects the quasi-2D prepare, else the legacy 3D one).
+    """
+    from ..solvers.patch_2d import prepare_patch_2d
+    from ..solvers.patch_legacy import prepare_patch_legacy
+
+    if mode.startswith("2D"):
+        return prepare_patch_2d(params, **kw)
+    return prepare_patch_legacy(params, **kw)
+
+
+def run_legacy_mode(prepared, mode: str, *, frequency_hz: float, verbose=0):
+    """Run a prepared legacy-panel simulation for ``mode``."""
+    from ..solvers.patch_2d import run_prepared_2d
+    from ..solvers.patch_legacy import run_prepared_legacy
+
+    if mode.startswith("2D"):
+        return run_prepared_2d(
+            prepared, frequency_hz=frequency_hz, verbose=verbose
+        )
+    return run_prepared_legacy(
+        prepared, frequency_hz=frequency_hz, verbose=verbose
+    )
+
+
+def plane_cuts_dbi(result) -> Tuple[np.ndarray, np.ndarray]:
+    """(ZX-plane cut, ZY-plane cut) in dB, from a solver result's
+    (θ, φ) intensity grid — φ nearest 0° and 90° (streamlit_app.py:
+    205-212 plane extraction)."""
+    arr = np.asarray(result.intensity, dtype=float)
+    ph = np.asarray(result.phi, dtype=float)
+    ph_wrapped = (ph + 2 * np.pi) % (2 * np.pi)
+    zx = int(np.argmin(np.abs(ph_wrapped - 0.0)))
+    zy = int(np.argmin(np.abs(ph_wrapped - np.pi / 2)))
+    return arr[:, zx], arr[:, zy]
+
+
+# ---------------------------------------------------------------------------
+# the app
+# ---------------------------------------------------------------------------
 
 def main() -> None:  # pragma: no cover - exercised manually via streamlit
     try:
@@ -49,12 +128,14 @@ def main() -> None:  # pragma: no cover - exercised manually via streamlit
         plot_3d_pattern_from_grid,
         plot_cross_sections,
     )
+    from ..viz.scene3d import patch_scene_meshes, scene_html
 
     st.set_page_config(page_title="Patch Antenna Simulator (TPU)", layout="wide")
     st.title("Patch Antenna Simulator — TPU-native FDTD")
 
-    if "prepared_fixed" not in st.session_state:
-        st.session_state.prepared_fixed = None
+    for key in ("prepared_fixed", "prepared_legacy", "legacy_mode"):
+        if key not in st.session_state:
+            st.session_state[key] = None
 
     with st.sidebar:
         st.header("Antenna parameters")
@@ -68,6 +149,17 @@ def main() -> None:  # pragma: no cover - exercised manually via streamlit
         use_custom = st.checkbox("Custom patch dimensions")
         L_mm = st.number_input("L (mm)", 1.0, 500.0, 29.1) if use_custom else None
         W_mm = st.number_input("W (mm)", 1.0, 500.0, 37.6) if use_custom else None
+
+        st.header("Legacy FDTD")
+        st.info("Tip: start with 2D (fast) to sanity-check ports and "
+                "fields, then run 3D (full).")
+        legacy_mode = st.selectbox("Mode", list(LEGACY_MODES), index=0)
+        cl1, cl2 = st.columns(2)
+        prep_legacy_btn = cl1.button("⚙️ Prepare legacy")
+        run_legacy_btn = cl2.button(
+            "⚡ Run legacy",
+            disabled=st.session_state.prepared_legacy is None,
+        )
 
     params = PatchAntennaParams.from_user_units(
         frequency_ghz=frequency_ghz, er=er, h_mm=h_mm, L_mm=L_mm, W_mm=W_mm,
@@ -90,7 +182,34 @@ def main() -> None:  # pragma: no cover - exercised manually via streamlit
     ):
         col.metric(label, fmt.format(summary[key]))
 
-    tab_analytical, tab_fdtd = st.tabs(["Analytical", "FDTD (TPU)"])
+    tab_analytical, tab_fdtd, tab_legacy, tab_scene = st.tabs(
+        ["Analytical", "FDTD (TPU)", "Legacy / 2D", "Scene 3D"]
+    )
+
+    def analytical_compare_expander():
+        """'Compare with Analytical Solution' (reference :339-344)."""
+        with st.expander("📈 Compare with Analytical Solution", expanded=False):
+            st.write("**Expected patch antenna pattern from theory:**")
+            st.pyplot(plot_cross_sections(solver))
+            st.write(
+                "**Note**: the analytical cavity model provides the "
+                "theoretical baseline for comparison with FDTD results."
+            )
+
+    def result_tiles(result):
+        label, dr = classify_pattern(result.intensity)
+        m1, m2, m3, m4 = st.columns(4)
+        m1.metric("Max gain", f"{result.intensity.max():.1f} dBi")
+        m2.metric("Min gain", f"{result.intensity.min():.1f} dBi")
+        m3.metric("Dynamic range", f"{dr:.1f} dB")
+        m4.metric("Pattern type", label)
+        if result.diagnostics and not result.diagnostics.get(
+            "rad_eff_converged", True
+        ):
+            st.warning(
+                "Radiation efficiency did not converge within the "
+                "step budget — the reported η is a lower-bound estimate."
+            )
 
     with tab_analytical:
         c1, c2 = st.columns(2)
@@ -132,12 +251,7 @@ def main() -> None:  # pragma: no cover - exercised manually via streamlit
                 st.pyplot(fig)
 
                 # pattern tiles (reference :268-290)
-                label, dr = classify_pattern(result.intensity)
-                m1, m2, m3, m4 = st.columns(4)
-                m1.metric("Max gain", f"{result.intensity.max():.1f} dBi")
-                m2.metric("Min gain", f"{result.intensity.min():.1f} dBi")
-                m3.metric("Dynamic range", f"{dr:.1f} dB")
-                m4.metric("Pattern type", label)
+                result_tiles(result)
 
                 # E/H cuts → interpolated full sphere (reference :346-469)
                 phi_full, grid_db = interpolate_cuts_to_sphere(
@@ -154,6 +268,78 @@ def main() -> None:  # pragma: no cover - exercised manually via streamlit
                         h_m=params.h_m,
                     )
                 )
+                analytical_compare_expander()
+
+    with tab_legacy:
+        st.subheader("Legacy 3D / quasi-2D solvers")
+        st.caption(
+            "PML-8 walls, NrTS 60000, EndCriteria 1e-5 — the reference's "
+            "earlier solver family (solver_fdtd_openems.py / _2d.py)."
+        )
+        if prep_legacy_btn:
+            with st.spinner(f"Preparing {legacy_mode}…"):
+                st.session_state.prepared_legacy = prepare_legacy_mode(
+                    params, legacy_mode
+                )
+                st.session_state.legacy_mode = legacy_mode
+            prep = st.session_state.prepared_legacy
+            (st.success if prep.ok else st.error)(prep.message)
+            if prep.ok:
+                st.rerun()  # enable the Run button
+        if run_legacy_btn and st.session_state.prepared_legacy is not None:
+            mode = st.session_state.legacy_mode or legacy_mode
+            with st.spinner(f"Running {mode} on TPU…"):
+                result = run_legacy_mode(
+                    st.session_state.prepared_legacy, mode,
+                    frequency_hz=params.frequency_hz,
+                )
+            if not result.ok:
+                st.error(result.message)
+            else:
+                st.success(
+                    f"{result.steps_run} steps in {result.wall_time_s:.2f} s; "
+                    f"f_res = {result.f_res_hz / 1e9:.3f} GHz"
+                )
+                # φ = 0°/90° polar cuts with the reference's (dead-code)
+                # polar scaling, now actually rendered
+                zx, zy = plane_cuts_dbi(result)
+                fig, axes = plt.subplots(
+                    1, 2, subplot_kw=dict(projection="polar"), figsize=(10, 4)
+                )
+                theta = np.asarray(result.theta)
+                for ax, cut, name in zip(
+                    axes, (zx, zy), ("ZX plane (φ=0°)", "ZY plane (φ=90°)")
+                ):
+                    cur, rmin, rmax = normalize_and_bounds(cut)
+                    ax.plot(theta, np.maximum(cur, rmin))
+                    ax.set_rmin(rmin)
+                    ax.set_rmax(rmax)
+                    ax.set_rticks(np.arange(rmin, rmax + 1e-9, 5.0))
+                    ax.set_theta_zero_location("N")
+                    ax.set_title(name)
+                st.pyplot(fig)
+                result_tiles(result)
+                analytical_compare_expander()
+
+    with tab_scene:
+        st.subheader("Interactive 3D scene")
+        st.caption(
+            "Portable replacement for the reference's Windows-only "
+            "PyVista view (gui_app.py:1352-2480)."
+        )
+        meshes = patch_scene_meshes(
+            solver.L_m * 1e3, solver.W_m * 1e3, params.h_m * 1e3
+        )
+        try:
+            import plotly  # noqa: F401
+
+            from ..viz.scene3d import scene_plotly_figure
+
+            st.plotly_chart(scene_plotly_figure(meshes), width="stretch")
+        except ImportError:
+            import streamlit.components.v1 as components
+
+            components.html(scene_html(meshes), height=520)
 
 
 if __name__ == "__main__":

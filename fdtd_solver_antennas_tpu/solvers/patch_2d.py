@@ -82,8 +82,12 @@ def prepare_patch_2d(
         mb = MeshBuilder()
         mb.add_line("x", [-sim_box[0] / 2, -W / 2, 0.0, W / 2, sim_box[0] / 2])
         mb.add_line("y", [-slice_len / 2, 0.0, slice_len / 2])
-        # widen y so an 8-cell PML fits each side of the thin slice
-        mb.add_line("y", [-sim_box[1] / 2, sim_box[1] / 2])
+        # keep the slice thin (the whole point of the 2D solver — the
+        # reference meshes only the slice + ground edges in y, :110):
+        # pad just enough for the 8-cell PML to sit outside the ground
+        # edge instead of widening to the full ±100 mm box
+        y_pad = sub_l / 2 + 8.0 * res
+        mb.add_line("y", [-y_pad, y_pad])
         mb.add_line("z", [-sim_box[2] / 3.0, 0.0, h, sim_box[2] * 2.0 / 3.0])
         mb.add_line("z", np.linspace(0.0, h, 5))
         mb.add_metal_edges(

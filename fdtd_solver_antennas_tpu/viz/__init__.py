@@ -6,6 +6,13 @@ from .plotting import (
     draw_patch_top_view,
     draw_microstrip_patch_3d_geometry,
 )
+from .scene3d import (
+    SceneMesh,
+    patch_scene_meshes,
+    scene_html,
+    scene_meshes,
+    scene_plotly_figure,
+)
 
 __all__ = [
     "plot_cross_sections",
@@ -14,4 +21,9 @@ __all__ = [
     "draw_patch_3d_geometry",
     "draw_patch_top_view",
     "draw_microstrip_patch_3d_geometry",
+    "SceneMesh",
+    "patch_scene_meshes",
+    "scene_html",
+    "scene_meshes",
+    "scene_plotly_figure",
 ]
