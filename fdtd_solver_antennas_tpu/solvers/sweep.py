@@ -46,6 +46,10 @@ class SweepPrepared:
     phi: Optional[np.ndarray] = None  # degrees
     nf_centers: Optional[List[np.ndarray]] = None  # per-variant, meters
     _vrun: object = None
+    # sweep-level device sharding (parallel/sweep_shard.py): rows past
+    # len(variants) are padding and are ignored by the result loops
+    _sweep_pad: int = 0
+    _sweep_mesh: object = None
 
 
 @dataclasses.dataclass
