@@ -95,7 +95,24 @@ def _edge_midpoints(grid: YeeGrid, component: str) -> np.ndarray:
     Invalid trailing slots (e.g. Ex at i = Px−1) are placed at the last
     valid coordinate; they never become PEC=True incorrectly because the
     coefficient builder zeroes them via validity masks anyway.
+
+    Cached per grid object: sweeps voxelize many variants onto one shared
+    grid, and rebuilding these meshgrids dominated sweep prepare time.
     """
+    cache = getattr(grid, "_edge_midpoint_cache", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(grid, "_edge_midpoint_cache", cache)
+    if component in cache:
+        return cache[component]
+    xs, ys, zs = _edge_axes(grid, component)
+    pts = _axes_to_points(xs, ys, zs)
+    cache[component] = pts
+    return pts
+
+
+def _edge_axes(grid: YeeGrid, component: str):
+    """Per-axis coordinate vectors (mm) of the E-edge slot midpoints."""
     x, y, z = grid.x, grid.y, grid.z
 
     def centers_padded(lines: np.ndarray) -> np.ndarray:
@@ -103,15 +120,52 @@ def _edge_midpoints(grid: YeeGrid, component: str) -> np.ndarray:
         return np.concatenate([c, c[-1:]])  # pad trailing slot
 
     if component == "ex":
-        xs, ys, zs = centers_padded(x), y, z
-    elif component == "ey":
-        xs, ys, zs = x, centers_padded(y), z
-    elif component == "ez":
-        xs, ys, zs = x, y, centers_padded(z)
-    else:
-        raise ValueError(component)
-    X, Y, Z = np.meshgrid(xs, ys, zs, indexing="ij")
-    return np.stack([X, Y, Z], axis=-1)
+        return centers_padded(x), y, z
+    if component == "ey":
+        return x, centers_padded(y), z
+    if component == "ez":
+        return x, y, centers_padded(z)
+    raise ValueError(component)
+
+
+def _axes_to_points(xs, ys, zs) -> np.ndarray:
+    """(len(xs), len(ys), len(zs), 3) coordinate array via broadcast fill
+    (one pass per component — ~3× cheaper than meshgrid+stack copies)."""
+    pts = np.empty((len(xs), len(ys), len(zs), 3), np.float64)
+    pts[..., 0] = np.asarray(xs, float)[:, None, None]
+    pts[..., 1] = np.asarray(ys, float)[None, :, None]
+    pts[..., 2] = np.asarray(zs, float)[None, None, :]
+    return pts
+
+
+def _poly_window(poly, xs, ys, zs, pad: float = 1e-9):
+    """Index-slice window of the polyhedron's world AABB on the given
+    per-axis coordinate vectors, or None when it misses the grid.
+
+    Containment over the full grid costs ~N·n_planes array traffic; horn
+    flare plates cover a few percent of a big scene, so windowing the
+    test to the AABB is a 10–50× prepare speedup on mixed scenes.
+    """
+    c = poly.world_corners()
+    lo, hi = c.min(axis=0) - pad, c.max(axis=0) + pad
+    sls = []
+    for a, v in enumerate((xs, ys, zs)):
+        i0 = int(np.searchsorted(v, lo[a], side="left"))
+        i1 = int(np.searchsorted(v, hi[a], side="right"))
+        if i1 <= i0:
+            return None
+        sls.append(slice(i0, i1))
+    return tuple(sls)
+
+
+def _poly_contains_windowed(poly, xs, ys, zs, out_or: np.ndarray) -> None:
+    """OR the polyhedron's containment mask into ``out_or`` touching only
+    the AABB window."""
+    sl = _poly_window(poly, xs, ys, zs)
+    if sl is None:
+        return
+    sub = _axes_to_points(xs[sl[0]], ys[sl[1]], zs[sl[2]])
+    out_or[sl] |= poly.contains(sub)
 
 
 def voxelize(scene: Scene, grid: YeeGrid, background_eps: float = 1.0) -> VoxelizedScene:
@@ -126,9 +180,12 @@ def voxelize(scene: Scene, grid: YeeGrid, background_eps: float = 1.0) -> Voxeli
 
     lib = get_voxelize_lib()
     Px, Py, Pz = grid.shape
-    cx, cy, cz = grid.centers("x"), grid.centers("y"), grid.centers("z")
-    CX, CY, CZ = np.meshgrid(cx, cy, cz, indexing="ij")
-    cell_pts = np.stack([CX, CY, CZ], axis=-1)
+    cell_pts = getattr(grid, "_cell_pts_cache", None)
+    if cell_pts is None:
+        cx, cy, cz = grid.centers("x"), grid.centers("y"), grid.centers("z")
+        CX, CY, CZ = np.meshgrid(cx, cy, cz, indexing="ij")
+        cell_pts = np.stack([CX, CY, CZ], axis=-1)
+        object.__setattr__(grid, "_cell_pts_cache", cell_pts)
 
     eps = np.full((Px - 1, Py - 1, Pz - 1), background_eps, dtype=np.float64)
     sigma = np.zeros_like(eps)
@@ -173,18 +230,24 @@ def voxelize(scene: Scene, grid: YeeGrid, background_eps: float = 1.0) -> Voxeli
         eps = eps_flat.reshape(eps.shape)
         sigma = sig_flat.reshape(sigma.shape)
     else:
+        ccx, ccy, ccz = (grid.centers(n) for n in "xyz")
         for box in mat_boxes:
+            sl = _poly_window(box, ccx, ccy, ccz, pad=_SHEET_TOL_MM)
+            if sl is None:
+                continue
+            sub = cell_pts[sl]
             if isinstance(box, ConvexPolyhedron):
-                mask = box.contains(cell_pts)
+                mask = box.contains(sub)
             else:
-                mask = _inflated_contains(box, cell_pts)
-            eps[mask] = box.prop.epsilon
-            sigma[mask] = box.prop.kappa
+                mask = _inflated_contains(box, sub)
+            eps[sl][mask] = box.prop.epsilon
+            sigma[sl][mask] = box.prop.kappa
 
     pec = {}
     pec_plain = [b for b in pec_boxes if not isinstance(b, ConvexPolyhedron)]
     pec_polys = [b for b in pec_boxes if isinstance(b, ConvexPolyhedron)]
     for comp in ("ex", "ey", "ez"):
+        axes = _edge_axes(grid, comp)
         pts = _edge_midpoints(grid, comp)
         if lib is not None and pec_plain:
             import ctypes
@@ -207,7 +270,7 @@ def voxelize(scene: Scene, grid: YeeGrid, background_eps: float = 1.0) -> Voxeli
             for box in pec_plain:
                 m |= _inflated_contains(box, pts)
         for poly in pec_polys:
-            m = m | poly.contains(pts)
+            _poly_contains_windowed(poly, *axes, out_or=m)
         pec[comp] = m
 
     # --- finite-conductivity sheets → per-edge added conductivity --------

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
@@ -152,13 +153,18 @@ def prepare_patch_geometry_sweep(
         port_freqs = np.linspace(max(1e8, f0 * 0.5), f0 * 1.5, 201)
         nf_freqs = np.array([f0])  # sweeps are S11-centric; keep NF light
 
-        sims = [
-            build_simulation(
-                _variant_scene(v, feed_pos_mm), grid, f0=f0, fc=fc, cfg=cfg,
-                port_freqs_hz=port_freqs, nf_freqs_hz=nf_freqs,
-            )
-            for v in variants
-        ]
+        # per-variant voxelize + coefficient builds are independent; the
+        # heavy work (native containment core, large numpy array math)
+        # releases the GIL, so threads give near-linear prepare speedup
+        # (the reference re-prepares serially per design)
+        with ThreadPoolExecutor(max_workers=min(8, len(variants))) as tp:
+            sims = list(tp.map(
+                lambda v: build_simulation(
+                    _variant_scene(v, feed_pos_mm), grid, f0=f0, fc=fc,
+                    cfg=cfg, port_freqs_hz=port_freqs, nf_freqs_hz=nf_freqs,
+                ),
+                variants,
+            ))
         base = sims[0]
         batched = {
             k: jnp.stack([s.coeffs[k] for s in sims]) for k in base.coeffs
@@ -336,13 +342,14 @@ def prepare_horn_aperture_sweep(
             )
             return scene
 
-        sims = [
-            build_simulation(
-                _scene(g), grid, f0=f0, fc=fc, cfg=cfg,
-                port_freqs_hz=port_freqs, nf_freqs_hz=nf_freqs,
-            )
-            for g in geos
-        ]
+        with ThreadPoolExecutor(max_workers=min(8, len(geos))) as tp:
+            sims = list(tp.map(
+                lambda g: build_simulation(
+                    _scene(g), grid, f0=f0, fc=fc, cfg=cfg,
+                    port_freqs_hz=port_freqs, nf_freqs_hz=nf_freqs,
+                ),
+                geos,
+            ))
         base_sim = sims[0]
         batched = {
             k: jnp.stack([s.coeffs[k] for s in sims]) for k in base_sim.coeffs

@@ -103,3 +103,63 @@ def test_cell_to_edge_average():
     assert out[0, 0, 1] == pytest.approx(1.0)
     assert out[2, 0, 1] == pytest.approx(3.0)
     assert out.shape == (3, 3, 3)
+
+
+def test_windowed_poly_containment_matches_full():
+    """The AABB-windowed polyhedron paint must reproduce the full-grid
+    containment test exactly (prepare-time optimization, no physics
+    change)."""
+    import numpy as np
+
+    from fdtd_solver_antennas_tpu.models.scene import PEC, make_plate, rotation_matrix
+    from fdtd_solver_antennas_tpu.ops.mesh import MeshBuilder
+    from fdtd_solver_antennas_tpu.ops.voxelize import (
+        _edge_axes,
+        _edge_midpoints,
+        _poly_contains_windowed,
+    )
+
+    mb = MeshBuilder()
+    mb.add_line("x", [-50.0, 50.0])
+    mb.add_line("y", [-50.0, 50.0])
+    mb.add_line("z", [-50.0, 50.0])
+    grid = mb.build(4.0)
+
+    quad = np.array([(0.0, -10.0, 0.0), (0.0, 10.0, 0.0),
+                     (20.0, 10.0, 15.0), (20.0, -10.0, 15.0)])
+    R = rotation_matrix(10.0, 0.0, 30.0)
+    plate = make_plate(quad, 2.0, PEC("p"), rotation=R,
+                       translation=(5.0, -3.0, 2.0))
+
+    for comp in ("ex", "ey", "ez"):
+        pts = _edge_midpoints(grid, comp)
+        full = plate.contains(pts)
+        windowed = np.zeros(pts.shape[:-1], bool)
+        _poly_contains_windowed(plate, *_edge_axes(grid, comp),
+                                out_or=windowed)
+        np.testing.assert_array_equal(windowed, full)
+        assert full.any()  # the plate actually intersects the grid
+
+
+def test_windowed_poly_off_grid_is_noop():
+    import numpy as np
+
+    from fdtd_solver_antennas_tpu.models.scene import PEC, make_plate
+    from fdtd_solver_antennas_tpu.ops.mesh import MeshBuilder
+    from fdtd_solver_antennas_tpu.ops.voxelize import (
+        _edge_axes,
+        _poly_contains_windowed,
+    )
+
+    mb = MeshBuilder()
+    mb.add_line("x", [-10.0, 10.0])
+    mb.add_line("y", [-10.0, 10.0])
+    mb.add_line("z", [-10.0, 10.0])
+    grid = mb.build(2.0)
+    far = make_plate(
+        np.array([(100.0, 0, 0), (110.0, 0, 0), (110.0, 10, 0), (100.0, 10, 0)]),
+        1.0, PEC("far"),
+    )
+    m = np.zeros(tuple(len(a) for a in _edge_axes(grid, "ez")), bool)
+    _poly_contains_windowed(far, *_edge_axes(grid, "ez"), out_or=m)
+    assert not m.any()
