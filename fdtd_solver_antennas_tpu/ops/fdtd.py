@@ -383,6 +383,7 @@ class PreparedSimulation:
     stream_T: int = 1  # leapfrog steps per streaming-kernel invocation
     field_sharding: object = None  # optional jax.sharding.NamedSharding
     _run_fn: object = None
+    _host_run: object = None  # host-driven chunk pipeline (XLA/stream)
     _resume_fn: object = None
     _aux: tuple = None  # (inv_p, inv_d, mur_coef) kept for run-fn rebuilds
 
@@ -439,7 +440,13 @@ class PreparedSimulation:
             jnp.asarray(2 * math.pi * self.port_freqs_hz, jnp.float32),
             jnp.asarray(2 * math.pi * self.nf_freqs_hz, jnp.float32),
         )
-        if resume_state is not None:
+        if self.pallas_mode != "chunk" and self._host_run is not None:
+            # XLA / stream modes: host-driven chunk pipeline (nested lax
+            # loops cost ~a carry copy per chunk boundary; see
+            # _make_run_fn.host_run). The VMEM-resident chunk kernel
+            # keeps the device while_loop — its chunk is one pallas_call.
+            out = self._host_run(*args, resume_state=resume_state)
+        elif resume_state is not None:
             if self._resume_fn is None:
                 inv_p, inv_d, mur_coef, pml = self._aux
                 self._resume_fn = jax.jit(
@@ -881,7 +888,9 @@ def build_simulation(
     )
     sim._aux = (inv_p, inv_d, mur_coef, pml)
     _resolve_pallas_mode(sim, stream_block)
-    sim._run_fn = jax.jit(_make_run_fn(sim, inv_p, inv_d, mur_coef, pml))
+    _run_raw = _make_run_fn(sim, inv_p, inv_d, mur_coef, pml)
+    sim._run_fn = jax.jit(_run_raw)
+    sim._host_run = _run_raw.host_run
     return sim
 
 
@@ -1021,7 +1030,9 @@ def rebuild_run_fn(sim: "PreparedSimulation") -> None:
     if sim.field_sharding is not None:
         sim.use_pallas = False  # sharded runs use the SPMD XLA path
         sim.pallas_mode = None
-    sim._run_fn = jax.jit(_make_run_fn(sim, inv_p, inv_d, mur_coef, pml))
+    _run_raw = _make_run_fn(sim, inv_p, inv_d, mur_coef, pml)
+    sim._run_fn = jax.jit(_run_raw)
+    sim._host_run = _run_raw.host_run
 
 
 def make_single_step(sim: "PreparedSimulation"):
@@ -1614,4 +1625,241 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None,
             state=state,
         )
 
+    # ------------------------------------------------------------------
+    # host-driven chunk pipeline (XLA / stream modes)
+    # ------------------------------------------------------------------
+    # Two measured pathologies motivate this structure (4.2M-cell mixed
+    # scene on a v5e via the axon tunnel):
+    #   1. nesting lax loops costs ~a full carry copy per inner-loop
+    #      boundary — while(chunks)·fori(decim) ran 2.0 Gcell/s where
+    #      the identical flat fori ran 3.7;
+    #   2. each host→device dispatch costs ~0.3 s on the tunneled
+    #      runtime, so one dispatch per 500-step chunk caps at ~2.5.
+    # So the host dispatches *superchunks*: one donated jit containing K
+    # trace-unrolled sub-chunks, each `lax.cond`-gated on the carry's
+    # `done` flag (measured free vs a plain chunk) and containing one
+    # flat fori(decim)·n_sub window plus the DFT flush + energy check.
+    # The gating makes the semantics identical to the device while_loop
+    # — checks every `chunk` steps, compute skipped once converged — with
+    # zero per-chunk host reads; the host blocks once at the end. The
+    # traced `run` above is kept for vmapped sweeps (host loops can't be
+    # vmapped).
+    from functools import partial
+
+    def _one_chunk(carry, coeffs, waveform, w_port, w_nf):
+        """One chunk: n_sub decim-windows + staged probe samples, then
+        the DFT flush + energy-decay check (math identical to
+        chunk_body's). Called under a per-chunk ``lax.cond`` gate (see
+        _get_superchunk), so it runs only while the simulation is
+        active; the step loops are static-bound fori loops, which
+        profiled fastest among the gating structures tried (dynamic
+        trip counts and data-masked flushes both measured slower)."""
+        if stream_step is not None:
+            def step_body(_, c):
+                wf_t = jax.lax.dynamic_slice(
+                    waveform, (c["n"],), (_stream_T,)
+                )
+                return dict(c, fields=stream_step(c["fields"], wf_t),
+                            n=c["n"] + _stream_T)
+
+            def advance(c):
+                return jax.lax.fori_loop(
+                    0, decim // _stream_T, step_body, c,
+                    unroll=_STEP_UNROLL,
+                )
+        else:
+            def step_body(_, c):
+                c2, _probes = field_step(c, c["n"], coeffs, waveform)
+                c2["n"] = c["n"] + 1
+                return c2
+
+            def advance(c):
+                return jax.lax.fori_loop(0, decim, step_body, c)
+
+        if n_sub <= 8:
+            # trace-time unroll: no nested-loop carry copies (the perf
+            # case — big grids resolve to small n_sub)
+            vs, is_, fes, fhs = [], [], [], []
+            for _j in range(n_sub):
+                carry = advance(carry)
+                E, H = carry["fields"][:3], carry["fields"][3:]
+                fe, fh, v, i_ = sample_probes(E, H)
+                vs.append(v)
+                is_.append(i_)
+                fes.append(fe)
+                fhs.append(fh)
+            bufs = dict(
+                v=jnp.stack(vs), i=jnp.stack(is_),
+                fe=jnp.stack(fes), fh=jnp.stack(fhs),
+            )
+        else:
+            # large n_sub (small grids / test configs): keep the compact
+            # staged fori — the nested-loop copy penalty is negligible at
+            # these array sizes, and the trace stays small
+            bufs0 = dict(
+                v=jnp.zeros((n_sub, n_ports), jnp.float32),
+                i=jnp.zeros((n_sub, n_ports), jnp.float32),
+                fe=jnp.zeros((n_sub, T_faces), jnp.float32),
+                fh=jnp.zeros((n_sub, T_faces), jnp.float32),
+            )
+
+            def sub_body(j, st):
+                c, b = st
+                c = advance(c)
+                E, H = c["fields"][:3], c["fields"][3:]
+                fe, fh, v, i_ = sample_probes(E, H)
+                return (c, dict(
+                    v=b["v"].at[j].set(v),
+                    i=b["i"].at[j].set(i_),
+                    fe=b["fe"].at[j].set(fe),
+                    fh=b["fh"].at[j].set(fh),
+                ))
+
+            carry, bufs = jax.lax.fori_loop(
+                0, n_sub, sub_body, (carry, bufs0)
+            )
+
+        n0 = carry["n"] - np.int32(chunk)
+        j_idx = jnp.arange(n_sub, dtype=jnp.float32)
+        t_e = (n0.astype(jnp.float32) + (j_idx + 1.0) * decim) * np.float32(dt)
+        t_h = t_e - np.float32(0.5 * dt)
+
+        def dft_mats(w, t):
+            ang = w[:, None] * t[None, :]
+            return jnp.cos(ang), jnp.sin(ang)
+
+        ce_p, se_p = dft_mats(w_port, t_e)
+        ch_p, sh_p = dft_mats(w_port, t_h)
+        uf = carry["uf"] + jnp.stack(
+            [ce_p @ bufs["v"], -(se_p @ bufs["v"])]
+        ).transpose(0, 2, 1)
+        if_ = carry["if_"] + jnp.stack(
+            [ch_p @ bufs["i"], -(sh_p @ bufs["i"])]
+        ).transpose(0, 2, 1)
+        ce_n, se_n = dft_mats(w_nf, t_e)
+        ch_n, sh_n = dft_mats(w_nf, t_h)
+        nf_e = carry["nf_e"] + jnp.stack(
+            [ce_n @ bufs["fe"], -(se_n @ bufs["fe"])]
+        )
+        nf_h = carry["nf_h"] + jnp.stack(
+            [ch_n @ bufs["fh"], -(sh_n @ bufs["fh"])]
+        )
+        E = carry["fields"][:3]
+        energy = sum(jnp.sum(e * e) for e in E)
+        e_max = jnp.maximum(carry["e_max"], energy)
+        ratio = jnp.where(e_max > 0, energy / e_max, jnp.float32(1.0))
+        done = (ratio < np.float32(cfg.end_criteria)) & (
+            carry["n"] > np.int32(n_src)
+        )
+        return dict(carry, uf=uf, if_=if_, nf_e=nf_e, nf_h=nf_h,
+                    e_max=e_max, e_ratio=ratio, done=done)
+
+    # superchunk size: amortize the per-dispatch cost over ~4000 steps
+    # while bounding the trace size (each sub-chunk unrolls n_sub
+    # advance+sample blocks)
+    K_sub = max(1, min(n_chunks_max, -(-4000 // chunk),
+                       64 // max(1, n_sub), 16))
+
+    _superchunks = {}
+
+    def _get_superchunk(k):
+        """Jitted superchunk of exactly ``k`` sub-chunks (compiled once
+        per distinct k — at most two: K_sub and a tail remainder)."""
+        if k not in _superchunks:
+            @partial(jax.jit, donate_argnums=(0,))
+            def _superchunk(carry, coeffs, waveform, w_port, w_nf):
+                for _ in range(k):  # trace-time unroll of gated chunks
+                    carry = jax.lax.cond(
+                        jnp.logical_and(
+                            jnp.logical_not(carry["done"]),
+                            carry["n"] < np.int32(cfg.n_steps_max),
+                        ),
+                        lambda c: _one_chunk(
+                            c, coeffs, waveform, w_port, w_nf
+                        ),
+                        lambda c: c,
+                        carry,
+                    )
+                return carry
+
+            _superchunks[k] = _superchunk
+        return _superchunks[k]
+
+    def host_run(coeffs, waveform, w_port, w_nf, resume_state=None):
+        n_port_freqs = int(w_port.shape[0])
+        n_nf_freqs = int(w_nf.shape[0])
+        wf_len = n_chunks_max * chunk
+        waveform = jnp.asarray(waveform)
+        if waveform.shape[0] < wf_len:
+            waveform = jnp.concatenate(
+                [waveform,
+                 jnp.zeros((wf_len - waveform.shape[0],), waveform.dtype)]
+            )
+        carry = init_carry(coeffs, n_nf_freqs, n_port_freqs)
+        n_cur = 0
+        if resume_state is not None:
+            resume_state = dict(resume_state)
+            n_cur = int(np.asarray(resume_state["n"]))
+            if flat_fields and np.asarray(resume_state["fields"][0]).ndim == 3:
+                resume_state["fields"] = tuple(
+                    _pl_to_flat(f) for f in resume_state["fields"]
+                )
+                for grp in ("psi_e", "psi_h"):
+                    if resume_state.get(grp):
+                        resume_state[grp] = {
+                            k: _pl_to_flat(v)
+                            for k, v in resume_state[grp].items()
+                        }
+            carry = dict(carry, **resume_state, done=jnp.bool_(False))
+            carry["n"] = jnp.int32(n_cur)
+        # dispatch exactly the remaining chunk count: full-K superchunks
+        # plus one tail variant, so budget termination is step-exact (the
+        # data-masked gating only covers early energy convergence inside
+        # a superchunk, where the extra free decay of a sub-criterion
+        # field is physically negligible)
+        n_remaining = max(0, n_chunks_max - n_cur // chunk)
+        plan = [K_sub] * (n_remaining // K_sub)
+        if n_remaining % K_sub:
+            plan.append(n_remaining % K_sub)
+        for k in plan:
+            carry = _get_superchunk(k)(carry, coeffs, waveform, w_port, w_nf)
+            # one small blocking read per superchunk (~K chunks): stops
+            # dispatching once converged
+            if bool(carry["done"]):
+                break
+
+        out_fields = carry["fields"]
+        if flat_fields:
+            out_fields = tuple(_pl_from_flat(f) for f in out_fields)
+        state_keys = ("psi_e", "psi_h", "uf", "if_", "nf_e",
+                      "nf_h", "n", "e_max", "e_ratio")
+        state = {k: carry[k] for k in state_keys}
+        if flat_fields:
+            for grp in ("psi_e", "psi_h"):
+                if carry[grp]:
+                    state[grp] = {
+                        k: _pl_from_flat(v) for k, v in carry[grp].items()
+                    }
+        state["fields"] = out_fields
+
+        def split_faces(acc):
+            return [
+                acc[:, :, off : off + 2 * nu * nv].reshape(
+                    2, n_nf_freqs, 2, nu, nv
+                )
+                for (off, nu, nv) in face_layout
+            ]
+
+        return dict(
+            uf=carry["uf"],
+            if_=carry["if_"],
+            nf_e=split_faces(carry["nf_e"]),
+            nf_h=split_faces(carry["nf_h"]),
+            steps=carry["n"],
+            e_ratio=carry["e_ratio"],
+            fields=out_fields,
+            state=state,
+        )
+
+    run.host_run = host_run
     return run
