@@ -42,8 +42,10 @@ _AXIS_OF = {"x": 0, "y": 1, "z": 2}
 # Unroll factor for the inner per-sample step loop in streaming-kernel
 # mode: XLA while iterations carry the full field state (~177 MB on the
 # 4.2M-cell workload) and cost ~0.7 ms each through the TPU runtime, so
-# steps between probe samples are unrolled to amortize it.
-_STEP_UNROLL = 16
+# steps between probe samples are unrolled to amortize it. 8 keeps the
+# loop-iteration overhead ~2% while bounding the number of pallas_call
+# instances in the trace (compile time through the tunnel).
+_STEP_UNROLL = 8
 
 
 def nf_to_complex(stacked) -> np.ndarray:
@@ -126,6 +128,9 @@ class FDTDConfig:
     # or "stream" (HBM-streaming x-blocked, for large grids / z > 128).
     # None → auto: chunk when it fits, else stream, else the XLA path.
     pallas_mode: str | None = None
+    # Trapezoid depth of the streaming kernel (leapfrog steps per block
+    # fetch). None → auto (largest of 4/3/2 that fits the block halo).
+    stream_T: int | None = None
 
     def pml_cells(self) -> int:
         """0 when not a PML boundary, else the slab thickness in cells."""
@@ -748,6 +753,8 @@ def build_simulation(
     # --- Ca/Cb per component ----------------------------------------------
     pec = {"ex": vox.pec_ex, "ey": vox.pec_ey, "ez": vox.pec_ez}
     coeffs: Dict[str, jnp.ndarray] = {}
+    coeffs_np: Dict[str, np.ndarray] = {}  # host copies (device reads via
+    # the tunneled runtime cost ~50 s/array; never read coeffs back)
     mur = cfg.boundary.upper().startswith("MUR")
     for comp, d_axis in (("ex", 0), ("ey", 1), ("ez", 2)):
         eps_a = eps_edges[comp]
@@ -772,16 +779,18 @@ def build_simulation(
         cb[pec[comp]] = 0.0
         coeffs["ca_" + comp] = jnp.asarray(ca, jnp.float32)
         coeffs["cb_" + comp] = jnp.asarray(cb, jnp.float32)
+        coeffs_np["ca_" + comp] = ca.astype(np.float32)
+        coeffs_np["cb_" + comp] = cb.astype(np.float32)
 
     # --- MSL excitation patterns (need cb): uniform quasi-TEM profile ----
     for msl in msl_ports:
-        cb_host = np.asarray(coeffs["cb_ez"])
+        cb_host = coeffs_np["cb_ez"]
         msl.src_col = (cb_host[msl.sl] * msl.spec.excite).astype(np.float32)
 
     # --- port source columns (need cb) ------------------------------------
     for prt in ports:
         comp = "e" + prt.spec.direction
-        cb_host = np.asarray(coeffs["cb_" + comp])
+        cb_host = coeffs_np["cb_" + comp]
         cb_col = cb_host[prt.sl]
         t_axes = [a for a in range(3) if a != prt.axis]
         dd = [grid.dual_deltas_m("xyz"[a]) for a in range(3)]
@@ -923,8 +932,15 @@ def _stream_prepass(cfg, grid_shape, padded_shape, scene) -> int:
         | ({"z"} if scene.msl_ports else set())
     )
     qx = grid_shape[0]
-    for b in (8, 16, 24, 32):
-        if (qx - 1) % b == 0:
+    zt = -(-padded_shape[2] // 128)
+    # block height in x-planes, largest-first (fewer fetch overheads).
+    # Bx·ZT % 8 == 0 keeps block sublane counts Mosaic-legal; the lo
+    # extension (MUR top face on a block boundary) must leave room for a
+    # ≥1-step trapezoid.
+    for b in (16, 12, 8, 6, 4, 3):
+        B = b * zt
+        lo = zt if ((qx - 1) * zt) % B == 0 else 0
+        if B % 8 or (B - lo) // zt - 1 < 1:
             continue
         if stream_vmem_bytes(
             padded_shape[1], padded_shape[2], n_src, b
@@ -961,10 +977,20 @@ def _resolve_pallas_mode(sim: "PreparedSimulation", stream_block: int) -> None:
         sim.use_pallas = True
         # trapezoid depth: T leapfrog steps per kernel invocation; must
         # divide the probe decimation (rounded down to keep cadence) and
-        # stay within the halo the neighbor block provides (T <= B-1)
+        # stay within the halo the neighbor block provides:
+        # B ≥ (T+1)·ZT + lo, i.e. T ≤ Bx − 1 − lo/ZT
+        zt = -(-(sim.padded_shape or sim.grid.shape)[2] // 128)
+        B = stream_block * zt
+        qx = sim.grid.shape[0]
+        mur_b = cfg.boundary.upper().startswith("MUR")
+        lo = zt if (mur_b and ((qx - 1) * zt) % B == 0) else 0
+        t_max = (B - lo) // zt - 1
         T = 1
-        for cand in (4, 2):
-            if cand <= stream_block - 1 and sim.probe_decim >= cand:
+        cands = (
+            (cfg.stream_T,) if cfg.stream_T else (4, 3, 2)
+        )
+        for cand in cands:
+            if cand <= t_max and sim.probe_decim >= cand:
                 T = cand
                 break
         sim.stream_T = T
@@ -1061,24 +1087,26 @@ def make_single_step(sim: "PreparedSimulation"):
 
 
 def build_probe_gathers(sim: "PreparedSimulation", Px: int, Py: int,
-                        Pz_stride: int):
+                        Pz_stride: int, zt_interleave: int = 1):
     """Flat gather indices + weights for every probe quantity.
 
-    Indices address the length-(6·Px·Py·Pz_stride) flattened stack of the
-    six field arrays (E then H, component-major). Returns
-    ``(pg_e_idx, pg_e_w, pg_h_idx, pg_h_w, face_layout, T_faces,
-    pv_idx, pv_w, pi_idx, pi_w)`` — face tangential E/H gathers (with the
-    per-face slot layout), and per-port V/I gathers. Shared by the XLA
-    path, the Pallas flat-layout carry (``Pz_stride = 128``), and the
-    explicit-collective shard_map path (which localizes the indices
-    per device).
+    Indices address the flattened stack of the six field arrays (E then
+    H, component-major). Returns ``(pg_e_idx, pg_e_w, pg_h_idx, pg_h_w,
+    face_layout, T_faces, pv_idx, pv_w, pi_idx, pi_w)`` — face tangential
+    E/H gathers (with the per-face slot layout), and per-port V/I
+    gathers. Shared by the XLA path (``Pz_stride = Pz``), the Pallas
+    flat-layout carries (``Pz_stride = 128``; the streaming kernel's
+    interleaved layout additionally passes ``zt_interleave = ZT`` so rows
+    are ``x·ZT + k//128``), and the explicit-collective shard_map path
+    (which localizes the indices per device).
     """
     faces = sim.faces
     nf_shapes = [(f.u1 - f.u0, f.v1 - f.v0) for f in faces]
     n_ports = n_probe_rows(sim)
+    S, zt = Pz_stride, zt_interleave
 
     def _flat_idx(comp, i, j, k):
-        return ((comp * Px + i) * Py + j) * Pz_stride + k
+        return (((comp * Px + i) * zt + k // S) * Py + j) * S + k % S
 
     e_idx, e_w, h_idx, h_w = [], [], [], []
     layout = []
@@ -1184,15 +1212,19 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None,
     pallas_step = None
     pallas_chunk = None
     stream_step = None
+    _stream_statics = ()
     _pl_to_flat = _pl_from_flat = None
-    _flat_Z = 128
+    _flat_shape = (Px, Py * 128)  # kernel-layout carry shape
+    _flat_zt = 1                  # z lane-tiles interleaved into rows
     if sim.use_pallas and not _expose_step and not force_xla:
         if sim.pallas_mode == "stream":
             from .fdtd_pallas import build_pallas_stream_stepper
 
-            stream_step, _pl_to_flat, _pl_from_flat, _flat_Z, _stream_T = (
+            (stream_step, _stream_statics, _pl_to_flat, _pl_from_flat,
+             _flat_shape, _stream_T) = (
                 build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef)
             )
+            _flat_zt = _flat_shape[0] // Px
             pallas_step = True  # flat-field carry mode marker
         else:
             from .fdtd_pallas import build_pallas_chunk_stepper
@@ -1322,10 +1354,11 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None,
     # (Px, Py·128) layout (no per-sample relayout); probe gather indices
     # use the matching z-stride.
     flat_fields = pallas_step is not None
-    Pz_stride = _flat_Z if flat_fields else Pz
+    Pz_stride = 128 if flat_fields else Pz
 
     (pg_e_idx, pg_e_w, pg_h_idx, pg_h_w, face_layout, T_faces,
-     pv_idx, pv_w, pi_idx, pi_w) = build_probe_gathers(sim, Px, Py, Pz_stride)
+     pv_idx, pv_w, pi_idx, pi_w) = build_probe_gathers(
+         sim, Px, Py, Pz_stride, zt_interleave=_flat_zt)
 
     pg_e_idx = jnp.asarray(pg_e_idx, jnp.int32)
     pg_e_w = jnp.asarray(pg_e_w)
@@ -1349,7 +1382,7 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None,
     def init_carry(coeffs, n_nf_freqs, n_port_freqs):
         def zeros():
             if flat_fields:
-                return jnp.zeros((Px, Py * _flat_Z), jnp.float32)
+                return jnp.zeros(_flat_shape, jnp.float32)
             z = jnp.zeros((Px, Py, Pz), jnp.float32)
             if sim.field_sharding is not None:
                 z = jax.lax.with_sharding_constraint(z, sim.field_sharding)
@@ -1445,11 +1478,15 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None,
             )
 
             if stream_step is not None:
+                # NOTE: closure-captures the kernel statics — this traced
+                # path is never taken in stream mode (PreparedSimulation
+                # routes stream/XLA runs to host_run, which passes the
+                # statics as jit arguments); kept only for API symmetry.
                 def step_only(_, c):
                     wf_t = jax.lax.dynamic_slice(
                         waveform, (c["n"],), (_stream_T,)
                     )
-                    f2 = stream_step(c["fields"], wf_t)
+                    f2 = stream_step(_stream_statics, c["fields"], wf_t)
                     return dict(c, fields=f2, n=c["n"] + _stream_T)
             else:
                 def step_only(_, c):
@@ -1646,20 +1683,24 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None,
     # vmapped).
     from functools import partial
 
-    def _one_chunk(carry, coeffs, waveform, w_port, w_nf):
+    def _one_chunk(carry, coeffs, waveform, w_port, w_nf, pl_statics=()):
         """One chunk: n_sub decim-windows + staged probe samples, then
         the DFT flush + energy-decay check (math identical to
         chunk_body's). Called under a per-chunk ``lax.cond`` gate (see
         _get_superchunk), so it runs only while the simulation is
         active; the step loops are static-bound fori loops, which
         profiled fastest among the gating structures tried (dynamic
-        trip counts and data-masked flushes both measured slower)."""
+        trip counts and data-masked flushes both measured slower).
+        ``pl_statics`` threads the stream kernel's coefficient arrays
+        through the jit boundary as arguments (closure capture embedded
+        them as ~200 MB of HLO constants and exploded compile time)."""
         if stream_step is not None:
             def step_body(_, c):
                 wf_t = jax.lax.dynamic_slice(
                     waveform, (c["n"],), (_stream_T,)
                 )
-                return dict(c, fields=stream_step(c["fields"], wf_t),
+                return dict(c, fields=stream_step(pl_statics, c["fields"],
+                                                  wf_t),
                             n=c["n"] + _stream_T)
 
             def advance(c):
@@ -1754,33 +1795,37 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None,
         return dict(carry, uf=uf, if_=if_, nf_e=nf_e, nf_h=nf_h,
                     e_max=e_max, e_ratio=ratio, done=done)
 
-    # superchunk size: amortize the per-dispatch cost over ~4000 steps
-    # while bounding the trace size (each sub-chunk unrolls n_sub
-    # advance+sample blocks)
-    K_sub = max(1, min(n_chunks_max, -(-4000 // chunk),
-                       64 // max(1, n_sub), 16))
+    # superchunk size: amortize the ~0.3 s per-dispatch cost of the
+    # tunneled runtime over many chunks. The chunk loop is a lax.fori
+    # (one traced chunk body — Python-unrolling k gated chunks made the
+    # 4.2M-cell stream-mode compile exceed 8 minutes); its per-iteration
+    # carry overhead (~0.7 ms) is negligible at chunk granularity.
+    K_sub = max(1, min(n_chunks_max, -(-8000 // chunk), 32))
 
     _superchunks = {}
 
     def _get_superchunk(k):
-        """Jitted superchunk of exactly ``k`` sub-chunks (compiled once
-        per distinct k — at most two: K_sub and a tail remainder)."""
+        """Jitted superchunk of exactly ``k`` cond-gated sub-chunks
+        (compiled once per distinct k — at most two: K_sub and a tail
+        remainder; the trace contains a single chunk body)."""
         if k not in _superchunks:
             @partial(jax.jit, donate_argnums=(0,))
-            def _superchunk(carry, coeffs, waveform, w_port, w_nf):
-                for _ in range(k):  # trace-time unroll of gated chunks
-                    carry = jax.lax.cond(
+            def _superchunk(carry, coeffs, waveform, w_port, w_nf,
+                            pl_statics):
+                def body(_, c):
+                    return jax.lax.cond(
                         jnp.logical_and(
-                            jnp.logical_not(carry["done"]),
-                            carry["n"] < np.int32(cfg.n_steps_max),
+                            jnp.logical_not(c["done"]),
+                            c["n"] < np.int32(cfg.n_steps_max),
                         ),
-                        lambda c: _one_chunk(
-                            c, coeffs, waveform, w_port, w_nf
+                        lambda cc: _one_chunk(
+                            cc, coeffs, waveform, w_port, w_nf, pl_statics
                         ),
-                        lambda c: c,
-                        carry,
+                        lambda cc: cc,
+                        c,
                     )
-                return carry
+
+                return jax.lax.fori_loop(0, k, body, carry)
 
             _superchunks[k] = _superchunk
         return _superchunks[k]
@@ -1812,17 +1857,18 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None,
                         }
             carry = dict(carry, **resume_state, done=jnp.bool_(False))
             carry["n"] = jnp.int32(n_cur)
-        # dispatch exactly the remaining chunk count: full-K superchunks
-        # plus one tail variant, so budget termination is step-exact (the
-        # data-masked gating only covers early energy convergence inside
-        # a superchunk, where the extra free decay of a sub-criterion
-        # field is physically negligible)
+        # dispatch ceil(remaining/K) superchunks of a single compiled
+        # size: every chunk inside is cond-gated on both the energy
+        # criterion and n < n_steps_max, so overrunning the chunk budget
+        # in the last superchunk is a no-op and termination stays
+        # step-exact. (A separate tail-sized jit variant would double
+        # the compile cost through the tunnel for zero benefit.)
         n_remaining = max(0, n_chunks_max - n_cur // chunk)
-        plan = [K_sub] * (n_remaining // K_sub)
-        if n_remaining % K_sub:
-            plan.append(n_remaining % K_sub)
-        for k in plan:
-            carry = _get_superchunk(k)(carry, coeffs, waveform, w_port, w_nf)
+        for _ in range(-(-n_remaining // K_sub)):
+            carry = _get_superchunk(K_sub)(
+                carry, coeffs, waveform, w_port, w_nf,
+                _stream_statics if stream_step is not None else (),
+            )
             # one small blocking read per superchunk (~K chunks): stops
             # dispatching once converged
             if bool(carry["done"]):

@@ -118,9 +118,11 @@ def build_pallas_stepper(sim, inv_p, inv_d, mur_coef, alias: bool = False):
         mat = src_mats.setdefault("z", np.zeros((Px, Py, Pz), np.float32))
         mat[msl.sl] += msl.src_col
     src_comps = sorted(src_mats)  # deterministic arg order
-    src_inputs = [
-        np.asarray(to_flat(jnp.asarray(src_mats[c]))) for c in src_comps
-    ]
+    def _to_flat_np(a3):
+        a3 = np.pad(a3, ((0, 0), (0, 0), (0, LANE - Pz)))
+        return np.ascontiguousarray(a3.reshape(R, C))
+
+    src_inputs = [_to_flat_np(src_mats[c]) for c in src_comps]
 
     cxs = {k: np.float32(v) for k, v in mur_coef.items()}
 
@@ -268,133 +270,173 @@ def build_pallas_stepper(sim, inv_p, inv_d, mur_coef, alias: bool = False):
 # ---------------------------------------------------------------------------
 
 def stream_vmem_bytes(py: int, pz: int, n_src: int, block: int) -> int:
-    """Estimated peak VMEM of the streaming E-call at block height ``block``.
+    """Estimated peak VMEM of one streaming-kernel grid step at ``block``
+    x-planes per block.
 
-    ~(12+n_src) double-buffered input blocks + 3 output blocks + ~8 blocks
-    of temporaries, each ``block`` rows of ``py·Z`` lanes of f32.
+    Rows in the interleaved layout are ``py·128`` lanes; a block holds
+    ``B = block·ceil(pz/128)`` of them. Calibrated against the XLA
+    allocator's report on v5e (215.93 MB at B=16, Py=201, n_src=1):
+    double-buffered (prev, cur, next) input blocks for the 12 field + 6
+    coefficient + n_src source arrays, double-buffered outputs, and ~48
+    block-rows' worth of window temporaries.
     """
     zt = -(-pz // 128)
-    row_bytes = py * 128 * zt * 4
-    # (9 field + 2 halo + 6 coeff + n_src) double-buffered inputs,
-    # 3 double-buffered outputs, ~8 blocks of temporaries
-    n_bufs = 2 * (17 + n_src) + 2 * 3 + 8
-    return n_bufs * block * row_bytes
+    B = block * zt
+    row_bytes = py * 128 * 4
+    rows = 2 * (12 + n_src) * 3 * B + 2 * 6 * B + 48 * B
+    return rows * row_bytes
 
 
 def pick_stream_block(qx: int, px: int, py: int, pz: int, n_src: int):
-    """Choose the x-block height for the streaming kernel.
+    """Choose the streaming-kernel block height in x-planes.
 
-    Constraints: divides the padded x-extent, keeps the MUR top face row
-    (Qx−1) and its neighbor (Qx−2) in the same block ((Qx−1) % B ≠ 0), and
-    fits the VMEM budget. Returns 0 if no candidate works (→ XLA path).
+    Constraints: divides the padded x-extent, gives a Mosaic-legal block
+    row count (Bx·ZT divisible by 8 — TPU block sublane dims must be
+    multiples of 8), leaves room for a ≥1-step trapezoid (incl. the
+    extra low-edge plane needed when the MUR top face lands on a block
+    boundary), and fits the VMEM budget. Larger blocks amortize fetch
+    overhead better, so candidates are tried largest first. Returns 0 if
+    none works (→ XLA path).
     """
-    for b in (8, 16, 24, 32):
-        if px % b or (qx - 1) % b == 0:
+    zt = -(-pz // 128)
+    for b in (16, 12, 8, 6, 4, 3):
+        B = b * zt
+        lo = zt if ((qx - 1) * zt) % B == 0 else 0
+        if B % 8 or px % b or (B - lo) // zt - 1 < 1:
             continue
         if stream_vmem_bytes(py, pz, n_src, b) <= STREAM_VMEM_BUDGET:
             return b
     return 0
 
 
-# Peak VMEM allowed for one streaming-kernel invocation. The v5e exposes
-# 128 MB of VMEM; ~30 MB resident blocks are validated on this chip and
-# the chunk kernel already runs with a 110 MB limit, so 72 MB of (mostly
-# double-buffered DMA) blocks leaves ample headroom.
-STREAM_VMEM_BUDGET = 72 * 1024 * 1024
+# Peak VMEM allowed for one streaming-kernel invocation (as estimated by
+# stream_vmem_bytes, calibrated against the XLA allocator's OOM reports).
+# The v5e exposes 128 MB of VMEM; the kernel sets a 127 MB limit, and the
+# flagship z=152 scene at B=8 rows estimates ~114 MB.
+STREAM_VMEM_BUDGET = 120 * 1024 * 1024
 
 
 def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef):
-    """HBM-streaming x-blocked trapezoidal T-step kernel for large grids.
+    """HBM-streaming trapezoidal T-step kernel for large grids (any z).
 
     The VMEM-resident chunk kernel requires the whole working set in VMEM
-    and z <= 128; big scenes (the 4.2M-cell mixed patch+horn workload) fell
-    back to the XLA path at ~1 Gcell/s. This kernel streams x-blocks of the
-    flat layout through VMEM and advances T leapfrog steps per fetch using
-    overlapped (trapezoidal) tiling:
+    and z <= 128; big scenes (the 4.2M-cell mixed patch+horn workload,
+    z = 152) fell back to the XLA path at ~2.5 Gcell/s. This kernel
+    streams row-blocks of an *interleaved* flat layout through VMEM and
+    advances T leapfrog steps per fetch with overlapped (trapezoidal)
+    tiling. The layout is the round-3 row relayout (docs/ROADMAP.md):
 
-    - layout (R=Px, C=Py*Z) with Z = 128*ceil(Pz/128) -- grids with z > 128
-      use several lane tiles per y row; the zero-mask roll invariant holds
-      (pad lanes have zero coefficients / inverse spacings);
-    - each grid iteration j fetches the (prev, cur, next) blocks of every
-      field/coefficient array (whole-block halos: Mosaic requires sublane
-      extents divisible by 8), forms a (B+2T)-row window, and runs T
-      Python-unrolled leapfrog steps whose valid row range shrinks by one
-      per side per step -- after T steps exactly the B cur rows are valid
-      and written. Amortized HBM traffic: ~(45 block moves)/(T steps)
-      ~ 28 B/cell-step at T=4 vs ~750 B on the XLA fallback;
-    - boundary clamping of the halo specs is safe at every intermediate
-      step: all couplings across the x=0 / x=Qx-1 planes go through terms
-      masked by zero boundary cb / zero inverse spacings (same invariant
-      as the XLA path), so clamped garbage rows never contaminate valid
-      rows;
+    - rows ``r = x·ZT + zt`` (ZT = ceil(Pz/128) z lane-tiles), columns
+      ``c = y·128 + zl`` — rows stay Py·128 lanes (~100 KB) regardless of
+      the z extent, so z > 128 grids fit the same VMEM budget that the
+      proven ZT=1 kernel validated on hardware;
+    - neighbor access: y±1 = lane roll ±128; x±1 = row ±ZT (window
+      slices); z±1 = lane roll ±1 with a *tile-seam* fix — at zl = 127
+      the z+1 value lives in the next row (same x, zt+1), recovered as a
+      roll-by-127 of the row-shifted array (and symmetrically for z−1 at
+      zl = 0). Seam reads that cross x-planes (zt = ZT−1 → next x's
+      zt = 0) land on z-pad lanes whose fields are identically zero, the
+      same zero-coefficient invariant that kills all roll wrap-around;
+    - the per-axis z inverse spacings are *not* lane-separable anymore
+      (z depends on the row's zt too): they enter as ZT per-tile lane
+      vectors combined under static row-parity masks (every window/block
+      start is ≡ 0 mod ZT because B = Bx·ZT, so the zt of a local row is
+      the compile-time pattern ``row % ZT``);
+    - each grid iteration j fetches (prev, cur, next) blocks of every
+      field/coefficient array (B = Bx·ZT rows per block, Bx x-planes),
+      forms the halo window, and runs T Python-unrolled leapfrog steps
+      whose valid row range shrinks by ZT per side per half-step — after
+      T steps exactly the B cur rows are valid and written. Requires
+      Bx ≥ T+1. Amortized HBM traffic ~(45+3·n_src) block moves per T
+      steps ≈ 50-100 B/cell-step vs ~750 B on the XLA fallback;
+    - boundary clamping of the halo specs stays safe at every step: all
+      couplings across the x = 0 / x = Qx−1 planes go through terms
+      masked by zero boundary cb / zero inverse spacings (the XLA path's
+      invariant), so clamped garbage rows never contaminate valid rows;
     - MUR faces are pure value selects applied at every step in the XLA
-      path's face order (x rows -> y tiles -> z masked blend).
+      path's face order (x rows → y blend → z masked blend); the x-face
+      selects cover the ZT rows of each face x-plane.
 
     T is ``sim.stream_T`` (must divide the probe decimation; the mode
     resolver rounds ``probe_decim`` to a multiple of T and requires
-    T <= B-1). MUR/PEC only; PML uses the XLA path.
+    T ≤ Bx−1). MUR/PEC only; PML uses the XLA path.
 
-    Returns ``(step_fn, to_flat, from_flat, Z, T)`` with
+    Returns ``(step_fn, to_flat, from_flat, (R, C), T)`` with
     ``step_fn(fields6_flat, wf_t) -> fields6_flat`` advancing T steps
     (``wf_t``: (T,) waveform samples).
     """
     Px, Py, Pz = sim.padded_shape or sim.grid.shape
     ZT = -(-Pz // 128)
     Z = 128 * ZT
-    R, C = Px, Py * Z
-    B = int(sim.stream_block)
+    R, C = Px * ZT, Py * 128
+    Bx = int(sim.stream_block)          # x-planes per block
+    B = Bx * ZT                         # rows per block
     T = int(sim.stream_T)
-    if B <= 0 or R % B:
-        raise ValueError(f"invalid stream block {B} for R={R}")
-    if not (1 <= T <= B - 1):
-        raise ValueError(f"stream T={T} must satisfy 1 <= T <= B-1={B-1}")
+    if Bx <= 0 or Px % Bx:
+        raise ValueError(f"invalid stream block {Bx} for Px={Px}")
+    if not (1 <= T <= Bx - 1):
+        raise ValueError(f"stream T={T} must satisfy 1 <= T <= Bx-1={Bx - 1}")
     nb = R // B
     Qx, Qy, Qz = sim.grid.shape
-    jq = (Qx - 1) // B
-    r1 = (Qx - 1) % B
-    if r1 == 0:
-        raise ValueError("MUR top x-face must not sit on a block boundary")
+    jq = ((Qx - 1) * ZT) // B           # block holding the top x-face rows
+    r1 = ((Qx - 1) * ZT) % B            # row offset of the face x-plane
     dtmu = np.float32(sim.dt / MU0)
     mur = sim.cfg.boundary.upper().startswith("MUR")
     if sim.cfg.pml_cells() > 0:
         raise ValueError("MUR/PEC only")
+    # When the MUR top x-face sits exactly on a block boundary (r1 = 0),
+    # its x-neighbor plane belongs to the previous block; extend every
+    # step's valid row range one x-plane below the output block so the
+    # neighbor's E^k is always computed in-window (the extra rows are
+    # discarded at write time). Costs ZT rows of redundant compute per
+    # step and tightens the halo requirement to B ≥ (T+1)·ZT + lo.
+    lo = ZT if (mur and r1 == 0) else 0
+    if B < (T + 1) * ZT + lo:
+        raise ValueError(
+            f"stream block B={B} too small for T={T}, ZT={ZT}, lo={lo}"
+        )
 
     def to_flat(a3):
-        return jnp.pad(a3, ((0, 0), (0, 0), (0, Z - Pz))).reshape(R, C)
+        a3 = jnp.pad(a3, ((0, 0), (0, 0), (0, Z - Pz)))
+        return a3.reshape(Px, Py, ZT, 128).transpose(0, 2, 1, 3).reshape(R, C)
 
     def from_flat(a2):
-        return a2.reshape(R, Py, Z)[:, :, :Pz]
+        a3 = a2.reshape(Px, ZT, Py, 128).transpose(0, 2, 1, 3)
+        return a3.reshape(Px, Py, Z)[:, :, :Pz]
 
     coeffs_flat = {k: to_flat(v) for k, v in sim.coeffs.items()}
 
-    yy = np.repeat(np.arange(Py), Z)
-    zz = np.tile(np.arange(Z), Py)
-    z_valid = zz < Pz
+    yy = np.repeat(np.arange(Py), 128)
+    zl = np.tile(np.arange(128), Py)
 
-    def lane_vec(per_y=None, per_z=None):
-        v = np.ones(C, np.float32)
-        if per_y is not None:
-            v *= np.asarray(per_y, np.float32)[yy]
-        if per_z is not None:
-            vz = np.zeros(Z, np.float32)
-            vz[:Pz] = np.asarray(per_z, np.float32)
-            v *= vz[zz]
-        v *= z_valid
-        return v.reshape(1, C)
+    def lane_vec_y(per_y):
+        return (np.asarray(per_y, np.float32)[yy]).reshape(1, C)
 
-    iy_p = lane_vec(per_y=inv_p[1])
-    iz_p = lane_vec(per_z=inv_p[2])
-    iy_d = lane_vec(per_y=inv_d[1])
-    iz_d = lane_vec(per_z=inv_d[2])
-    ix_p = np.asarray(inv_p[0], np.float32).reshape(R, 1)
-    ix_d = np.asarray(inv_d[0], np.float32).reshape(R, 1)
+    def lane_vec_z(per_z, t):
+        """Lane vector of the z inverse spacings for lane tile ``t``."""
+        vz = np.zeros(128, np.float32)
+        seg = np.asarray(per_z, np.float32)[t * 128 : min((t + 1) * 128, Pz)]
+        vz[: len(seg)] = seg
+        return vz[zl].reshape(1, C)
 
-    mz0 = np.zeros(C, np.float32)
-    mz1 = np.zeros(C, np.float32)
-    mz0[(zz == 0) & (yy < Qy)] = 1.0
-    mz1[(zz == Qz - 1) & (yy < Qy)] = 1.0
-    my0 = (yy == 0).astype(np.float32)
-    my1 = (yy == Qy - 1).astype(np.float32)
+    iy_p = lane_vec_y(inv_p[1])
+    iy_d = lane_vec_y(inv_d[1])
+    izp_tiles = [lane_vec_z(inv_p[2], t) for t in range(ZT)]
+    izd_tiles = [lane_vec_z(inv_d[2], t) for t in range(ZT)]
+    # per-row x inverse spacings: each x-plane's value repeated ZT times
+    ix_p = np.repeat(np.asarray(inv_p[0], np.float32), ZT).reshape(R, 1)
+    ix_d = np.repeat(np.asarray(inv_d[0], np.float32), ZT).reshape(R, 1)
+
+    # z-face lane masks (row zt-masks are applied in-kernel via iota)
+    zt1 = (Qz - 1) // 128               # tile holding the top z face
+    zf1 = (Qz - 1) % 128                # its lane within the tile
+    mz0 = (((zl == 0) & (yy < Qy)).astype(np.float32)).reshape(1, C)
+    mz1 = (((zl == zf1) & (yy < Qy)).astype(np.float32)).reshape(1, C)
+    my0 = (yy == 0).astype(np.float32).reshape(1, C)
+    my1 = (yy == Qy - 1).astype(np.float32).reshape(1, C)
+    # tile-seam lane masks for the z±1 shifts
+    ml127 = (zl == 127).astype(np.float32).reshape(1, C)
+    ml0 = (zl == 0).astype(np.float32).reshape(1, C)
 
     src_mats = {}
     for prt in sim.ports:
@@ -405,9 +447,14 @@ def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef):
         mat = src_mats.setdefault("z", np.zeros((Px, Py, Pz), np.float32))
         mat[msl.sl] += msl.src_col
     src_comps = sorted(src_mats)
-    src_inputs = [
-        np.asarray(to_flat(jnp.asarray(src_mats[c]))) for c in src_comps
-    ]
+
+    def _to_flat_np(a3):
+        """Interleaved (x·ZT, y·128) relayout, host-side (no device trip)."""
+        a3 = np.pad(a3, ((0, 0), (0, 0), (0, Z - Pz)))
+        a3 = a3.reshape(Px, Py, ZT, 128).transpose(0, 2, 1, 3)
+        return np.ascontiguousarray(a3.reshape(R, C))
+
+    src_inputs = [_to_flat_np(src_mats[c]) for c in src_comps]
     n_src = len(src_comps)
     cxs = {k: np.float32(v) for k, v in mur_coef.items()}
 
@@ -417,23 +464,26 @@ def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef):
     def dn(a, axis, n):
         return pltpu.roll(a, n, axis)
 
-    # field index layout inside the kernel argument list
     n_coef = 6 * 3
     n_srcw = n_src * 3
 
     def kernel(*refs):
         wf_ref = refs[0]
-        (iyp_r, izp_r, iyd_r, izd_r) = refs[1:5]
-        (mz0_r, mz1_r, my0_r, my1_r) = refs[5:9]
-        ix_cols = refs[9:15]          # ixp prev/cur/next, ixd prev/cur/next
-        coef_refs = refs[15 : 15 + n_coef]
-        src_refs = refs[15 + n_coef : 15 + n_coef + n_srcw]
-        f_refs = refs[15 + n_coef + n_srcw : 15 + n_coef + n_srcw + 18]
-        (ex_o, ey_o, ez_o, hx_o, hy_o, hz_o) = refs[15 + n_coef + n_srcw + 18 :]
+        (iyp_r, iyd_r) = refs[1:3]
+        izp_rs = refs[3 : 3 + ZT]
+        izd_rs = refs[3 + ZT : 3 + 2 * ZT]
+        o = 3 + 2 * ZT
+        (mz0_r, mz1_r, my0_r, my1_r, ml127_r, ml0_r) = refs[o : o + 6]
+        ix_cols = refs[o + 6 : o + 12]   # ixp p/c/n, ixd p/c/n
+        o = o + 12
+        coef_refs = refs[o : o + n_coef]
+        src_refs = refs[o + n_coef : o + n_coef + n_srcw]
+        f_refs = refs[o + n_coef + n_srcw : o + n_coef + n_srcw + 18]
+        (ex_o, ey_o, ez_o, hx_o, hy_o, hz_o) = refs[o + n_coef + n_srcw + 18 :]
 
         j = pl.program_id(0)
-        iyp, izp = iyp_r[:], izp_r[:]
-        iyd, izd = iyd_r[:], izd_r[:]
+        iyp, iyd = iyp_r[:], iyd_r[:]
+        k127, k0l = ml127_r[:], ml0_r[:]
 
         def win3(p, c, n, lo, hi):
             """Window rows [lo, hi) in window coords (0 = prev block start,
@@ -447,13 +497,37 @@ def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef):
                 parts.append(n[max(lo - 2 * B, 0):hi - 2 * B])
             return parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
 
-        # E^0 window rows [B-T, 2B+T); H^0 rows [B-T-1, 2B+T)
-        aE0, bE0 = B - T, 2 * B + T
-        aH0, bH0 = B - T - 1, 2 * B + T
+        # z inverse spacings over the full window, built once per grid
+        # step: window coord 0 is global row j·B − B ≡ 0 (mod ZT), so the
+        # zt of window row w is the static pattern w % ZT.
+        if ZT == 1:
+            izp_full = izp_rs[0][:]
+            izd_full = izd_rs[0][:]
+
+            def iz_at(full, s, L):
+                return full
+        else:
+            rows3 = jax.lax.broadcasted_iota(jnp.int32, (3 * B, 1), 0)
+            ztr = jax.lax.rem(rows3, ZT)
+            izp_full = sum(
+                (ztr == t).astype(jnp.float32) * izp_rs[t][:]
+                for t in range(ZT)
+            )
+            izd_full = sum(
+                (ztr == t).astype(jnp.float32) * izd_rs[t][:]
+                for t in range(ZT)
+            )
+
+            def iz_at(full, s, L):
+                return full[s : s + L]
+
+        # E^0 window rows [B−T·ZT−lo, 2B+T·ZT); H^0 rows [B−(T+1)·ZT−lo, ·)
+        aE0, bE0 = B - T * ZT - lo, 2 * B + T * ZT
+        aH0 = B - (T + 1) * ZT - lo
         E = [win3(f_refs[c][:], f_refs[6 + c][:], f_refs[12 + c][:], aE0, bE0)
              for c in range(3)]
         H = [win3(f_refs[3 + c][:], f_refs[9 + c][:], f_refs[15 + c][:],
-                  aH0, bH0) for c in range(3)]
+                  aH0, bE0) for c in range(3)]
         ixp_w = jnp.concatenate([r[:] for r in ix_cols[0:3]], 0)
         ixd_w = jnp.concatenate([r[:] for r in ix_cols[3:6]], 0)
         caw = [win3(coef_refs[c][:], coef_refs[6 + c][:],
@@ -462,38 +536,65 @@ def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef):
                      src_refs[2 * n_src + s][:], 0, 3 * B)
                 for s in range(n_src)]
 
+        def up_z(self_a, rowp_a):
+            """z+1 neighbor: lane roll +1, with zl=127 lanes patched from
+            the row-above array (same x, next z tile)."""
+            if ZT == 1:
+                return up(self_a, 1, 1)
+            return (1.0 - k127) * up(self_a, 1, 1) + k127 * dn(rowp_a, 1, 127)
+
+        def dn_z(self_a, rowm_a):
+            """z−1 neighbor: lane roll −1, with zl=0 lanes patched from
+            the row-below array (same x, previous z tile)."""
+            if ZT == 1:
+                return dn(self_a, 1, 1)
+            return (1.0 - k0l) * dn(self_a, 1, 1) + k0l * up(rowm_a, 1, 127)
+
         for k in range(1, T + 1):
-            a_k = B - (T - k)
-            b_k = 2 * B + (T - k)
-            Lk = b_k - a_k
-            Ex, Ey, Ez = E    # rows [a_k-1, b_k+1), len Lk+2
-            Hx, Hy, Hz = H    # rows [a_k-2, b_k+1), len Lk+3
+            a_p = B - (T - k + 1) * ZT - lo  # start of E^{k-1} (window coords)
+            a_k = a_p + ZT               # start of E^k
+            b_k = 2 * B + (T - k) * ZT
+            LEn = b_k - a_k              # rows of E^k
+            LH = LEn + ZT                # rows of H^k  [a_k−ZT, b_k)
+            LE = LEn + 2 * ZT            # rows of E^{k-1}
+            Ex, Ey, Ez = E               # rows [a_p, b_k+ZT), len LE
+            Hx, Hy, Hz = H               # rows [a_p−ZT, b_k+ZT), len LE
 
-            # ---- H half-step on rows [a_k-1, b_k), len Lk+1 -----------
-            ExL, EyL, EzL = Ex[:-1], Ey[:-1], Ez[:-1]
-            ixp_k = ixp_w[a_k - 1 : b_k]
-            Hxn = Hx[1:-1] - dtmu * (
-                (up(EzL, 1, Z) - EzL) * iyp - (up(EyL, 1, 1) - EyL) * izp
+            # ---- H half-step on rows [a_k−ZT, b_k) = [a_p, a_p+LH) ----
+            ExL, EyL, EzL = Ex[:LH], Ey[:LH], Ez[:LH]
+            Ex_zp, Ey_zp = Ex[1 : LH + 1], Ey[1 : LH + 1]
+            ixp_k = ixp_w[a_p : a_p + LH]
+            izp_k = iz_at(izp_full, a_p, LH)
+            Hxn = Hx[ZT:LE] - dtmu * (
+                (up(EzL, 1, 128) - EzL) * iyp
+                - (up_z(EyL, Ey_zp) - EyL) * izp_k
             )
-            Hyn = Hy[1:-1] - dtmu * (
-                (up(ExL, 1, 1) - ExL) * izp - (Ez[1:] - EzL) * ixp_k
+            Hyn = Hy[ZT:LE] - dtmu * (
+                (up_z(ExL, Ex_zp) - ExL) * izp_k
+                - (Ez[ZT:LE] - EzL) * ixp_k
             )
-            Hzn = Hz[1:-1] - dtmu * (
-                (Ey[1:] - EyL) * ixp_k - (up(ExL, 1, Z) - ExL) * iyp
+            Hzn = Hz[ZT:LE] - dtmu * (
+                (Ey[ZT:LE] - EyL) * ixp_k
+                - (up(ExL, 1, 128) - ExL) * iyp
             )
 
-            # ---- E half-step on rows [a_k, b_k), len Lk ---------------
-            HxT, HyT, HzT = Hxn[1:], Hyn[1:], Hzn[1:]
+            # ---- E half-step on rows [a_k, b_k) -----------------------
+            HxT, HyT, HzT = Hxn[ZT:LH], Hyn[ZT:LH], Hzn[ZT:LH]
+            Hx_zm, Hy_zm = Hxn[ZT - 1 : LH - 1], Hyn[ZT - 1 : LH - 1]
             ixd_k = ixd_w[a_k : b_k]
+            izd_k = iz_at(izd_full, a_k, LEn)
             ca = [c[a_k : b_k] for c in caw]
-            Exn = ca[0] * Ex[1:-1] + ca[1] * (
-                (HzT - dn(HzT, 1, Z)) * iyd - (HyT - dn(HyT, 1, 1)) * izd
+            Exn = ca[0] * Ex[ZT : ZT + LEn] + ca[1] * (
+                (HzT - dn(HzT, 1, 128)) * iyd
+                - (HyT - dn_z(HyT, Hy_zm)) * izd_k
             )
-            Eyn = ca[2] * Ey[1:-1] + ca[3] * (
-                (HxT - dn(HxT, 1, 1)) * izd - (HzT - Hzn[:-1]) * ixd_k
+            Eyn = ca[2] * Ey[ZT : ZT + LEn] + ca[3] * (
+                (HxT - dn_z(HxT, Hx_zm)) * izd_k
+                - (HzT - Hzn[:LEn]) * ixd_k
             )
-            Ezn = ca[4] * Ez[1:-1] + ca[5] * (
-                (HyT - Hyn[:-1]) * ixd_k - (HxT - dn(HxT, 1, Z)) * iyd
+            Ezn = ca[4] * Ez[ZT : ZT + LEn] + ca[5] * (
+                (HyT - Hyn[:LEn]) * ixd_k
+                - (HxT - dn(HxT, 1, 128)) * iyd
             )
             s_val = wf_ref[0, k - 1]
             for s, comp in enumerate(src_comps):
@@ -506,60 +607,102 @@ def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef):
                     Ezn = Ezn + mat
 
             if mur:
-                # x faces: masked row selects, only in blocks 0 / jq.
-                # local index of global row 0 is T-k; of row Qx-1 is
-                # r1+T-k (old-field locals are +1: E^{k-1} starts one
-                # row lower).
+                # x faces: masked row selects (ZT rows per face), only in
+                # blocks 0 / jq. Local index of global row 0 in E^k coords
+                # is l0 = (T−k)·ZT; of row (Qx−1)·ZT it is lt = r1 + l0.
+                # E^{k−1} locals are +ZT (it starts ZT rows lower).
                 c00, c01 = cxs[(0, 0)], cxs[(0, 1)]
-                l0 = T - k
-                lt = r1 + T - k
-                rows = jax.lax.broadcasted_iota(jnp.int32, (Lk, 1), 0)
-                m_r0 = (rows == l0) & (j == 0)
-                m_rt = (rows == lt) & (j == jq)
-                fix0_ey = Ey[l0 + 2 : l0 + 3] + c00 * (
-                    Eyn[l0 + 1 : l0 + 2] - Ey[l0 + 1 : l0 + 2]
-                )
-                fix0_ez = Ez[l0 + 2 : l0 + 3] + c00 * (
-                    Ezn[l0 + 1 : l0 + 2] - Ez[l0 + 1 : l0 + 2]
-                )
-                fixt_ey = Ey[lt : lt + 1] + c01 * (
-                    Eyn[lt - 1 : lt] - Ey[lt + 1 : lt + 2]
-                )
-                fixt_ez = Ez[lt : lt + 1] + c01 * (
-                    Ezn[lt - 1 : lt] - Ez[lt + 1 : lt + 2]
-                )
-                Eyn = jnp.where(m_r0, fix0_ey, jnp.where(m_rt, fixt_ey, Eyn))
-                Ezn = jnp.where(m_r0, fix0_ez, jnp.where(m_rt, fixt_ez, Ezn))
+                l0 = (T - k) * ZT + lo
+                lt = r1 + l0
+                rows = jax.lax.broadcasted_iota(jnp.int32, (LEn, 1), 0)
+                for zt in range(ZT):
+                    m_r0 = (rows == l0 + zt) & (j == 0)
+                    m_rt = (rows == lt + zt) & (j == jq)
+                    s_n0 = l0 + 2 * ZT + zt      # x=1 row, old-E coords
+                    s_f0 = l0 + ZT + zt          # x=0 row, old-E coords
+                    fix0_ey = Ey[s_n0 : s_n0 + 1] + c00 * (
+                        Eyn[s_f0 : s_f0 + 1] - Ey[s_f0 : s_f0 + 1]
+                    )
+                    fix0_ez = Ez[s_n0 : s_n0 + 1] + c00 * (
+                        Ezn[s_f0 : s_f0 + 1] - Ez[s_f0 : s_f0 + 1]
+                    )
+                    s_nt = lt + zt               # x=Qx−2 row, old-E coords
+                    s_ft = lt + ZT + zt          # face row, old-E coords
+                    fixt_ey = Ey[s_nt : s_nt + 1] + c01 * (
+                        Eyn[lt - ZT + zt : lt - ZT + zt + 1]
+                        - Ey[s_ft : s_ft + 1]
+                    )
+                    fixt_ez = Ez[s_nt : s_nt + 1] + c01 * (
+                        Ezn[lt - ZT + zt : lt - ZT + zt + 1]
+                        - Ez[s_ft : s_ft + 1]
+                    )
+                    Eyn = jnp.where(
+                        m_r0, fix0_ey, jnp.where(m_rt, fixt_ey, Eyn)
+                    )
+                    Ezn = jnp.where(
+                        m_r0, fix0_ez, jnp.where(m_rt, fixt_ez, Ezn)
+                    )
 
-                # y faces: whole-Z-lane-tile masked blend (roll by Z pulls
-                # the neighboring y plane), reading post-x-fix Ezn
+                # y faces: lane roll ±128 masked blend, post-x-fix values
                 c10, c11 = cxs[(1, 0)], cxs[(1, 1)]
                 ky0, ky1 = my0_r[:], my1_r[:]
                 keep_y = 1.0 - ky0 - ky1
-                ExO, EyO, EzO = Ex[1:-1], Ey[1:-1], Ez[1:-1]
-                v0 = up(ExO, 1, Z) + c10 * (up(Exn, 1, Z) - ExO)
-                v1 = dn(ExO, 1, Z) + c11 * (dn(Exn, 1, Z) - ExO)
+                ExO = Ex[ZT : ZT + LEn]
+                EyO = Ey[ZT : ZT + LEn]
+                EzO = Ez[ZT : ZT + LEn]
+                v0 = up(ExO, 1, 128) + c10 * (up(Exn, 1, 128) - ExO)
+                v1 = dn(ExO, 1, 128) + c11 * (dn(Exn, 1, 128) - ExO)
                 Exn = Exn * keep_y + ky0 * v0 + ky1 * v1
-                v0 = up(EzO, 1, Z) + c10 * (up(Ezn, 1, Z) - EzO)
-                v1 = dn(EzO, 1, Z) + c11 * (dn(Ezn, 1, Z) - EzO)
+                v0 = up(EzO, 1, 128) + c10 * (up(Ezn, 1, 128) - EzO)
+                v1 = dn(EzO, 1, 128) + c11 * (dn(Ezn, 1, 128) - EzO)
                 Ezn = Ezn * keep_y + ky0 * v0 + ky1 * v1
 
-                # z faces (lane-strided): masked blend, post-y-fix values
+                # z faces: masked blend on (zt-row × lane) masks. The z=0
+                # neighbor (z=1) is always in-tile; the z=Qz−1 neighbor
+                # crosses a tile seam only when its lane is 0.
                 c20, c21 = cxs[(2, 0)], cxs[(2, 1)]
-                m0, m1 = mz0_r[:], mz1_r[:]
+                if ZT == 1:
+                    rm0 = rm1 = 1.0
+                else:
+                    ztrows = jax.lax.rem(
+                        jax.lax.broadcasted_iota(jnp.int32, (LEn, 1), 0), ZT
+                    )
+                    rm0 = (ztrows == 0).astype(jnp.float32)
+                    rm1 = (ztrows == zt1).astype(jnp.float32)
+                m0 = rm0 * mz0_r[:]
+                m1 = rm1 * mz1_r[:]
                 keep_z = 1.0 - m0 - m1
+                if ZT > 1 and zf1 == 0:
+                    # top z face sits on a tile seam: its z−1 neighbor is
+                    # the previous row's lane 127
+                    EO_zm = (Ex[ZT - 1 : ZT + LEn - 1],
+                             Ey[ZT - 1 : ZT + LEn - 1])
+                    En_zm = tuple(
+                        jnp.concatenate([a[:1] * 0.0, a[:-1]], 0)
+                        for a in (Exn, Eyn)
+                    )
+                    v1x = up(EO_zm[0], 1, 127) + c21 * (
+                        up(En_zm[0], 1, 127) - ExO
+                    )
+                    v1y = up(EO_zm[1], 1, 127) + c21 * (
+                        up(En_zm[1], 1, 127) - EyO
+                    )
+                else:
+                    v1x = dn(ExO, 1, 1) + c21 * (dn(Exn, 1, 1) - ExO)
+                    v1y = dn(EyO, 1, 1) + c21 * (dn(Eyn, 1, 1) - EyO)
                 v0 = up(ExO, 1, 1) + c20 * (up(Exn, 1, 1) - ExO)
-                v1 = dn(ExO, 1, 1) + c21 * (dn(Exn, 1, 1) - ExO)
-                Exn = Exn * keep_z + m0 * v0 + m1 * v1
+                Exn = Exn * keep_z + m0 * v0 + m1 * v1x
                 v0 = up(EyO, 1, 1) + c20 * (up(Eyn, 1, 1) - EyO)
-                v1 = dn(EyO, 1, 1) + c21 * (dn(Eyn, 1, 1) - EyO)
-                Eyn = Eyn * keep_z + m0 * v0 + m1 * v1
+                Eyn = Eyn * keep_z + m0 * v0 + m1 * v1y
 
             E = [Exn, Eyn, Ezn]
             H = [Hxn, Hyn, Hzn]
 
-        ex_o[:], ey_o[:], ez_o[:] = E
-        hx_o[:], hy_o[:], hz_o[:] = (h[1:] for h in H)
+        # after T steps E covers [B−lo, 2B); H covers [B−ZT−lo, 2B); the
+        # lo extension rows (duplicates of the previous block's top) are
+        # dropped at write time
+        ex_o[:], ey_o[:], ez_o[:] = (e[lo:] for e in E)
+        hx_o[:], hy_o[:], hz_o[:] = (h[ZT + lo:] for h in H)
 
     # ---- BlockSpecs --------------------------------------------------------
     blk = pl.BlockSpec((B, C), lambda j: (j, 0), memory_space=pltpu.VMEM)
@@ -580,8 +723,9 @@ def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef):
         grid=(nb,),
         in_specs=(
             [pl.BlockSpec(memory_space=pltpu.SMEM)]          # waveform (1,T)
-            + [const_row] * 4                                 # iyp izp iyd izd
-            + [const_row] * 4                                 # mz0 mz1 my0 my1
+            + [const_row] * 2                                 # iyp iyd
+            + [const_row] * (2 * ZT)                          # izp/izd tiles
+            + [const_row] * 6                                 # mz0 mz1 my0 my1 ml127 ml0
             + [col_p, col_c, col_n, col_p, col_c, col_n]      # ixp3, ixd3
             + [blk_p] * 6 + [blk] * 6 + [blk_n] * 6           # coeffs p/c/n
             + [blk_p] * n_src + [blk] * n_src + [blk_n] * n_src
@@ -597,25 +741,33 @@ def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef):
     )
 
     statics = (
-        [jnp.asarray(iy_p), jnp.asarray(iz_p),
-         jnp.asarray(iy_d), jnp.asarray(iz_d),
-         jnp.asarray(mz0.reshape(1, C)), jnp.asarray(mz1.reshape(1, C)),
-         jnp.asarray(my0.reshape(1, C)), jnp.asarray(my1.reshape(1, C)),
-         jnp.asarray(ix_p), jnp.asarray(ix_p), jnp.asarray(ix_p),
-         jnp.asarray(ix_d), jnp.asarray(ix_d), jnp.asarray(ix_d)]
+        [jnp.asarray(iy_p), jnp.asarray(iy_d)]
+        + [jnp.asarray(v) for v in izp_tiles]
+        + [jnp.asarray(v) for v in izd_tiles]
+        + [jnp.asarray(mz0), jnp.asarray(mz1),
+           jnp.asarray(my0), jnp.asarray(my1),
+           jnp.asarray(ml127), jnp.asarray(ml0),
+           jnp.asarray(ix_p), jnp.asarray(ix_p), jnp.asarray(ix_p),
+           jnp.asarray(ix_d), jnp.asarray(ix_d), jnp.asarray(ix_d)]
         + [coeffs_flat[k] for k in
            ("ca_ex", "cb_ex", "ca_ey", "cb_ey", "ca_ez", "cb_ez")] * 3
         + [jnp.asarray(v) for v in src_inputs] * 3
     )
 
-    def step_fn(fields_flat, wf_t):
+    statics = tuple(statics)
+
+    def step_fn(statics_in, fields_flat, wf_t):
+        """Advance T steps. ``statics_in`` must be passed through the
+        enclosing jit as an *argument* (closure capture would embed
+        ~200 MB of coefficient arrays as HLO constants, which made the
+        remote-compile payload enormous and compile times explode)."""
         ex, ey, ez, hx, hy, hz = fields_flat
         wf2 = jnp.asarray(wf_t, jnp.float32).reshape(1, T)
         fields = (ex, ey, ez, hx, hy, hz)
-        out = call(wf2, *statics, *fields, *fields, *fields)
+        out = call(wf2, *statics_in, *fields, *fields, *fields)
         return tuple(out)
 
-    return step_fn, to_flat, from_flat, Z, T
+    return step_fn, statics, to_flat, from_flat, (R, C), T
 
 
 # ψ key order shared between the chunk kernel and the XLA carry dicts
@@ -718,7 +870,11 @@ def build_pallas_chunk_stepper(sim, inv_p, inv_d, mur_coef, pml=None):
         mat = src_mats.setdefault("z", np.zeros((Px, Py, Pz), np.float32))
         mat[msl.sl] += msl.src_col
     src_comps = sorted(src_mats)
-    src_inputs = [np.asarray(to_flat(jnp.asarray(src_mats[c]))) for c in src_comps]
+    def _to_flat_np(a3):
+        a3 = np.pad(a3, ((0, 0), (0, 0), (0, LANE - Pz)))
+        return np.ascontiguousarray(a3.reshape(R, C))
+
+    src_inputs = [_to_flat_np(src_mats[c]) for c in src_comps]
     n_src = len(src_comps)
 
     # --- CPML b/c profiles as broadcast vectors ----------------------------

@@ -1,0 +1,89 @@
+"""Backend bring-up helpers.
+
+The axon TPU tunnel registers its PJRT plugin from ``sitecustomize`` at
+interpreter start; a transient tunnel hiccup there (e.g. the chip still
+being released by a previous process) is swallowed, leaving the process
+*permanently* without the 'axon' backend — ``jax.devices()`` then raises
+"Backend 'axon' is not in the list of known backends". Every entry path
+that is about to do device work should call :func:`ensure_backend`
+first: it re-runs the plugin registration and retries with the cached
+failure cleared, turning the hiccup into a few seconds of startup
+latency instead of a failed run.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+
+def _reregister_axon() -> None:
+    """Re-run the axon PJRT plugin registration (mirrors the arguments
+    used by the container's sitecustomize)."""
+    import uuid
+
+    from axon.register import register
+
+    gen = os.environ.get("PALLAS_AXON_TPU_GEN", "v5e")
+    rc = os.environ.get("PALLAS_AXON_REMOTE_COMPILE") == "1"
+    register(
+        None,
+        f"{gen}:1x1x1",
+        so_path="/opt/axon/libaxon_pjrt.so",
+        session_id=str(uuid.uuid4()),
+        remote_compile=rc,
+    )
+
+
+def enable_compile_cache(path: str | None = None) -> None:
+    """Turn on JAX's persistent compilation cache (best effort).
+
+    First compiles through the tunneled runtime cost minutes; caching
+    them makes repeat bench/driver runs start hot. A no-op if the
+    backend doesn't support executable serialization.
+    """
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            path or os.path.join("/root/repo", ".jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+
+def ensure_backend(retries: int = 5, delay_s: float = 5.0):
+    """Initialize the default JAX backend, retrying transient failures.
+
+    Returns the device list on success; raises the last error after
+    ``retries`` failed attempts. Only meaningful for the axon platform;
+    on CPU the first attempt succeeds and nothing else runs.
+    """
+    import jax
+
+    last = None
+    for attempt in range(retries):
+        try:
+            return jax.devices()
+        except RuntimeError as e:
+            last = e
+            if attempt == retries - 1:
+                break
+            time.sleep(delay_s)
+            try:
+                # reset the cached failure so the next attempt re-probes
+                from jax._src import xla_bridge
+
+                xla_bridge._clear_backends()
+            except Exception:
+                pass
+            if "axon" in str(e) and os.environ.get(
+                "JAX_PLATFORMS", ""
+            ).startswith("axon"):
+                try:
+                    _reregister_axon()
+                except Exception:
+                    pass  # next jax.devices() reports the real state
+    raise last

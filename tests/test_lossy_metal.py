@@ -77,6 +77,7 @@ def test_sheet_conductance_skin_cap():
     assert g2 == pytest.approx(4.1e7 * 1e-6)
 
 
+@pytest.mark.slow
 def test_efficiency_decreases_with_conductor_loss():
     """η(PEC) ≥ η(copper sheet) > η(poor-metal sheet), with a lossless
     substrate so ALL loss is conductor loss."""

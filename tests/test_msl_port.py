@@ -90,6 +90,7 @@ def _band_dip(freq, s11):
     return float(freq[i]), float(db[i])
 
 
+@pytest.mark.slow
 def test_msl_port_s11_matches_lumped(port_runs):
     for res in port_runs.values():
         assert np.isfinite(np.abs(res.s11)).all()

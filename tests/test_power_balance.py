@@ -41,12 +41,14 @@ def _efficiencies(loss_tangent: float) -> np.ndarray:
     return ff.P_rad / np.maximum(pa, 1e-300)
 
 
+@pytest.mark.slow
 def test_lossless_patch_power_balance():
     eta = _efficiencies(0.0)
     # every sampled frequency balances within 3%
     np.testing.assert_allclose(eta, 1.0, atol=0.03)
 
 
+@pytest.mark.slow
 def test_lossy_patch_efficiency_below_unity():
     eta = _efficiencies(0.02)
     # FR-4 losses absorb a real fraction near resonance

@@ -159,6 +159,7 @@ def test_multi_patch_empty_fails_structured():
     assert "No antenna instances" in prep.message
 
 
+@pytest.mark.slow
 def test_mixed_patch_horn_scene(params):
     """Beyond-reference: a patch and a horn in ONE FDTD run (the reference
     can only preview horns — multi_patch_designer.py:31-41 has no solver)."""

@@ -44,6 +44,7 @@ def _build(pallas_mode, boundary="MUR", n_steps=120, tall=False):
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("boundary", ["MUR", "PEC"])
 @pytest.mark.parametrize("tall", [False, True])
 def test_stream_matches_xla(boundary, tall):

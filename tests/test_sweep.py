@@ -40,12 +40,14 @@ def sweep_result():
     return variants, prep, res
 
 
+@pytest.mark.slow
 def test_sweep_shapes(sweep_result):
     variants, prep, res = sweep_result
     assert len(res.spectra) == len(GEOMS)
     assert np.isfinite(res.s11_min_db).all()
 
 
+@pytest.mark.slow
 def test_sweep_resonances_near_cavity_model(sweep_result):
     """Each variant dips within 8% of its cavity-model fundamental."""
     variants, prep, res = sweep_result
@@ -124,6 +126,7 @@ def horn_sweep_result():
     return apertures, res
 
 
+@pytest.mark.slow
 def test_horn_sweep_shapes(horn_sweep_result):
     apertures, res = horn_sweep_result
     assert len(res.spectra) == 2
@@ -132,6 +135,7 @@ def test_horn_sweep_shapes(horn_sweep_result):
     assert np.isfinite(res.s11_min_db).all()
 
 
+@pytest.mark.slow
 def test_horn_sweep_gain_grows_with_aperture(horn_sweep_result):
     """Aperture theory: D ∝ A·B (for fixed efficiency) — the larger
     aperture must show several dB more directivity."""

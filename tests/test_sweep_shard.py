@@ -66,6 +66,7 @@ def test_make_sweep_mesh_shapes():
         make_sweep_mesh(3, 2)  # 6 != 8 devices
 
 
+@pytest.mark.slow
 def test_sweep_axis_equality(baseline):
     """4 variants over a 4-device sweep axis == unsharded."""
     mesh = make_sweep_mesh(4, 2)
@@ -77,6 +78,7 @@ def test_sweep_axis_equality(baseline):
     np.testing.assert_allclose(res.f_res_hz, baseline.f_res_hz)
 
 
+@pytest.mark.slow
 def test_sweep_padding_equality():
     """3 variants padded onto a 4-way sweep axis: padded row is ignored
     and the 3 real variants match the unsharded 3-variant run (same
@@ -91,6 +93,7 @@ def test_sweep_padding_equality():
         )
 
 
+@pytest.mark.slow
 def test_sweep_times_spatial_equality(baseline):
     """(sweep=2, x=4) composed mesh: each variant group spatially sharded."""
     mesh = make_sweep_mesh(2, 4)
