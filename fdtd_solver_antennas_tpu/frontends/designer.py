@@ -237,8 +237,14 @@ class MultiPatchScene:
         )
 
     def simulate(self, frequency_hz: Optional[float] = None, verbose: int = 0,
-                 log_cb=None):
-        """prepare + run, honoring the lock flag (GUI contract)."""
+                 log_cb=None, progress_cb=None, abort_cb=None):
+        """prepare + run, honoring the lock flag (GUI contract).
+
+        ``progress_cb(steps_done, n_steps_max, e_ratio)`` and
+        ``abort_cb() -> bool`` give frontends live progress and mid-run
+        cancellation (see :meth:`PreparedSimulation.run`); the reference's
+        abort flag could only stop a run from starting.
+        """
         if self.locked:
             raise RuntimeError("scene is locked by a running simulation")
         if not self.patches and not self.horns:
@@ -252,7 +258,8 @@ class MultiPatchScene:
             if not prep.ok:
                 return prep
             return run_prepared_multi_patch_3d(
-                prep, frequency_hz=f, verbose=verbose
+                prep, frequency_hz=f, verbose=verbose,
+                progress_cb=progress_cb, abort_cb=abort_cb,
             )
         finally:
             self.locked = False

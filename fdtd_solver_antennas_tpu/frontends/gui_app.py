@@ -121,6 +121,24 @@ def apply_norm_mode(grid_db: np.ndarray, mode: str) -> np.ndarray:
     return grid_db
 
 
+def format_progress(steps_done: int, n_steps_max: int,
+                    e_ratio: float) -> tuple:
+    """(percent, status text) for a run-progress tick.
+
+    Feeds the GUI progress bar and the webapp's ``st.progress`` from the
+    engine's ``progress_cb(steps_done, n_steps_max, e_ratio)`` contract
+    (PreparedSimulation.run). The energy ratio is the termination
+    quantity, so showing it tells the user how close the ring-down is.
+    """
+    pct = 100.0 * steps_done / max(int(n_steps_max), 1)
+    pct = min(100.0, max(0.0, pct))
+    text = (
+        f"step {steps_done}/{n_steps_max} ({pct:.0f}%) — "
+        f"energy {e_ratio:.1e}"
+    )
+    return pct, text
+
+
 #: sidebar solver choices → solver keys (reference offers 3 solver types,
 #: gui_app.py:174-178; we add the legacy + quasi-2D families the
 #: reference only exposes through Streamlit)
@@ -619,6 +637,29 @@ def main() -> None:  # pragma: no cover — needs a display
     )
     scene_run_btn = ttk.Button(scene_left, text="Run Scene FDTD")
     scene_run_btn.pack(fill="x", pady=4)
+    scene_progress = ttk.Progressbar(scene_left, maximum=100.0)
+    scene_progress.pack(fill="x", pady=(0, 2))
+    cancel_btn = ttk.Button(scene_left, text="Cancel Run", state="disabled")
+    cancel_btn.pack(fill="x", pady=(0, 4))
+    abort_event = threading.Event()
+
+    def on_cancel():
+        abort_event.set()
+        status_var.set("cancelling… (finishes the in-flight superchunk)")
+
+    cancel_btn.configure(command=on_cancel)
+
+    def post_progress(steps_done, n_steps_max, e_ratio):
+        """Engine progress_cb — runs on the sim thread, so marshal the
+        UI mutation through root.after (the reference's thread contract,
+        gui_app.py:2700-2705)."""
+        pct, text = format_progress(steps_done, n_steps_max, e_ratio)
+
+        def apply():
+            scene_progress.configure(value=pct)
+            status_var.set(f"running scene… {text}")
+
+        root.after(0, apply)
 
     def params_from_ui():
         return PatchAntennaParams.from_user_units(
@@ -680,6 +721,8 @@ def main() -> None:  # pragma: no cover — needs a display
             return
         run_btn.state(["!disabled"])
         scene_run_btn.state(["!disabled"])
+        cancel_btn.state(["disabled"])
+        scene_progress.configure(value=0.0)
         if kind == "error":
             status_var.set(f"failed: {payload}")
             log.append(f"ERROR: {payload}")
@@ -767,8 +810,12 @@ def main() -> None:  # pragma: no cover — needs a display
     def scene_worker():
         try:
             log.append("scene prepare: voxelizing + compiling…")
-            res = scene.simulate(log_cb=diag_cb)
-            if not res.ok:  # failed prepare or failed run
+            res = scene.simulate(
+                log_cb=diag_cb,
+                progress_cb=post_progress,
+                abort_cb=abort_event.is_set,
+            )
+            if not res.ok:  # failed prepare, failed run, or user abort
                 result_q.put(("error", res.message))
             else:
                 result_q.put(("done", res))
@@ -785,6 +832,9 @@ def main() -> None:  # pragma: no cover — needs a display
             return
         run_btn.state(["disabled"])
         scene_run_btn.state(["disabled"])
+        abort_event.clear()
+        cancel_btn.state(["!disabled"])
+        scene_progress.configure(value=0.0)
         status_var.set("running scene…")
         threading.Thread(target=scene_worker, daemon=True).start()
         root.after(200, poll_results)

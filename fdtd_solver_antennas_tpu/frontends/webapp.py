@@ -21,8 +21,10 @@ Parity flows:
   Windows-only PyVista embedding (gui_app.py:1352-2480).
 
 Unlike the reference's abort flag (which could only prevent a run from
-*starting*, :165-168), runs here are fast enough on TPU that no abort
-machinery is needed.
+*starting*, :165-168), FDTD runs execute on a background thread
+(:class:`BackgroundRun`) with a live progress bar and a Stop button that
+cancels mid-flight through the engine's ``abort_cb`` hook — the UI polls
+the thread via ``st.rerun`` so the button stays responsive during the run.
 
 Streamlit is an optional dependency: importing this module without it
 raises a clear error only from ``main()``; the module-level helpers are
@@ -31,6 +33,7 @@ headless and unit-tested (tests/test_gui_helpers.py).
 
 from __future__ import annotations
 
+import threading
 from typing import Tuple
 
 import numpy as np
@@ -99,6 +102,54 @@ def plane_cuts_dbi(result) -> Tuple[np.ndarray, np.ndarray]:
     return arr[:, zx], arr[:, zy]
 
 
+class BackgroundRun:
+    """Threaded solver run with live progress and mid-flight abort.
+
+    Streamlit reruns the whole script on every widget event, so a
+    blocking solver call would freeze the Stop button until completion
+    (exactly the reference's broken abort, streamlit_app.py:165-168).
+    Instead the run executes on a daemon thread; the script polls
+    ``progress``/``running`` each rerun and ``abort()`` flips the event
+    the engine's ``abort_cb`` checks at every superchunk boundary.
+    """
+
+    def __init__(self) -> None:
+        self.progress: Tuple[int, int, float] = (0, 1, 1.0)
+        self.result = None
+        self.error: str | None = None
+        self._abort = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    def start(self, fn, *args, **kwargs) -> "BackgroundRun":
+        """Launch ``fn(*args, progress_cb=…, abort_cb=…, **kwargs)``."""
+        kwargs.setdefault("progress_cb", self._on_progress)
+        kwargs.setdefault("abort_cb", self._abort.is_set)
+
+        def work():
+            try:
+                self.result = fn(*args, **kwargs)
+            except Exception as e:  # surface, don't kill the server
+                self.error = str(e)
+
+        self._thread = threading.Thread(target=work, daemon=True)
+        self._thread.start()
+        return self
+
+    def _on_progress(self, done: int, total: int, ratio: float) -> None:
+        self.progress = (int(done), int(total), float(ratio))
+
+    def abort(self) -> None:
+        self._abort.set()
+
+    @property
+    def aborting(self) -> bool:
+        return self._abort.is_set()
+
+    @property
+    def running(self) -> bool:
+        return self._thread is not None and self._thread.is_alive()
+
+
 # ---------------------------------------------------------------------------
 # the app
 # ---------------------------------------------------------------------------
@@ -133,7 +184,8 @@ def main() -> None:  # pragma: no cover - exercised manually via streamlit
     st.set_page_config(page_title="Patch Antenna Simulator (TPU)", layout="wide")
     st.title("Patch Antenna Simulator — TPU-native FDTD")
 
-    for key in ("prepared_fixed", "prepared_legacy", "legacy_mode"):
+    for key in ("prepared_fixed", "prepared_legacy", "legacy_mode",
+                "fixed_run", "fixed_result"):
         if key not in st.session_state:
             st.session_state[key] = None
 
@@ -226,12 +278,43 @@ def main() -> None:  # pragma: no cover - exercised manually via streamlit
             with st.spinner("Building mesh + compiling…"):
                 st.session_state.prepared_fixed = prepare_patch_fixed(params)
             st.success(st.session_state.prepared_fixed.message)
-        if c2.button("Run prepared", disabled=st.session_state.prepared_fixed is None):
-            prep = st.session_state.prepared_fixed
-            with st.spinner("Time-stepping on TPU…"):
-                result = run_prepared_fixed(
-                    prep, frequency_hz=params.frequency_hz
-                )
+        run_disabled = (
+            st.session_state.prepared_fixed is None
+            or st.session_state.fixed_run is not None
+        )
+        if c2.button("Run prepared", disabled=run_disabled):
+            st.session_state.fixed_result = None
+            st.session_state.fixed_run = BackgroundRun().start(
+                run_prepared_fixed,
+                st.session_state.prepared_fixed,
+                frequency_hz=params.frequency_hz,
+            )
+            st.rerun()
+
+        run = st.session_state.fixed_run
+        if run is not None:
+            if run.running:
+                done, total, ratio = run.progress
+                from .gui_app import format_progress
+
+                pct, text = format_progress(done, total, ratio)
+                st.progress(pct / 100.0, text=f"Time-stepping on TPU — {text}")
+                if st.button("🛑 Stop run", disabled=run.aborting):
+                    run.abort()
+                import time as _time
+
+                _time.sleep(0.4)  # poll cadence; reruns keep Stop responsive
+                st.rerun()
+            else:
+                st.session_state.fixed_run = None
+                if run.error is not None:
+                    st.error(f"Run failed: {run.error}")
+                else:
+                    st.session_state.fixed_result = run.result
+                st.rerun()
+
+        result = st.session_state.fixed_result
+        if result is not None:
             if not result.ok:
                 st.error(result.message)
             else:

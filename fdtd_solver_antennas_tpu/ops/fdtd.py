@@ -429,13 +429,22 @@ class PreparedSimulation:
                 out[grp] = {k: fix(v) for k, v in resume_state[grp].items()}
         return out
 
-    def run(self, resume_state=None):
+    def run(self, resume_state=None, progress_cb=None, abort_cb=None):
         """Execute (or resume) the simulation.
 
         ``resume_state`` is the ``out["state"]`` pytree of a previous run
         (possibly loaded from a checkpoint file, see ``post.checkpoint``);
         the loop continues from that step count until ``n_steps_max`` or
         the energy criterion.
+
+        ``progress_cb(steps_done, n_steps_max, e_ratio)`` is invoked at
+        every superchunk boundary of the host-driven pipeline (the long
+        runs: XLA / stream modes), and ``abort_cb() -> bool`` is checked
+        at the same points — returning True stops the run mid-flight; the
+        output then carries ``aborted=True`` with the partial DFT state
+        (a valid resume checkpoint). The chunk-kernel path runs a single
+        device while_loop (sub-second workloads), so there the callbacks
+        fire once at completion and abort has no mid-run effect.
         """
         if resume_state is not None:
             resume_state = self._adapt_resume_arrays(resume_state)
@@ -450,7 +459,8 @@ class PreparedSimulation:
             # loops cost ~a carry copy per chunk boundary; see
             # _make_run_fn.host_run). The VMEM-resident chunk kernel
             # keeps the device while_loop — its chunk is one pallas_call.
-            out = self._host_run(*args, resume_state=resume_state)
+            out = self._host_run(*args, resume_state=resume_state,
+                                 progress_cb=progress_cb, abort_cb=abort_cb)
         elif resume_state is not None:
             if self._resume_fn is None:
                 inv_p, inv_d, mur_coef, pml = self._aux
@@ -467,6 +477,13 @@ class PreparedSimulation:
         host = dict(out)
         host["uf"] = nf_to_complex(out["uf"])
         host["if_"] = nf_to_complex(out["if_"])
+        host.setdefault("aborted", False)
+        if progress_cb is not None and not host["aborted"]:
+            try:  # final 100% tick (and the only one on the chunk path)
+                steps_done = int(out["steps"])
+                progress_cb(steps_done, steps_done, float(out["e_ratio"]))
+            except Exception:
+                pass
         return host
 
 
@@ -1830,7 +1847,8 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None,
             _superchunks[k] = _superchunk
         return _superchunks[k]
 
-    def host_run(coeffs, waveform, w_port, w_nf, resume_state=None):
+    def host_run(coeffs, waveform, w_port, w_nf, resume_state=None,
+                 progress_cb=None, abort_cb=None):
         n_port_freqs = int(w_port.shape[0])
         n_nf_freqs = int(w_nf.shape[0])
         wf_len = n_chunks_max * chunk
@@ -1863,6 +1881,14 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None,
         # in the last superchunk is a no-op and termination stays
         # step-exact. (A separate tail-sized jit variant would double
         # the compile cost through the tunnel for zero benefit.)
+        # Each superchunk boundary already pays one small blocking read
+        # (the `done` flag) to stop dispatching once converged — the
+        # progress callback and abort check ride the same sync point for
+        # free. The reference's Streamlit abort flag could only prevent a
+        # run from *starting* (streamlit_app.py:165-168); this one stops a
+        # run mid-flight with at most one superchunk (~K·chunk steps) of
+        # latency.
+        aborted = False
         n_remaining = max(0, n_chunks_max - n_cur // chunk)
         for _ in range(-(-n_remaining // K_sub)):
             carry = _get_superchunk(K_sub)(
@@ -1873,6 +1899,17 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None,
             # dispatching once converged
             if bool(carry["done"]):
                 break
+            if progress_cb is not None or abort_cb is not None:
+                steps_done = int(carry["n"])
+                if progress_cb is not None:
+                    try:
+                        progress_cb(steps_done, int(cfg.n_steps_max),
+                                    float(carry["e_ratio"]))
+                    except Exception:
+                        pass  # a broken UI callback must not kill the run
+                if abort_cb is not None and abort_cb():
+                    aborted = True
+                    break
 
         out_fields = carry["fields"]
         if flat_fields:
@@ -1905,6 +1942,7 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None,
             e_ratio=carry["e_ratio"],
             fields=out_fields,
             state=state,
+            aborted=aborted,
         )
 
     run.host_run = host_run

@@ -386,18 +386,33 @@ def run_prepared_multi_patch_3d(
     *,
     frequency_hz: float,
     verbose: int = 1,
+    progress_cb=None,
+    abort_cb=None,
 ) -> FDTDSolverResult:
-    """Run the scene; full-sphere dBi grid (reference runner: :596-663)."""
+    """Run the scene; full-sphere dBi grid (reference runner: :596-663).
+
+    ``progress_cb(steps_done, n_steps_max, e_ratio)`` / ``abort_cb()``
+    are forwarded to :meth:`PreparedSimulation.run` — large scenes run
+    the host-driven superchunk pipeline, which yields to them every few
+    thousand steps (the reference's abort flag could not interrupt the
+    C++ engine at all, streamlit_app.py:165-168)."""
     try:
         if not prepared.ok or prepared.sim is None:
             return FDTDSolverResult(False, prepared.message)
         sim = prepared.sim
 
         t_start = time.perf_counter()
-        out = sim.run()
+        out = sim.run(progress_cb=progress_cb, abort_cb=abort_cb)
         jax.block_until_ready(out["uf"])
         steps = int(out["steps"])
         wall = time.perf_counter() - t_start
+        if out.get("aborted"):
+            return FDTDSolverResult(
+                False,
+                f"Run aborted by user at step {steps}/"
+                f"{sim.cfg.n_steps_max} ({wall:.1f}s elapsed)",
+                diagnostics={"aborted": True, "steps_done": steps},
+            )
 
         all_s11 = []
         for pi in range(len(sim.ports)):

@@ -174,12 +174,15 @@ def run_prepared_fixed(
     *,
     frequency_hz: float,
     verbose: int = 1,
+    progress_cb=None,
+    abort_cb=None,
 ) -> FDTDSolverResult:
     """Run the compiled simulation and extract the dBi pattern grid.
 
     Mirrors ``run_prepared_openems_fixed`` (fixed.py:257-342): NF2FF at the
     requested frequency, dBi via 20·log10(E/Emax) + 10·log10(Dmax) — plus
     the S11 sweep the TPU engine gets for free from the port DFTs.
+    ``progress_cb``/``abort_cb`` follow :meth:`PreparedSimulation.run`.
     """
     try:
         if not prepared.ok or prepared.sim is None:
@@ -187,10 +190,17 @@ def run_prepared_fixed(
         sim = prepared.sim
 
         t_start = time.perf_counter()
-        out = sim.run()
+        out = sim.run(progress_cb=progress_cb, abort_cb=abort_cb)
         steps = int(out["steps"])
         jax.block_until_ready(out["uf"])
         wall = time.perf_counter() - t_start
+        if out.get("aborted"):
+            return FDTDSolverResult(
+                False,
+                f"Run aborted by user at step {steps}/"
+                f"{sim.cfg.n_steps_max} ({wall:.1f}s elapsed)",
+                diagnostics={"aborted": True, "steps_done": steps},
+            )
         mcells = sim.grid.num_cells * steps / wall / 1e6
 
         if verbose:
