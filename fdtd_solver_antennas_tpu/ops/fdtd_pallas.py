@@ -1191,3 +1191,344 @@ def build_pallas_chunk_stepper(sim, inv_p, inv_d, mur_coef, pml=None):
                 out[k], out[k + 1], out[k + 2], out[k + 3], out[k + 4])
 
     return chunk_fn, to_flat, from_flat, n_sub
+
+
+# ---------------------------------------------------------------------------
+# per-shard kernel for the explicit multi-chip path
+# ---------------------------------------------------------------------------
+
+def shard_vmem_bytes(n_local: int, halo: int, py: int, n_src: int,
+                     has_pml: bool) -> int:
+    """Rough VMEM residency of the per-shard kernel for a
+    ``(n_local + 2·halo, Py·128)`` extended block — used to pick the
+    halo width (steps per call) and to decide kernel vs XLA step per
+    shard. Counts coefficients + sources, input and output fields/ψ,
+    plus ~12 block-sized temporaries the Mosaic stack needs for the six
+    derivative arrays and the update intermediates (measured: the
+    6+src+2·6 count alone under-predicted a real 112 MB allocation by
+    ~40%)."""
+    m = n_local + 2 * halo
+    c = py * LANE
+    n_psi = 12 if has_pml else 0
+    n_arrays = 6 + n_src + 2 * (6 + n_psi) + 12
+    return n_arrays * m * c * 4
+
+
+def build_pallas_shard_stepper(sim, inv_p, inv_d, mur_coef, pml, n_dev,
+                               k_steps=None):
+    """K-step field advancer for one x-shard of the explicit shard_map path.
+
+    Each device owns ``n = Px // n_dev`` rows plus a ``W = K`` row halo on
+    each side. One invocation advances ``K ≤ min(n, decim)`` leapfrog
+    steps with fields and CPML ψ resident in VMEM; FDTD dependencies
+    travel one row per half-step, so after K steps the inner ``n`` rows
+    are bit-exact while contamination stays inside the halos — the caller
+    refreshes halos via ``ppermute`` between invocations (a trapezoidal
+    halo exchange amortized over K steps). A probe-decimation interval of
+    ``D`` steps is covered by ``D // K`` invocations plus one remainder
+    invocation of ``D % K`` steps (a second compiled variant; halo width K
+    covers it). Probes are NOT extracted in-kernel: shard_map traces one
+    program for every device, so per-device probe structure must stay
+    operand-driven — the explicit path's localized gather tables
+    (parallel/explicit.py) sample the inner rows between invocations
+    instead.
+
+    Boundary handling matches the single-chip chunk kernel
+    (:func:`build_pallas_chunk_stepper`) except MUR x-faces, which become
+    masked row blends driven by per-device one-hot column operands (static
+    row indices cannot vary per device under SPMD).
+
+    Returns a dict with:
+      ``W, m, n, K, rem, C``     — geometry / step split (rem = D % K)
+      ``dev_statics``            — list of (n_dev, m, …) arrays, shard
+                                   over axis 0 with P(axis, …)
+      ``repl_statics``           — list of (1, C) arrays, replicate
+      ``step_call(dev, repl, fields6, psi_e, psi_h, wf)``
+                                 — advance K steps on (m, C) arrays;
+                                   ``wf`` is the (1, K) waveform window
+      ``step_call_rem``          — same for the remainder (None if rem=0)
+      ``n_psi``                  — 12 with CPML, else 0
+
+    Reference analog: none — the reference has no distributed execution
+    (its engine is a single-process C++ DLL); this is the TPU-native
+    scale-out fast path (SURVEY §2.3 "halos overlapped with compute").
+    """
+    Px, Py, Pz = sim.padded_shape or sim.grid.shape
+    if Pz > LANE:
+        raise ValueError(f"Pz ≤ {LANE} required for the shard kernel")
+    if Px % n_dev:
+        raise ValueError(f"Px={Px} not divisible by {n_dev} devices")
+    n = Px // n_dev
+    D = int(sim.probe_decim)
+    K = int(k_steps) if k_steps else min(n, D, 32)
+    if not 1 <= K <= min(n, D):
+        raise ValueError(f"k_steps={K} must be in [1, min(n={n}, D={D})]")
+    W = K
+    m = n + 2 * W
+    C = Py * LANE
+    dtmu = np.float32(sim.dt / MU0)
+    mur = sim.cfg.boundary.upper().startswith("MUR")
+    if sim.cfg.pml_cells() > 0 and pml is None:
+        raise ValueError("PML boundary requires the pml profile dict")
+    has_pml = pml is not None
+    n_psi = 12 if has_pml else 0
+    Qx, Qy, Qz = sim.grid.shape
+
+    def to_flat_np(a3):
+        a3 = np.pad(np.asarray(a3, np.float32),
+                    ((0, 0), (0, 0), (0, LANE - Pz)))
+        return np.ascontiguousarray(a3.reshape(Px, C))
+
+    def shard_rows(ga):
+        """Global (Px, k) → per-device (n_dev, m, k) halo-extended slices;
+        rows outside [0, Px) zero-filled (out-of-domain fields are zero and
+        their update coefficients must be too)."""
+        ga = np.asarray(ga, np.float32)
+        out = np.zeros((n_dev, m) + ga.shape[1:], np.float32)
+        for d in range(n_dev):
+            g0 = d * n - W
+            s0, s1 = max(0, g0), min(Px, g0 + m)
+            out[d, s0 - g0 : s1 - g0] = ga[s0:s1]
+        return out
+
+    # ---- replicated lane-direction statics --------------------------------
+    yy = np.repeat(np.arange(Py), LANE)
+    zz = np.tile(np.arange(LANE), Py)
+    z_valid = zz < Pz
+
+    def lane_vec(per_y=None, per_z=None):
+        v = np.ones(C, np.float32)
+        if per_y is not None:
+            v *= np.asarray(per_y, np.float32)[yy]
+        if per_z is not None:
+            vz = np.zeros(LANE, np.float32)
+            vz[:Pz] = np.asarray(per_z, np.float32)
+            v *= vz[zz]
+        v *= z_valid
+        return v.reshape(1, C)
+
+    repl_statics = [
+        lane_vec(per_y=inv_p[1]), lane_vec(per_z=inv_p[2]),
+        lane_vec(per_y=inv_d[1]), lane_vec(per_z=inv_d[2]),
+    ]
+    mz0 = np.zeros(C, np.float32)
+    mz1 = np.zeros(C, np.float32)
+    mz0[(zz == 0) & (yy < Qy)] = 1.0
+    mz1[(zz == Qz - 1) & (yy < Qy)] = 1.0
+    repl_statics += [mz0.reshape(1, C), mz1.reshape(1, C)]
+    if has_pml:
+        for kind in ("half", "node"):
+            for a in (1, 2):
+                for w in (0, 1):
+                    arr = pml[a][kind][w]
+                    repl_statics.append(
+                        lane_vec(per_y=arr) if a == 1 else lane_vec(per_z=arr)
+                    )
+    n_repl = len(repl_statics)
+
+    # ---- per-device row-direction statics ---------------------------------
+    coeff_keys = ("ca_ex", "cb_ex", "ca_ey", "cb_ey", "ca_ez", "cb_ez")
+    dev_statics = [shard_rows(to_flat_np(sim.coeffs[k])) for k in coeff_keys]
+    dev_statics.append(
+        shard_rows(np.asarray(inv_p[0], np.float32).reshape(Px, 1)))
+    dev_statics.append(
+        shard_rows(np.asarray(inv_d[0], np.float32).reshape(Px, 1)))
+    m0_g = np.zeros((Px, 1), np.float32)
+    m0_g[0] = 1.0
+    mt_g = np.zeros((Px, 1), np.float32)
+    mt_g[Qx - 1] = 1.0
+    dev_statics.append(shard_rows(m0_g))
+    dev_statics.append(shard_rows(mt_g))
+    if has_pml:
+        for kind in ("half", "node"):
+            for w in (0, 1):
+                dev_statics.append(shard_rows(
+                    np.asarray(pml[0][kind][w], np.float32).reshape(Px, 1)))
+    src_mats = {}
+    for prt in sim.ports:
+        comp = prt.spec.direction
+        mat = src_mats.setdefault(comp, np.zeros((Px, Py, Pz), np.float32))
+        mat[prt.sl] += prt.src_col
+    for msl in sim.msl_ports:
+        mat = src_mats.setdefault("z", np.zeros((Px, Py, Pz), np.float32))
+        mat[msl.sl] += msl.src_col
+    src_comps = sorted(src_mats)
+    n_src = len(src_comps)
+    for c in src_comps:
+        dev_statics.append(shard_rows(to_flat_np(src_mats[c])))
+    n_dev_statics = len(dev_statics)
+
+    cxs = {k: np.float32(v) for k, v in mur_coef.items()}
+
+    def up(a, axis, k):
+        return pltpu.roll(a, a.shape[axis] - k, axis)
+
+    def dn(a, axis, k):
+        return pltpu.roll(a, k, axis)
+
+    def kernel(*refs):
+        wf_ref = refs[0]
+        repl = refs[1 : 1 + n_repl]
+        dev = refs[1 + n_repl : 1 + n_repl + n_dev_statics]
+        field_in = refs[1 + n_repl + n_dev_statics :
+                        1 + n_repl + n_dev_statics + 6]
+        psi_in = refs[1 + n_repl + n_dev_statics + 6 :
+                      1 + n_repl + n_dev_statics + 6 + n_psi]
+        outs = refs[1 + n_repl + n_dev_statics + 6 + n_psi :]
+        (ex, ey, ez, hx, hy, hz) = outs[:6]
+        psi_refs = outs[6 : 6 + n_psi]
+
+        for dst, src in zip((ex, ey, ez, hx, hy, hz), field_in):
+            dst[:] = src[:]
+        for dst, src in zip(psi_refs, psi_in):
+            dst[:] = src[:]
+
+        iyp, izp, iyd, izd, mz0_v, mz1_v = [r[:] for r in repl[:6]]
+        if has_pml:
+            (bh_y, ch_y, bh_z, ch_z,
+             be_y, ce_y, be_z, ce_z) = [r[:] for r in repl[6:14]]
+        ri = 0
+        (ca_ex, cb_ex, ca_ey, cb_ey, ca_ez, cb_ez) = [
+            r[:] for r in dev[ri : ri + 6]]
+        ri += 6
+        ixp, ixd = dev[ri][:], dev[ri + 1][:]
+        ri += 2
+        m0c, mtc = dev[ri][:], dev[ri + 1][:]
+        ri += 2
+        if has_pml:
+            bh_x, ch_x, be_x, ce_x = [dev[ri + k][:] for k in range(4)]
+            ri += 4
+        src_vals = {c: dev[ri + k][:] for k, c in enumerate(src_comps)}
+        if has_pml:
+            (pe_xy, pe_xz, pe_yz, pe_yx, pe_zx, pe_zy,
+             ph_xy, ph_xz, ph_yz, ph_yx, ph_zx, ph_zy) = psi_refs
+
+        def body(d, _):
+            Ex, Ey, Ez = ex[:], ey[:], ez[:]
+            Hx, Hy, Hz = hx[:], hy[:], hz[:]
+            dEz_y = (up(Ez, 1, LANE) - Ez) * iyp
+            dEy_z = (up(Ey, 1, 1) - Ey) * izp
+            dEx_z = (up(Ex, 1, 1) - Ex) * izp
+            dEz_x = (up(Ez, 0, 1) - Ez) * ixp
+            dEy_x = (up(Ey, 0, 1) - Ey) * ixp
+            dEx_y = (up(Ex, 1, LANE) - Ex) * iyp
+            if has_pml:
+                phxy = bh_y * ph_xy[:] + ch_y * dEz_y
+                phxz = bh_z * ph_xz[:] + ch_z * dEy_z
+                phyz = bh_z * ph_yz[:] + ch_z * dEx_z
+                phyx = bh_x * ph_yx[:] + ch_x * dEz_x
+                phzx = bh_x * ph_zx[:] + ch_x * dEy_x
+                phzy = bh_y * ph_zy[:] + ch_y * dEx_y
+                ph_xy[:], ph_xz[:], ph_yz[:] = phxy, phxz, phyz
+                ph_yx[:], ph_zx[:], ph_zy[:] = phyx, phzx, phzy
+                Hxn = Hx - dtmu * ((dEz_y + phxy) - (dEy_z + phxz))
+                Hyn = Hy - dtmu * ((dEx_z + phyz) - (dEz_x + phyx))
+                Hzn = Hz - dtmu * ((dEy_x + phzx) - (dEx_y + phzy))
+            else:
+                Hxn = Hx - dtmu * (dEz_y - dEy_z)
+                Hyn = Hy - dtmu * (dEx_z - dEz_x)
+                Hzn = Hz - dtmu * (dEy_x - dEx_y)
+            s_val = wf_ref[0, d]
+            dHz_y = (Hzn - dn(Hzn, 1, LANE)) * iyd
+            dHy_z = (Hyn - dn(Hyn, 1, 1)) * izd
+            dHx_z = (Hxn - dn(Hxn, 1, 1)) * izd
+            dHz_x = (Hzn - dn(Hzn, 0, 1)) * ixd
+            dHy_x = (Hyn - dn(Hyn, 0, 1)) * ixd
+            dHx_y = (Hxn - dn(Hxn, 1, LANE)) * iyd
+            if has_pml:
+                pexy = be_y * pe_xy[:] + ce_y * dHz_y
+                pexz = be_z * pe_xz[:] + ce_z * dHy_z
+                peyz = be_z * pe_yz[:] + ce_z * dHx_z
+                peyx = be_x * pe_yx[:] + ce_x * dHz_x
+                pezx = be_x * pe_zx[:] + ce_x * dHy_x
+                pezy = be_y * pe_zy[:] + ce_y * dHx_y
+                pe_xy[:], pe_xz[:], pe_yz[:] = pexy, pexz, peyz
+                pe_yx[:], pe_zx[:], pe_zy[:] = peyx, pezx, pezy
+                Exn = ca_ex * Ex + cb_ex * ((dHz_y + pexy) - (dHy_z + pexz))
+                Eyn = ca_ey * Ey + cb_ey * ((dHx_z + peyz) - (dHz_x + peyx))
+                Ezn = ca_ez * Ez + cb_ez * ((dHy_x + pezx) - (dHx_y + pezy))
+            else:
+                Exn = ca_ex * Ex + cb_ex * (dHz_y - dHy_z)
+                Eyn = ca_ey * Ey + cb_ey * (dHx_z - dHz_x)
+                Ezn = ca_ez * Ez + cb_ez * (dHy_x - dHx_y)
+            if "x" in src_vals:
+                Exn = Exn + src_vals["x"] * s_val
+            if "y" in src_vals:
+                Eyn = Eyn + src_vals["y"] * s_val
+            if "z" in src_vals:
+                Ezn = Ezn + src_vals["z"] * s_val
+            hx[:] = Hxn
+            hy[:] = Hyn
+            hz[:] = Hzn
+            ex[:] = Exn
+            ey[:] = Eyn
+            ez[:] = Ezn
+            if mur:
+                # x faces: masked row blends (per-device one-hot columns);
+                # roll wrap lands on halo rows, overwritten at refresh
+                c0m, c1m = cxs[(0, 0)], cxs[(0, 1)]
+                keep = 1.0 - m0c - mtc
+                for ref, Eo in ((ey, Ey), (ez, Ez)):
+                    cur = ref[:]
+                    v0 = up(Eo, 0, 1) + c0m * (up(cur, 0, 1) - Eo)
+                    v1 = dn(Eo, 0, 1) + c1m * (dn(cur, 0, 1) - Eo)
+                    ref[:] = cur * keep + m0c * v0 + mtc * v1
+                # y faces: aligned lane-tile writes (same as chunk kernel)
+                c0m, c1m = cxs[(1, 0)], cxs[(1, 1)]
+                y0s, y1s = slice(0, LANE), slice(LANE, 2 * LANE)
+                yls = slice((Qy - 1) * LANE, Qy * LANE)
+                yps = slice((Qy - 2) * LANE, (Qy - 1) * LANE)
+                ex[:, y0s] = Ex[:, y1s] + c0m * (ex[:, y1s] - Ex[:, y0s])
+                ez[:, y0s] = Ez[:, y1s] + c0m * (ez[:, y1s] - Ez[:, y0s])
+                ex[:, yls] = Ex[:, yps] + c1m * (ex[:, yps] - Ex[:, yls])
+                ez[:, yls] = Ez[:, yps] + c1m * (ez[:, yps] - Ez[:, yls])
+                # z faces: masked lane blends
+                c0m, c1m = cxs[(2, 0)], cxs[(2, 1)]
+                keep_z = 1.0 - mz0_v - mz1_v
+                for ref, Eo in ((ex, Ex), (ey, Ey)):
+                    cur = ref[:]
+                    v0 = up(Eo, 1, 1) + c0m * (up(cur, 1, 1) - Eo)
+                    v1 = dn(Eo, 1, 1) + c1m * (dn(cur, 1, 1) - Eo)
+                    ref[:] = cur * keep_z + mz0_v * v0 + mz1_v * v1
+            return 0
+
+        # step count = waveform window length (static at trace time): the
+        # same kernel body compiles to the K-step and remainder variants
+        jax.lax.fori_loop(0, wf_ref.shape[1], body, 0)
+
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    in_specs = (
+        [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [vspec] * (n_repl + n_dev_statics + 6 + n_psi)
+    )
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((m, C), jnp.float32) for _ in range(6 + n_psi)
+    )
+    interpret = jax.default_backend() not in ("tpu", "axon")
+
+    def make_step_call(nsteps):
+        call = pl.pallas_call(
+            kernel,
+            out_shape=out_shape,
+            in_specs=in_specs,
+            out_specs=tuple([vspec] * (6 + n_psi)),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=int(110 * 1024 * 1024),
+            ),
+            interpret=interpret,
+        )
+
+        def step_call(dev, repl, fields6, psi_e, psi_h, wf):
+            out = call(wf, *repl, *dev, *fields6, *psi_e, *psi_h)
+            return tuple(out[:6]), tuple(out[6:12]) if has_pml else (), (
+                tuple(out[12:18]) if has_pml else ())
+
+        return step_call
+
+    rem = D % K
+    return dict(
+        W=W, m=m, n=n, K=K, rem=rem, C=C, n_src=n_src, n_psi=n_psi,
+        dev_statics=dev_statics, repl_statics=repl_statics,
+        step_call=make_step_call(K),
+        step_call_rem=make_step_call(rem) if rem else None,
+    )

@@ -145,3 +145,43 @@ def test_two_axis_mesh():
     np.testing.assert_allclose(
         np.asarray(got["uf"]), np.asarray(ref["uf"]), rtol=1e-4, atol=1e-12
     )
+
+
+def test_explicit_shard_kernel_matches_single_device():
+    """Per-shard Pallas kernel under shard_map (interpret mode on the
+    virtual mesh): the trapezoidal halo-exchange path — K fused steps per
+    pallas_call, one ppermute refresh between calls — must reproduce the
+    single-device run. This is the multi-chip fast path (VMEM-resident
+    stepping per shard instead of the per-step XLA walk)."""
+    from fdtd_solver_antennas_tpu.parallel.explicit import build_explicit_run
+
+    ref = _build(pad_x=8).run()
+    sim = _build(pad_x=8)
+    mesh = make_device_mesh((8,), ("x",))
+    got = build_explicit_run(sim, mesh, use_kernel=True)()
+
+    assert int(got["steps"]) == int(ref["steps"])
+    _close_explicit(got["uf"], ref["uf"])
+    _close_explicit(got["if_"], ref["if_"])
+    for a, b in zip(got["nf_e"], ref["nf_e"]):
+        _close_explicit(a, b)
+    for fa, fb in zip(got["fields"], ref["fields"]):
+        _close_explicit(fa, fb)
+
+
+def test_explicit_shard_kernel_pml():
+    """Shard kernel with CPML ψ state resident in VMEM: ψ halos ride the
+    same ppermute refresh as the fields, so the sharded kernel run must
+    match the single-device CPML run."""
+    from fdtd_solver_antennas_tpu.parallel.explicit import build_explicit_run
+
+    ref = _build_pml(pad_x=8).run()
+    sim = _build_pml(pad_x=8)
+    mesh = make_device_mesh((8,), ("x",))
+    got = build_explicit_run(sim, mesh, use_kernel=True)()
+    assert int(got["steps"]) == int(ref["steps"])
+    _close_explicit(got["uf"], ref["uf"])
+    for a, b in zip(got["nf_e"], ref["nf_e"]):
+        _close_explicit(a, b)
+    for fa, fb in zip(got["fields"], ref["fields"]):
+        _close_explicit(fa, fb)
