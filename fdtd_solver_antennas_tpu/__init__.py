@@ -11,6 +11,11 @@ Public API mirrors the reference export surface
 find the same names here, while everything numeric runs TPU-first.
 """
 
+from .utils.backend import disable_numpy_hugepage_stalls as _no_thp
+
+_no_thp()  # see utils/backend.py: THP defrag stalls make prepare ~100x slower
+del _no_thp
+
 from .models.params import (
     Metal,
     MetalProperties,
