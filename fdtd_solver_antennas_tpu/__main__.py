@@ -41,6 +41,11 @@ def _params_from_args(args):
 
 
 def main() -> None:
+    # persistent compile cache: first FDTD compiles through the tunneled
+    # runtime cost minutes; repeat CLI invocations should start hot
+    from .utils.backend import enable_compile_cache
+
+    enable_compile_cache()
     parser = argparse.ArgumentParser(
         description="TPU-native patch antenna simulator"
     )

@@ -391,6 +391,10 @@ class PreparedSimulation:
     _host_run: object = None  # host-driven chunk pipeline (XLA/stream)
     _resume_fn: object = None
     _aux: tuple = None  # (inv_p, inv_d, mur_coef) kept for run-fn rebuilds
+    # host (NumPy) copies of ``coeffs`` — device reads through the TPU
+    # tunnel cost ~50 s/array, so consumers needing host values (sweep
+    # delta builds) must use these, never np.asarray(sim.coeffs[...])
+    _coeffs_np: Dict[str, np.ndarray] = None
 
     @property
     def shape(self) -> Tuple[int, int, int]:
@@ -794,8 +798,6 @@ def build_simulation(
         # PEC objects win last
         ca[pec[comp]] = 0.0
         cb[pec[comp]] = 0.0
-        coeffs["ca_" + comp] = jnp.asarray(ca, jnp.float32)
-        coeffs["cb_" + comp] = jnp.asarray(cb, jnp.float32)
         coeffs_np["ca_" + comp] = ca.astype(np.float32)
         coeffs_np["cb_" + comp] = cb.astype(np.float32)
 
@@ -835,10 +837,14 @@ def build_simulation(
         padded_shape = (px, padded_shape[1], padded_shape[2])
     if padded_shape != grid.shape:
         pads = tuple(padded_shape[a] - grid.shape[a] for a in range(3))
-        coeffs = {
-            k: jnp.pad(v, [(0, pads[0]), (0, pads[1]), (0, pads[2])])
-            for k, v in coeffs.items()
+        coeffs_np = {
+            k: np.pad(v, [(0, pads[0]), (0, pads[1]), (0, pads[2])])
+            for k, v in coeffs_np.items()
         }
+    # single host→device upload per array; padding stays on the host so
+    # callers that need host copies (sweep delta builds, the stream
+    # kernel's relayout) never read device arrays back through the tunnel
+    coeffs = {k: jnp.asarray(v) for k, v in coeffs_np.items()}
 
     # --- inverse spacing vectors -------------------------------------------
     inv_p, inv_d = {}, {}
@@ -911,6 +917,7 @@ def build_simulation(
         fc=fc,
         padded_shape=padded_shape,
         probe_decim=probe_decim,
+        _coeffs_np=coeffs_np,
     )
     sim._aux = (inv_p, inv_d, mur_coef, pml)
     _resolve_pallas_mode(sim, stream_block)

@@ -102,6 +102,96 @@ def _variant_scene(p: PatchAntennaParams, feed_pos: float) -> Scene:
     return scene
 
 
+def _patch_axis_masks(comp: str, grid, padded_shape,
+                      W: float, L: float, h: float):
+    """Per-axis boolean vectors (padded lengths) whose outer AND equals
+    the voxelizer's ``_inflated_contains`` over ``_edge_midpoints`` for
+    the axis-aligned patch sheet [-W/2,-L/2,h]-[W/2,L/2,h] (containment
+    of an untransformed box is separable; same inflation: degenerate
+    axes +/- the sheet tolerance, finite axes +/- 1e-9). Pad slots are
+    False."""
+    from ..models.scene import Box, PEC
+    from ..ops.voxelize import _edge_axes, _inflated_bounds
+
+    box = Box(PEC("patch"), (-W / 2, -L / 2, h), (W / 2, L / 2, h))
+    lo, hi = _inflated_bounds(box)
+    out = []
+    for a, v in enumerate(_edge_axes(grid, comp)):
+        m = np.zeros(padded_shape[a], bool)
+        v = np.asarray(v, float)
+        m[: len(v)] = (v >= lo[a]) & (v <= hi[a])
+        out.append(m)
+    return out
+
+
+def _shared_substrate(variants: Sequence[PatchAntennaParams]) -> bool:
+    v0 = variants[0]
+    return all(
+        v.eps_r == v0.eps_r
+        and v.loss_tangent == v0.loss_tangent
+        and v.frequency_hz == v0.frequency_hz
+        for v in variants
+    )
+
+
+def _batched_coeffs_delta(variants, grid, feed_pos_mm, f0, fc, cfg,
+                          port_freqs, nf_freqs):
+    """Sweep coefficients without N full voxelize+build passes.
+
+    Patch-sweep variants share everything except the patch metal sheet
+    (substrate, ground, port are identical), so: build ONE *naked* sim
+    (scene minus the patch box -- PEC paint is the voxelizer's last
+    step, so removing it leaves exactly the pre-PEC ca/cb), then stamp
+    each variant's patch as a separable per-axis mask zero, applied ON
+    DEVICE: upload the 6 naked arrays once (~34 MB) plus (B, axis)
+    boolean masks (KBs), and a jitted ``where`` broadcasts the batch --
+    the (B, X, Y, Z) batched coefficients never exist on the host and
+    never cross the (slow) TPU tunnel. Bitwise-equal to per-variant
+    ``build_simulation`` coeffs (pinned by
+    tests/test_sweep.py::test_delta_coeffs_match_full_build); 64-variant
+    prepare drops 289 s -> ~15 s through the tunnel, 4 s on CPU
+    (VERDICT r2 item 10).
+
+    Returns ``(base_sim, batched)``; the naked base sim carries the
+    shared port/waveform/faces machinery for ``_make_vmapped_run``.
+    """
+    naked = _variant_scene(variants[0], feed_pos_mm)
+    naked.boxes = [b for b in naked.boxes if b.prop.name != "patch"]
+    sim = build_simulation(
+        naked, grid, f0=f0, fc=fc, cfg=cfg,
+        port_freqs_hz=port_freqs, nf_freqs_hz=nf_freqs,
+    )
+    base = sim._coeffs_np  # host copies (device reads cost ~50 s via tunnel)
+    pshape = sim.padded_shape or grid.shape
+    h = variants[0].h_m * 1e3
+
+    @jax.jit
+    def _stamp(arr, mx, my, mz):
+        m = mx[:, :, None, None] & my[:, None, :, None] & mz[:, None, None, :]
+        return jnp.where(m, jnp.float32(0.0), arr[None])
+
+    batched = {}
+    for comp in ("ex", "ey", "ez"):
+        per_axis = [
+            _patch_axis_masks(comp, grid, pshape, *_patch_dims_mm(v), h)
+            for v in variants
+        ]
+        masks = [
+            jnp.asarray(np.stack([pa[a] for pa in per_axis]))
+            for a in range(3)
+        ]
+        for pre in ("ca_", "cb_"):
+            batched[pre + comp] = _stamp(
+                jnp.asarray(base[pre + comp]), *masks
+            )
+    for k in base:  # any non-ca/cb coefficient keys are variant-independent
+        if k not in batched:
+            batched[k] = jnp.broadcast_to(
+                jnp.asarray(base[k])[None], (len(variants),) + base[k].shape
+            )
+    return sim, batched
+
+
 def prepare_patch_geometry_sweep(
     variants: Sequence[PatchAntennaParams],
     *,
@@ -153,22 +243,31 @@ def prepare_patch_geometry_sweep(
         port_freqs = np.linspace(max(1e8, f0 * 0.5), f0 * 1.5, 201)
         nf_freqs = np.array([f0])  # sweeps are S11-centric; keep NF light
 
-        # per-variant voxelize + coefficient builds are independent; the
-        # heavy work (native containment core, large numpy array math)
-        # releases the GIL, so threads give near-linear prepare speedup
-        # (the reference re-prepares serially per design)
-        with ThreadPoolExecutor(max_workers=min(8, len(variants))) as tp:
-            sims = list(tp.map(
-                lambda v: build_simulation(
-                    _variant_scene(v, feed_pos_mm), grid, f0=f0, fc=fc,
-                    cfg=cfg, port_freqs_hz=port_freqs, nf_freqs_hz=nf_freqs,
-                ),
-                variants,
-            ))
-        base = sims[0]
-        batched = {
-            k: jnp.stack([s.coeffs[k] for s in sims]) for k in base.coeffs
-        }
+        if _shared_substrate(variants):
+            # fast path: one naked build + separable per-variant patch
+            # stamps (equality vs the full path pinned in test_sweep.py)
+            base, batched = _batched_coeffs_delta(
+                variants, grid, feed_pos_mm, f0, fc, cfg,
+                port_freqs, nf_freqs,
+            )
+        else:
+            # general path: per-variant voxelize + coefficient builds are
+            # independent; the heavy work (native containment core, large
+            # numpy array math) releases the GIL, so threads give
+            # near-linear prepare speedup (the reference re-prepares
+            # serially per design)
+            with ThreadPoolExecutor(max_workers=min(8, len(variants))) as tp:
+                sims = list(tp.map(
+                    lambda v: build_simulation(
+                        _variant_scene(v, feed_pos_mm), grid, f0=f0, fc=fc,
+                        cfg=cfg, port_freqs_hz=port_freqs, nf_freqs_hz=nf_freqs,
+                    ),
+                    variants,
+                ))
+            base = sims[0]
+            batched = {
+                k: jnp.stack([s.coeffs[k] for s in sims]) for k in base.coeffs
+            }
         vrun = _make_vmapped_run(base)
         if verbose:
             print(

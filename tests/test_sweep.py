@@ -144,3 +144,61 @@ def test_horn_sweep_gain_grows_with_aperture(horn_sweep_result):
     # both within a sane horn range
     assert 5.0 < res.Dmax_dbi[0] < 20.0
     assert 8.0 < res.Dmax_dbi[1] < 22.0
+
+
+def test_delta_coeffs_match_full_build():
+    """The naked-base + separable-patch-stamp fast path must reproduce the
+    per-variant ``build_simulation`` coefficient arrays bitwise (it is the
+    default sweep path whenever variants share the substrate)."""
+    from fdtd_solver_antennas_tpu.ops.fdtd import FDTDConfig, build_simulation
+    from fdtd_solver_antennas_tpu.ops.mesh import MeshBuilder
+    from fdtd_solver_antennas_tpu.physics import C0 as _C0
+    from fdtd_solver_antennas_tpu.solvers.sweep import (
+        _batched_coeffs_delta,
+        _patch_dims_mm,
+        _shared_substrate,
+        _variant_scene,
+    )
+
+    variants = [
+        PatchAntennaParams.from_user_units(
+            frequency_ghz=2.45, er=4.3, h_mm=1.6, loss_tangent=0.02,
+            L_mm=L, W_mm=W,
+        )
+        for (L, W) in [(26.0, 33.0), (29.0, 37.0), (32.0, 41.0)]
+    ]
+    assert _shared_substrate(variants)
+    f0 = 2.45e9
+    fc = f0 / 2
+    mesh_res = _C0 / (f0 + fc) / 1e-3 / 12.0  # coarse: keep the test fast
+    h = 1.6
+    mb = MeshBuilder()
+    mb.add_line("x", [-60.0, 60.0])
+    mb.add_line("y", [-60.0, 60.0])
+    mb.add_line("z", [-30.0, 60.0])
+    mb.add_line("z", np.linspace(0.0, h, 5))
+    mb.add_line("x", [-6.0])
+    mb.add_line("y", [0.0])
+    for v in variants:
+        W, L = _patch_dims_mm(v)
+        mb.add_metal_edges([-W / 2, -L / 2, h], [W / 2, L / 2, h], dirs="xy")
+    grid = mb.build(mesh_res, ratio=1.4)
+
+    cfg = FDTDConfig(n_steps_max=500, end_criteria=1e-4)
+    pf = np.linspace(1.5e9, 3.5e9, 21)
+    nf = np.array([f0])
+    _, batched = _batched_coeffs_delta(
+        variants, grid, -6.0, f0, fc, cfg, pf, nf
+    )
+    for b, v in enumerate(variants):
+        full = build_simulation(
+            _variant_scene(v, -6.0), grid, f0=f0, fc=fc, cfg=cfg,
+            port_freqs_hz=pf, nf_freqs_hz=nf,
+        )
+        for k in full.coeffs:
+            got = np.asarray(batched[k][b])
+            want = np.asarray(full.coeffs[k])
+            assert got.shape == want.shape, (k, got.shape, want.shape)
+            assert np.array_equal(got, want), (
+                f"variant {b} key {k}: {np.abs(got - want).max()} max diff"
+            )
