@@ -607,41 +607,51 @@ def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef):
                     Ezn = Ezn + mat
 
             if mur:
-                # x faces: masked row selects (ZT rows per face), only in
-                # blocks 0 / jq. Local index of global row 0 in E^k coords
-                # is l0 = (T−k)·ZT; of row (Qx−1)·ZT it is lt = r1 + l0.
-                # E^{k−1} locals are +ZT (it starts ZT rows lower).
+                # x faces. The fix must be applied in EVERY window that
+                # computes a face row, not just the block that owns it:
+                # with r1 == 0 the top face is the first row of block
+                # jq, and block jq−1 computes it as upper halo at every
+                # intermediate step — gating the fix on j == jq left
+                # those halo values un-fixed, and block jq−1's written
+                # H at x = Qx−2 consumed them: a T>1-only inconsistency
+                # that seeded a slow MUR instability (~0.25%/step growth
+                # through the resonant mode; caught by the r3 bench's
+                # stream_tall_patch energy guard). Select face rows by
+                # GLOBAL row id g and form the x∓1 neighbors as uniform
+                # ±ZT row shifts, so every window computes identical
+                # face values (regression: test_stream_kernel.py).
                 c00, c01 = cxs[(0, 0)], cxs[(0, 1)]
-                l0 = (T - k) * ZT + lo
-                lt = r1 + l0
                 rows = jax.lax.broadcasted_iota(jnp.int32, (LEn, 1), 0)
-                for zt in range(ZT):
-                    m_r0 = (rows == l0 + zt) & (j == 0)
-                    m_rt = (rows == lt + zt) & (j == jq)
-                    s_n0 = l0 + 2 * ZT + zt      # x=1 row, old-E coords
-                    s_f0 = l0 + ZT + zt          # x=0 row, old-E coords
-                    fix0_ey = Ey[s_n0 : s_n0 + 1] + c00 * (
-                        Eyn[s_f0 : s_f0 + 1] - Ey[s_f0 : s_f0 + 1]
+                g = rows + (j - 1) * B + a_k
+                ftop = (Qx - 1) * ZT
+                m_r0 = ((g >= 0) & (g < ZT)).astype(jnp.float32)
+                m_rt = ((g >= ftop) & (g < ftop + ZT)).astype(
+                    jnp.float32
+                )
+                EyO = Ey[ZT : ZT + LEn]
+                EzO = Ez[ZT : ZT + LEn]
+
+                def shift_dn(a):  # row ZT above: x+1 at the same zt
+                    return jnp.concatenate(
+                        [a[ZT:], jnp.zeros((ZT, C), a.dtype)], 0
                     )
-                    fix0_ez = Ez[s_n0 : s_n0 + 1] + c00 * (
-                        Ezn[s_f0 : s_f0 + 1] - Ez[s_f0 : s_f0 + 1]
+
+                def shift_up(a):  # row ZT below: x−1 at the same zt
+                    return jnp.concatenate(
+                        [jnp.zeros((ZT, C), a.dtype), a[:-ZT]], 0
                     )
-                    s_nt = lt + zt               # x=Qx−2 row, old-E coords
-                    s_ft = lt + ZT + zt          # face row, old-E coords
-                    fixt_ey = Ey[s_nt : s_nt + 1] + c01 * (
-                        Eyn[lt - ZT + zt : lt - ZT + zt + 1]
-                        - Ey[s_ft : s_ft + 1]
-                    )
-                    fixt_ez = Ez[s_nt : s_nt + 1] + c01 * (
-                        Ezn[lt - ZT + zt : lt - ZT + zt + 1]
-                        - Ez[s_ft : s_ft + 1]
-                    )
-                    Eyn = jnp.where(
-                        m_r0, fix0_ey, jnp.where(m_rt, fixt_ey, Eyn)
-                    )
-                    Ezn = jnp.where(
-                        m_r0, fix0_ez, jnp.where(m_rt, fixt_ez, Ezn)
-                    )
+
+                fix0_ey = Ey[2 * ZT : 2 * ZT + LEn] + c00 * (
+                    shift_dn(Eyn) - EyO
+                )
+                fix0_ez = Ez[2 * ZT : 2 * ZT + LEn] + c00 * (
+                    shift_dn(Ezn) - EzO
+                )
+                fixt_ey = Ey[:LEn] + c01 * (shift_up(Eyn) - EyO)
+                fixt_ez = Ez[:LEn] + c01 * (shift_up(Ezn) - EzO)
+                keep_x = 1.0 - m_r0 - m_rt
+                Eyn = Eyn * keep_x + m_r0 * fix0_ey + m_rt * fixt_ey
+                Ezn = Ezn * keep_x + m_r0 * fix0_ez + m_rt * fixt_ez
 
                 # y faces: lane roll ±128 masked blend, post-x-fix values
                 c10, c11 = cxs[(1, 0)], cxs[(1, 1)]

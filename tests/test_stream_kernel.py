@@ -85,6 +85,74 @@ def test_stream_matches_xla(boundary, tall):
         )
 
 
+@pytest.mark.slow
+def test_mur_face_long_equality():
+    """Regression: the MUR x-face fix must be applied in every window that
+    computes a face row, not only the block that owns it. With the top
+    face on a block boundary (r1 = 0) the neighboring block computes the
+    face as upper halo at intermediate trapezoid steps; leaving those
+    values un-fixed seeded a slow (~0.25%/step) instability that 120-step
+    tolerance tests missed. 240 steps with reflections off the face bound
+    the stream/XLA drift tightly (PEC and T=1 were always exact)."""
+    n = 240
+
+    def build(pallas_mode):
+        # Qx = 33 so the top face row (Qx−1)·ZT = 64 lands on a block
+        # boundary for the B = 32 the resolver picks at this size
+        mb = MeshBuilder()
+        mb.add_line("x", np.linspace(0, 32, 33))
+        mb.add_line("y", np.linspace(0, 19, 20))
+        mb.add_line("z", np.linspace(0, 130, 131))
+        grid = mb.build(1.0)
+        assert grid.shape == (33, 20, 131), grid.shape
+        scene = Scene()
+        scene.add_material_box(
+            "sub", 4.3, 0.005, [10, 6, 60], [22, 13, 64], 0
+        )
+        scene.add_metal_box("patch", [12, 8, 64], [20, 12, 64], priority=10)
+        scene.add_metal_box("gnd", [10, 6, 60], [22, 13, 60], priority=10)
+        scene.add_lumped_port(
+            1, 50.0, [16, 10, 60], [16, 10, 64], direction="z"
+        )
+        cfg = FDTDConfig(
+            n_steps_max=n, check_every=40, end_criteria=1e-30,
+            probe_decimation=4, use_pallas=pallas_mode is not None,
+            pallas_mode=pallas_mode,
+        )
+        return build_simulation(
+            scene, grid, f0=2.45e9, fc=1.225e9, cfg=cfg,
+            port_freqs_hz=np.linspace(2e9, 3e9, 7),
+            nf_freqs_hz=np.array([2.45e9]),
+            nf_margin_cells=2,
+        )
+
+    sim_ref = build(None)
+    sim_st = build("stream")
+    assert sim_st.pallas_mode == "stream"
+    # the bug only manifests when the trapezoid is deeper than one step
+    # and the face row lands on a block boundary — assert the config
+    # actually exercises that regime
+    zt = -(-sim_st.padded_shape[2] // 128)
+    B = sim_st.stream_block * zt
+    assert sim_st.stream_T > 1
+    assert ((sim_st.grid.shape[0] - 1) * zt) % B == 0, "face not on seam"
+    out_ref = sim_ref.run()
+    out_st = sim_st.run()
+    assert int(out_ref["steps"]) == int(out_st["steps"])
+    Qx, Qy, Qz = sim_ref.grid.shape
+    for name, fr, fs in zip(
+        ("Ex", "Ey", "Ez", "Hx", "Hy", "Hz"),
+        out_ref["fields"], out_st["fields"],
+    ):
+        a = np.asarray(fr)[:Qx, :Qy, :Qz]
+        b = np.asarray(fs)[:Qx, :Qy, :Qz]
+        scale = max(np.abs(a).max(), 1e-20)
+        np.testing.assert_allclose(
+            b, a, atol=2e-5 * scale, rtol=2e-4,
+            err_msg=f"{name} stream vs XLA drift after {n} steps",
+        )
+
+
 def test_tall_grid_auto_resolves_stream():
     """With Pallas wanted and z spanning two lane tiles, the chunk kernel
     is ineligible and the mode must auto-resolve to the streaming kernel."""
