@@ -316,7 +316,34 @@ def pick_stream_block(qx: int, px: int, py: int, pz: int, n_src: int):
 STREAM_VMEM_BUDGET = 120 * 1024 * 1024
 
 
-def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef):
+def pick_shard_stream_params(n, decim, py, pz, n_src, mur):
+    """Choose (Bx, T, rem) for the sharded streaming kernel, or None.
+
+    ``n`` is the owned x-planes per device, ``decim`` the probe
+    decimation. Unlike :func:`pick_stream_block` there is no global
+    divisibility constraint — the per-device local extent is padded to a
+    block multiple internally — but the halo must fit in the shard
+    (``T + 1 ≤ n``) and the block must leave trapezoid room
+    (``B ≥ (T+1)·ZT + lo``, ``lo = ZT`` under MUR since face/block
+    alignment varies per device). Larger blocks amortize fetches better;
+    deeper trapezoids mean fewer collectives — blocks are tried largest
+    first, depths deepest first."""
+    zt = -(-pz // 128)
+    lo = zt if mur else 0
+    for b in (16, 12, 8, 6, 4, 3):
+        B = b * zt
+        if B % 8:
+            continue
+        if stream_vmem_bytes(py, pz, n_src, b) > STREAM_VMEM_BUDGET:
+            continue
+        t_max = (B - lo) // zt - 1
+        for t in (4, 3, 2, 1):
+            if t <= t_max and t + 1 <= n and t <= decim:
+                return b, t, decim % t
+    return None
+
+
+def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef, shard=None):
     """HBM-streaming trapezoidal T-step kernel for large grids (any z).
 
     The VMEM-resident chunk kernel requires the whole working set in VMEM
@@ -364,47 +391,121 @@ def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef):
     Returns ``(step_fn, to_flat, from_flat, (R, C), T)`` with
     ``step_fn(fields6_flat, wf_t) -> fields6_flat`` advancing T steps
     (``wf_t``: (T,) waveform samples).
+
+    **Sharded variant** (``shard`` given, built for the explicit
+    shard_map path — :func:`parallel.explicit.build_explicit_run`): the
+    grid is decomposed along x over ``n_dev`` devices and each device
+    streams a *halo-extended local* array through the same kernel —
+    layout per device (in x-planes):
+
+    ``[dead Bx][halo Hx][owned n][halo Hx][dead ≥ Bx]``
+
+    - the ``Hx = T+1``-plane halos carry the neighbor's field rows and
+      are refreshed by ONE ``ppermute`` per T-step invocation (the same
+      trapezoidal-exchange amortization as the VMEM shard kernel);
+    - the ``dead`` blocks hold all-zero coefficients/spacings so the
+      pallas window *clamp* at the local array edges duplicates only
+      zero-coupled rows — the identical invariant that makes the
+      single-chip kernel's x padding safe (clamped garbage cannot
+      cross a zero-``cb``/zero-inverse-spacing plane);
+    - MUR x-face row selects come from per-device mask *columns*
+      (windowed with the same prev/cur/next specs as the x spacings)
+      instead of the single-chip global-row iota: shard_map traces one
+      program for every device, so face positions must be operands.
+
+    ``shard`` is a dict with keys ``n_dev`` (mesh size), ``n`` (owned
+    x-planes per device), ``Bx`` (block planes), ``T`` (steps per
+    invocation), ``rem`` (remainder steps per probe-decimation window,
+    0 if T divides it). Returns a dict (see the code) with per-device
+    statics, the T- and rem-step ``step_call`` variants, and the local
+    layout constants the caller needs for halo exchange and probe
+    extraction. Reference analog: none — the reference has no
+    distributed execution (SURVEY §2.3).
     """
     Px, Py, Pz = sim.padded_shape or sim.grid.shape
     ZT = -(-Pz // 128)
     Z = 128 * ZT
-    R, C = Px * ZT, Py * 128
-    Bx = int(sim.stream_block)          # x-planes per block
-    B = Bx * ZT                         # rows per block
-    T = int(sim.stream_T)
-    if Bx <= 0 or Px % Bx:
-        raise ValueError(f"invalid stream block {Bx} for Px={Px}")
-    if not (1 <= T <= Bx - 1):
-        raise ValueError(f"stream T={T} must satisfy 1 <= T <= Bx-1={Bx - 1}")
-    nb = R // B
-    Qx, Qy, Qz = sim.grid.shape
-    jq = ((Qx - 1) * ZT) // B           # block holding the top x-face rows
-    r1 = ((Qx - 1) * ZT) % B            # row offset of the face x-plane
+    C = Py * 128
     dtmu = np.float32(sim.dt / MU0)
     mur = sim.cfg.boundary.upper().startswith("MUR")
     if sim.cfg.pml_cells() > 0:
         raise ValueError("MUR/PEC only")
-    # When the MUR top x-face sits exactly on a block boundary (r1 = 0),
-    # its x-neighbor plane belongs to the previous block; extend every
-    # step's valid row range one x-plane below the output block so the
-    # neighbor's E^k is always computed in-window (the extra rows are
-    # discarded at write time). Costs ZT rows of redundant compute per
-    # step and tightens the halo requirement to B ≥ (T+1)·ZT + lo.
-    lo = ZT if (mur and r1 == 0) else 0
+    Qx, Qy, Qz = sim.grid.shape
+    if shard is None:
+        R = Px * ZT
+        Bx = int(sim.stream_block)      # x-planes per block
+        B = Bx * ZT                     # rows per block
+        T = int(sim.stream_T)
+        if Bx <= 0 or Px % Bx:
+            raise ValueError(f"invalid stream block {Bx} for Px={Px}")
+        if not (1 <= T <= Bx - 1):
+            raise ValueError(
+                f"stream T={T} must satisfy 1 <= T <= Bx-1={Bx - 1}")
+        nb = R // B
+        jq = ((Qx - 1) * ZT) // B       # block holding the top x-face rows
+        r1 = ((Qx - 1) * ZT) % B        # row offset of the face x-plane
+        # When the MUR top x-face sits exactly on a block boundary
+        # (r1 = 0), its x-neighbor plane belongs to the previous block;
+        # extend every step's valid row range one x-plane below the
+        # output block so the neighbor's E^k is always computed
+        # in-window (the extra rows are discarded at write time). Costs
+        # ZT rows of redundant compute per step and tightens the halo
+        # requirement to B ≥ (T+1)·ZT + lo.
+        lo = ZT if (mur and r1 == 0) else 0
+    else:
+        n_dev = int(shard["n_dev"])
+        sh_n = int(shard["n"])          # owned x-planes per device
+        Bx = int(shard["Bx"])
+        B = Bx * ZT
+        T = int(shard["T"])
+        rem = int(shard["rem"])
+        if Px % n_dev or Px // n_dev != sh_n:
+            raise ValueError(f"Px={Px} does not shard into {n_dev}×{sh_n}")
+        Hx = T + 1                      # halo planes per side
+        if sh_n < Hx:
+            raise ValueError(f"shard of {sh_n} planes < halo {Hx}")
+        # Face positions vary per device relative to local blocks, so
+        # the low-edge extension must hold for every alignment.
+        lo = ZT if mur else 0
+        base = Bx + Hx + sh_n + Hx + Bx
+        PxL = -(-base // Bx) * Bx       # extra planes go to the top dead
+        R = PxL * ZT
+        nb = R // B
+        own0 = (Bx + Hx) * ZT           # first owned row (local)
     if B < (T + 1) * ZT + lo:
         raise ValueError(
             f"stream block B={B} too small for T={T}, ZT={ZT}, lo={lo}"
         )
 
+    R_g = Px * ZT                       # global row count
+
     def to_flat(a3):
         a3 = jnp.pad(a3, ((0, 0), (0, 0), (0, Z - Pz)))
-        return a3.reshape(Px, Py, ZT, 128).transpose(0, 2, 1, 3).reshape(R, C)
+        return a3.reshape(Px, Py, ZT, 128).transpose(0, 2, 1, 3).reshape(
+            R_g, C)
 
     def from_flat(a2):
         a3 = a2.reshape(Px, ZT, Py, 128).transpose(0, 2, 1, 3)
         return a3.reshape(Px, Py, Z)[:, :, :Pz]
 
-    coeffs_flat = {k: to_flat(v) for k, v in sim.coeffs.items()}
+    if shard is None:
+        coeffs_flat = {k: to_flat(v) for k, v in sim.coeffs.items()}
+    else:
+        def ext(ga2):
+            """Global (R_g, k) rows → per-device (n_dev, R, k) local
+            arrays. Only the halo+owned span is filled; the dead blocks
+            (and halo rows beyond the global domain) stay zero — for
+            coefficient/spacing/mask/source statics zero is exactly the
+            out-of-domain value the clamp-safety invariant requires."""
+            ga2 = np.asarray(ga2, np.float32)
+            out = np.zeros((n_dev, R) + ga2.shape[1:], np.float32)
+            for d in range(n_dev):
+                gp0 = d * sh_n - Hx     # global plane of local plane Bx
+                s0, s1 = max(0, gp0), min(Px, gp0 + 2 * Hx + sh_n)
+                if s1 > s0:
+                    l0 = (Bx + (s0 - gp0)) * ZT
+                    out[d, l0 : l0 + (s1 - s0) * ZT] = ga2[s0 * ZT : s1 * ZT]
+            return out
 
     yy = np.repeat(np.arange(Py), 128)
     zl = np.tile(np.arange(128), Py)
@@ -424,8 +525,15 @@ def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef):
     izp_tiles = [lane_vec_z(inv_p[2], t) for t in range(ZT)]
     izd_tiles = [lane_vec_z(inv_d[2], t) for t in range(ZT)]
     # per-row x inverse spacings: each x-plane's value repeated ZT times
-    ix_p = np.repeat(np.asarray(inv_p[0], np.float32), ZT).reshape(R, 1)
-    ix_d = np.repeat(np.asarray(inv_d[0], np.float32), ZT).reshape(R, 1)
+    ix_p = np.repeat(np.asarray(inv_p[0], np.float32), ZT).reshape(R_g, 1)
+    ix_d = np.repeat(np.asarray(inv_d[0], np.float32), ZT).reshape(R_g, 1)
+    # MUR x-face row masks as global columns (sharded variant only: the
+    # single-chip kernel derives them from the grid index instead)
+    ftop = (Qx - 1) * ZT
+    m0col = np.zeros((R_g, 1), np.float32)
+    m0col[0:ZT] = 1.0
+    mtcol = np.zeros((R_g, 1), np.float32)
+    mtcol[ftop : ftop + ZT] = 1.0
 
     # z-face lane masks (row zt-masks are applied in-kernel via iota)
     zt1 = (Qz - 1) // 128               # tile holding the top z face
@@ -452,11 +560,22 @@ def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef):
         """Interleaved (x·ZT, y·128) relayout, host-side (no device trip)."""
         a3 = np.pad(a3, ((0, 0), (0, 0), (0, Z - Pz)))
         a3 = a3.reshape(Px, Py, ZT, 128).transpose(0, 2, 1, 3)
-        return np.ascontiguousarray(a3.reshape(R, C))
+        return np.ascontiguousarray(a3.reshape(R_g, C))
 
     src_inputs = [_to_flat_np(src_mats[c]) for c in src_comps]
     n_src = len(src_comps)
     cxs = {k: np.float32(v) for k, v in mur_coef.items()}
+    if shard is not None:
+        # per-device statics: coefficients (from the host copies — a
+        # device readback through the tunneled runtime costs ~50 s per
+        # array), x spacings, face mask columns, sources
+        coeffs_dev = [
+            ext(_to_flat_np(sim._coeffs_np[k]))
+            for k in ("ca_ex", "cb_ex", "ca_ey", "cb_ey", "ca_ez", "cb_ez")
+        ]
+        ixp_dev, ixd_dev = ext(ix_p), ext(ix_d)
+        m0_dev, mt_dev = ext(m0col), ext(mtcol)
+        src_dev = [ext(s) for s in src_inputs]
 
     def up(a, axis, n):
         return pltpu.roll(a, a.shape[axis] - n, axis)
@@ -469,6 +588,10 @@ def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef):
 
     def kernel(*refs):
         wf_ref = refs[0]
+        # steps this invocation — static at trace time (the remainder
+        # variant of the sharded path passes a shorter waveform window;
+        # its shallower trapezoid still writes exactly [B−lo, 2B))
+        Tk = wf_ref.shape[1]
         (iyp_r, iyd_r) = refs[1:3]
         izp_rs = refs[3 : 3 + ZT]
         izd_rs = refs[3 + ZT : 3 + 2 * ZT]
@@ -476,6 +599,9 @@ def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef):
         (mz0_r, mz1_r, my0_r, my1_r, ml127_r, ml0_r) = refs[o : o + 6]
         ix_cols = refs[o + 6 : o + 12]   # ixp p/c/n, ixd p/c/n
         o = o + 12
+        if shard is not None:
+            fm_cols = refs[o : o + 6]    # m0 p/c/n, mt p/c/n
+            o = o + 6
         coef_refs = refs[o : o + n_coef]
         src_refs = refs[o + n_coef : o + n_coef + n_srcw]
         f_refs = refs[o + n_coef + n_srcw : o + n_coef + n_srcw + 18]
@@ -522,8 +648,8 @@ def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef):
                 return full[s : s + L]
 
         # E^0 window rows [B−T·ZT−lo, 2B+T·ZT); H^0 rows [B−(T+1)·ZT−lo, ·)
-        aE0, bE0 = B - T * ZT - lo, 2 * B + T * ZT
-        aH0 = B - (T + 1) * ZT - lo
+        aE0, bE0 = B - Tk * ZT - lo, 2 * B + Tk * ZT
+        aH0 = B - (Tk + 1) * ZT - lo
         E = [win3(f_refs[c][:], f_refs[6 + c][:], f_refs[12 + c][:], aE0, bE0)
              for c in range(3)]
         H = [win3(f_refs[3 + c][:], f_refs[9 + c][:], f_refs[15 + c][:],
@@ -550,10 +676,10 @@ def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef):
                 return dn(self_a, 1, 1)
             return (1.0 - k0l) * dn(self_a, 1, 1) + k0l * up(rowm_a, 1, 127)
 
-        for k in range(1, T + 1):
-            a_p = B - (T - k + 1) * ZT - lo  # start of E^{k-1} (window coords)
+        for k in range(1, Tk + 1):
+            a_p = B - (Tk - k + 1) * ZT - lo  # start of E^{k-1} (window coords)
             a_k = a_p + ZT               # start of E^k
-            b_k = 2 * B + (T - k) * ZT
+            b_k = 2 * B + (Tk - k) * ZT
             LEn = b_k - a_k              # rows of E^k
             LH = LEn + ZT                # rows of H^k  [a_k−ZT, b_k)
             LE = LEn + 2 * ZT            # rows of E^{k-1}
@@ -621,13 +747,22 @@ def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef):
                 # ±ZT row shifts, so every window computes identical
                 # face values (regression: test_stream_kernel.py).
                 c00, c01 = cxs[(0, 0)], cxs[(0, 1)]
-                rows = jax.lax.broadcasted_iota(jnp.int32, (LEn, 1), 0)
-                g = rows + (j - 1) * B + a_k
-                ftop = (Qx - 1) * ZT
-                m_r0 = ((g >= 0) & (g < ZT)).astype(jnp.float32)
-                m_rt = ((g >= ftop) & (g < ftop + ZT)).astype(
-                    jnp.float32
-                )
+                if shard is None:
+                    rows = jax.lax.broadcasted_iota(jnp.int32, (LEn, 1), 0)
+                    g = rows + (j - 1) * B + a_k
+                    m_r0 = ((g >= 0) & (g < ZT)).astype(jnp.float32)
+                    m_rt = ((g >= ftop) & (g < ftop + ZT)).astype(
+                        jnp.float32
+                    )
+                else:
+                    # SPMD: face positions vary per device, so the masks
+                    # ride in as per-device columns windowed like the x
+                    # spacings — every window that computes a face row
+                    # sees the identical mask (the seam-fix invariant)
+                    m_r0 = win3(fm_cols[0][:], fm_cols[1][:],
+                                fm_cols[2][:], a_k, b_k)
+                    m_rt = win3(fm_cols[3][:], fm_cols[4][:],
+                                fm_cols[5][:], a_k, b_k)
                 EyO = Ey[ZT : ZT + LEn]
                 EzO = Ez[ZT : ZT + LEn]
 
@@ -728,6 +863,10 @@ def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef):
     interpret = jax.default_backend() not in ("tpu", "axon")
     out6 = jax.ShapeDtypeStruct((R, C), jnp.float32)
 
+    mask_specs = (
+        [col_p, col_c, col_n, col_p, col_c, col_n] if shard is not None
+        else []
+    )
     call = pl.pallas_call(
         kernel,
         grid=(nb,),
@@ -737,6 +876,7 @@ def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef):
             + [const_row] * (2 * ZT)                          # izp/izd tiles
             + [const_row] * 6                                 # mz0 mz1 my0 my1 ml127 ml0
             + [col_p, col_c, col_n, col_p, col_c, col_n]      # ixp3, ixd3
+            + mask_specs                                      # m0/mt p/c/n
             + [blk_p] * 6 + [blk] * 6 + [blk_n] * 6           # coeffs p/c/n
             + [blk_p] * n_src + [blk] * n_src + [blk_n] * n_src
             + [blk_p] * 6 + [blk] * 6 + [blk_n] * 6           # fields p/c/n
@@ -750,21 +890,54 @@ def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef):
         interpret=interpret,
     )
 
-    statics = (
+    lane_statics = (
         [jnp.asarray(iy_p), jnp.asarray(iy_d)]
         + [jnp.asarray(v) for v in izp_tiles]
         + [jnp.asarray(v) for v in izd_tiles]
         + [jnp.asarray(mz0), jnp.asarray(mz1),
            jnp.asarray(my0), jnp.asarray(my1),
-           jnp.asarray(ml127), jnp.asarray(ml0),
-           jnp.asarray(ix_p), jnp.asarray(ix_p), jnp.asarray(ix_p),
+           jnp.asarray(ml127), jnp.asarray(ml0)]
+    )
+
+    if shard is not None:
+        # per-device row statics carry a leading n_dev axis; the caller
+        # shards them with P(axis_name) and strips it inside shard_map
+        dev_statics = (
+            [ixp_dev] * 3 + [ixd_dev] * 3
+            + [m0_dev] * 3 + [mt_dev] * 3
+            + coeffs_dev * 3
+            + src_dev * 3
+        )
+
+        def step_call(lane_in, dev_in, fields_flat, wf_t, nsteps):
+            ex, ey, ez, hx, hy, hz = fields_flat
+            wf2 = jnp.asarray(wf_t, jnp.float32).reshape(1, nsteps)
+            fields = (ex, ey, ez, hx, hy, hz)
+            out = call(wf2, *lane_in, *dev_in, *fields, *fields, *fields)
+            return tuple(out)
+
+        def from_local(a2):
+            """Extended local flat (R, C) → owned (n, Py, Pz) rows."""
+            a3 = a2[own0 : own0 + sh_n * ZT].reshape(sh_n, ZT, Py, 128)
+            return a3.transpose(0, 2, 1, 3).reshape(sh_n, Py, Z)[:, :, :Pz]
+
+        return dict(
+            step_call=step_call,
+            lane_statics=tuple(lane_statics),
+            dev_statics=dev_statics,
+            from_local=from_local,
+            R=R, C=C, T=T, rem=rem, ZT=ZT,
+            own0=own0, n_rows=sh_n * ZT, halo_rows=Hx * ZT,
+        )
+
+    statics = tuple(
+        lane_statics
+        + [jnp.asarray(ix_p), jnp.asarray(ix_p), jnp.asarray(ix_p),
            jnp.asarray(ix_d), jnp.asarray(ix_d), jnp.asarray(ix_d)]
         + [coeffs_flat[k] for k in
            ("ca_ex", "cb_ex", "ca_ey", "cb_ey", "ca_ez", "cb_ez")] * 3
         + [jnp.asarray(v) for v in src_inputs] * 3
     )
-
-    statics = tuple(statics)
 
     def step_fn(statics_in, fields_flat, wf_t):
         """Advance T steps. ``statics_in`` must be passed through the

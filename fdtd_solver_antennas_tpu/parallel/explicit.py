@@ -30,13 +30,13 @@ halo-extended derivative terms.
 The reference has no distributed execution at all (SURVEY §2.3); this is
 the framework's scale-out path for grids beyond one chip's HBM.
 
-Two per-shard compute paths (``use_kernel``):
+Three per-shard compute paths (``use_kernel``):
 
 - **XLA step** (default off-TPU): the hand-written leapfrog below, halos
   exchanged every half-step.
-- **Pallas shard kernel** (default on TPU when it fits): each device
-  advances a halo-extended ``(n + 2K, Py·128)`` VMEM block K steps per
-  ``pallas_call`` (:func:`ops.fdtd_pallas.build_pallas_shard_stepper`),
+- **Pallas shard kernel** (default on TPU when it fits: z ≤ 128): each
+  device advances a halo-extended ``(n + 2K, Py·128)`` VMEM block K steps
+  per ``pallas_call`` (:func:`ops.fdtd_pallas.build_pallas_shard_stepper`),
   with ONE ppermute halo refresh per K steps instead of two per step — a
   trapezoidal exchange that trades ``2K/n`` redundant rows for K× fewer
   collectives and K× fewer HBM field round-trips. Measured on a single
@@ -47,6 +47,14 @@ Two per-shard compute paths (``use_kernel``):
   entire termination chunk; the shard kernel's per-call ceiling is set
   by the halo redundancy (m/n = 1.78 at n_dev=1, shrinking relevance as
   real multi-chip shards get smaller per device).
+- **Sharded HBM-streaming kernel** (default on TPU for z > 128, MUR/PEC):
+  each device streams a halo-extended local array in the interleaved
+  (x·ZT, y·128) row layout through the trapezoidal streaming kernel
+  (:func:`ops.fdtd_pallas.build_pallas_stream_stepper` with ``shard=``) —
+  T fused steps per ``pallas_call``, ONE ppermute halo restock per call.
+  This brings the streaming kernel's rate (4.0 Gcell/s single-chip on the
+  4.2M-cell z=152 scene) to sharded large grids, which previously fell
+  back to the per-step XLA walk.
 """
 
 from __future__ import annotations
@@ -75,6 +83,14 @@ try:  # jax >= 0.4.35 exposes shard_map at top level
     from jax import shard_map as _shard_map
 except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map as _shard_map
+
+
+def _dedup_asarray(arrs):
+    """Upload each distinct host array once (the static lists repeat the
+    same object for the prev/cur/next window views — re-uploading the
+    coefficient blocks three times would triple the host→device cost)."""
+    seen: dict = {}
+    return [seen.setdefault(id(a), jnp.asarray(a)) for a in arrs]
 
 
 def _localize_gathers(idx, w, Px, Py, Pz, n_dev):
@@ -111,15 +127,18 @@ def build_explicit_run(sim, mesh: Mesh, axis_name: str | None = None,
 
     ``use_kernel`` selects the per-shard compute path:
 
-    - True: each device advances its halo-extended block with the fused
-      VMEM Pallas kernel (:func:`ops.fdtd_pallas.build_pallas_shard_stepper`)
-      — ``probe_decim`` leapfrog steps per invocation, halos refreshed by
-      ``ppermute`` between invocations, so multi-chip inherits the
-      single-chip kernel's HBM-traffic profile instead of the ~2.5× slower
-      per-step XLA walk;
+    - True: each device advances its halo-extended block with a fused
+      Pallas kernel — the VMEM shard kernel
+      (:func:`ops.fdtd_pallas.build_pallas_shard_stepper`) when z ≤ 128,
+      else the sharded HBM-streaming kernel
+      (:func:`ops.fdtd_pallas.build_pallas_stream_stepper` with
+      ``shard=``, MUR/PEC only) — multiple leapfrog steps per invocation,
+      halos refreshed by ONE ``ppermute`` between invocations, so
+      multi-chip inherits the single-chip kernels' HBM-traffic profile
+      instead of the ~2.5× slower per-step XLA walk;
     - False: the hand-written XLA step below (any shape/decimation);
-    - None (default): auto — the kernel when the shape fits it (Pz ≤ 128,
-      shard rows ≥ probe_decim, VMEM budget) on a TPU backend.
+    - None (default): auto — a kernel when one fits the shape on a TPU
+      backend, else the XLA step.
     """
     import jax as _jax
 
@@ -140,11 +159,14 @@ def build_explicit_run(sim, mesh: Mesh, axis_name: str | None = None,
     from ..ops.fdtd_pallas import (
         LANE,
         build_pallas_shard_stepper,
+        build_pallas_stream_stepper,
+        pick_shard_stream_params,
         shard_vmem_bytes,
     )
 
     _decim = int(sim.probe_decim)
     _has_pml = sim.cfg.pml_cells() > 0
+    _is_mur = sim.cfg.boundary.upper().startswith("MUR")
     _n_src = max(1, len({p.spec.direction for p in sim.ports})
                  + (1 if sim.msl_ports else 0))
     # steps per kernel call = halo width: the largest K whose extended
@@ -156,13 +178,23 @@ def build_explicit_run(sim, mesh: Mesh, axis_name: str | None = None,
             _K = k
             break
     _kernel_fits = Pz <= LANE and _K >= 1
+    # large-z fallback kernel: the sharded streaming kernel (MUR/PEC
+    # only — CPML ψ state is not in the streaming kernel)
+    _stream_params = (
+        None if (_has_pml or _kernel_fits)
+        else pick_shard_stream_params(n, _decim, Py, Pz, _n_src, _is_mur)
+    )
     if use_kernel is None:
-        use_kernel = _kernel_fits and _jax.default_backend() in ("tpu", "axon")
-    elif use_kernel and not _kernel_fits:
+        use_kernel = (_kernel_fits or _stream_params is not None) and \
+            _jax.default_backend() in ("tpu", "axon")
+    elif use_kernel and not (_kernel_fits or _stream_params is not None):
         raise ValueError(
-            f"shard kernel does not fit: Pz={Pz} (≤{LANE}?), VMEM budget "
-            f"at halo {_K}"
+            f"no shard kernel fits: Pz={Pz} (VMEM kernel needs ≤{LANE}), "
+            f"halo budget {_K}, stream params {_stream_params} "
+            f"(PML={_has_pml})"
         )
+    use_stream = bool(use_kernel) and not _kernel_fits
+    use_kernel = bool(use_kernel) and _kernel_fits
     # When the top MUR face row (Qx−1) sits on a shard boundary its inward
     # neighbor (Qx−2) lives on the previous device — fetch it via an extra
     # per-step halo instead of an in-device roll.
@@ -174,9 +206,16 @@ def build_explicit_run(sim, mesh: Mesh, axis_name: str | None = None,
     inv_p, inv_d, mur_coef, pml = sim._aux
 
     shard_kern = None
+    stream_kern = None
     if use_kernel:
         shard_kern = build_pallas_shard_stepper(
             sim, inv_p, inv_d, mur_coef, pml, n_dev, k_steps=_K
+        )
+    elif use_stream:
+        _Bx, _T, _rem = _stream_params
+        stream_kern = build_pallas_stream_stepper(
+            sim, inv_p, inv_d, mur_coef,
+            shard=dict(n_dev=n_dev, n=n, Bx=_Bx, T=_T, rem=_rem),
         )
     n_ports = n_probe_rows(sim)
     n_src_steps = sim.n_source_steps
@@ -276,6 +315,36 @@ def build_explicit_run(sim, mesh: Mesh, axis_name: str | None = None,
                 return [
                     jnp.concatenate(
                         [from_left[i], a[kW : kW + n], from_right[i]], 0
+                    )
+                    for i, a in enumerate(arrs)
+                ]
+        elif use_stream:
+            kdev = [a[0] for a in kdev]  # (1, R, k) blocks → (R, k)
+            s_own0 = stream_kern["own0"]
+            s_nr = stream_kern["n_rows"]
+            s_hr = stream_kern["halo_rows"]
+            inner3 = stream_kern["from_local"]
+
+            perm_r = [(d, d + 1) for d in range(n_dev - 1)]
+            perm_l = [(d + 1, d) for d in range(n_dev - 1)]
+
+            def refresh_halos(arrs):
+                """One trapezoidal halo restock per T-step kernel call:
+                each device's top/bottom ``Hx``-plane *owned* edges feed
+                the neighbors' halo slots. Non-cyclic perms give edge
+                devices zeros — the out-of-domain value. The dead blocks
+                outside the halos are untouched (identically zero)."""
+                arrs = list(arrs)
+                send_r = jnp.stack(
+                    [a[s_own0 + s_nr - s_hr : s_own0 + s_nr] for a in arrs])
+                send_l = jnp.stack([a[s_own0 : s_own0 + s_hr] for a in arrs])
+                from_left = jax.lax.ppermute(send_r, axis_name, perm_r)
+                from_right = jax.lax.ppermute(send_l, axis_name, perm_l)
+                return [
+                    jnp.concatenate(
+                        [a[: s_own0 - s_hr], from_left[i],
+                         a[s_own0 : s_own0 + s_nr], from_right[i],
+                         a[s_own0 + s_nr + s_hr :]], 0
                     )
                     for i, a in enumerate(arrs)
                 ]
@@ -432,6 +501,9 @@ def build_explicit_run(sim, mesh: Mesh, axis_name: str | None = None,
             if use_kernel:
                 return jnp.zeros((shard_kern["m"], shard_kern["C"]),
                                  jnp.float32)
+            if use_stream:
+                return jnp.zeros((stream_kern["R"], stream_kern["C"]),
+                                 jnp.float32)
             return jnp.zeros((n, Py, Pz), jnp.float32)
 
         keys = ("xy", "xz", "yz", "yx", "zx", "zy")
@@ -499,10 +571,31 @@ def build_explicit_run(sim, mesh: Mesh, axis_name: str | None = None,
                     c = advance_kernel(c, rem, shard_kern["step_call_rem"])
                 return c
 
+            def advance_stream(c, nsteps):
+                """``nsteps`` steps of the HBM-streaming trapezoid on the
+                halo-extended local array, then one halo restock."""
+                wf_win = jax.lax.dynamic_slice(
+                    waveform, (c["n"],), (nsteps,))
+                f6 = stream_kern["step_call"](
+                    krepl, kdev, c["fields"], wf_win, nsteps)
+                f6 = refresh_halos(list(f6))
+                return dict(c, fields=tuple(f6), n=c["n"] + nsteps)
+
+            def advance_decim_stream(c):
+                sT, srem = stream_kern["T"], stream_kern["rem"]
+                c = jax.lax.fori_loop(
+                    0, decim // sT,
+                    lambda i, cc: advance_stream(cc, sT), c,
+                )
+                if srem:
+                    c = advance_stream(c, srem)
+                return c
+
             def sub_body(j, st):
                 c, b = st
-                if use_kernel:
-                    c = advance_decim_kernel(c)
+                if use_kernel or use_stream:
+                    c = (advance_decim_kernel(c) if use_kernel
+                         else advance_decim_stream(c))
                     E = tuple(inner3(f) for f in c["fields"][:3])
                     H = tuple(inner3(f) for f in c["fields"][3:])
                 else:
@@ -553,6 +646,11 @@ def build_explicit_run(sim, mesh: Mesh, axis_name: str | None = None,
                 energy = jax.lax.psum(
                     sum(jnp.sum(e[kW : kW + n] ** 2) for e in E), axis_name
                 )
+            elif use_stream:  # owned rows only
+                energy = jax.lax.psum(
+                    sum(jnp.sum(e[s_own0 : s_own0 + s_nr] ** 2) for e in E),
+                    axis_name,
+                )
             else:
                 energy = jax.lax.psum(
                     sum(jnp.sum(e * e) for e in E), axis_name
@@ -575,7 +673,7 @@ def build_explicit_run(sim, mesh: Mesh, axis_name: str | None = None,
         nf_e = jax.lax.psum(carry["nf_e"], axis_name)
         nf_h = jax.lax.psum(carry["nf_h"], axis_name)
         out_fields = tuple(carry["fields"])
-        if use_kernel:  # extended flat blocks → owned 3D rows
+        if use_kernel or use_stream:  # extended flat blocks → owned 3D rows
             out_fields = tuple(inner3(f) for f in out_fields)
         return (out_fields, uf, if_, nf_e, nf_h,
                 carry["n"], carry["e_ratio"])
@@ -585,15 +683,17 @@ def build_explicit_run(sim, mesh: Mesh, axis_name: str | None = None,
     rep3 = P(None, None, None)
     gspec = P(axis_name, None, None)  # (n_dev, T, k) gather tables
     if shard_kern is not None:
-        kdev_specs = [
-            P(axis_name, *([None] * (a.ndim - 1)))
-            for a in shard_kern["dev_statics"]
-        ]
-        krepl_specs = [
-            P(*([None] * a.ndim)) for a in shard_kern["repl_statics"]
-        ]
+        _kdev_np = shard_kern["dev_statics"]
+        _krepl_np = shard_kern["repl_statics"]
+    elif stream_kern is not None:
+        _kdev_np = stream_kern["dev_statics"]
+        _krepl_np = stream_kern["lane_statics"]
     else:
-        kdev_specs, krepl_specs = [], []
+        _kdev_np, _krepl_np = [], []
+    kdev_specs = [
+        P(axis_name, *([None] * (a.ndim - 1))) for a in _kdev_np
+    ]
+    krepl_specs = [P(*([None] * a.ndim)) for a in _krepl_np]
     in_specs = (
         {k: px for k in sim.coeffs},     # coeffs
         P(None),                          # waveform
@@ -635,10 +735,8 @@ def build_explicit_run(sim, mesh: Mesh, axis_name: str | None = None,
             jnp.asarray(pg_h_idx_d), jnp.asarray(pg_h_w_d),
             jnp.asarray(pv_idx_d), jnp.asarray(pv_w_d),
             jnp.asarray(pi_idx_d), jnp.asarray(pi_w_d),
-            [jnp.asarray(a) for a in shard_kern["dev_statics"]]
-            if shard_kern is not None else [],
-            [jnp.asarray(a) for a in shard_kern["repl_statics"]]
-            if shard_kern is not None else [],
+            _dedup_asarray(_kdev_np),
+            _dedup_asarray(_krepl_np),
         )
         fields, uf, if_, nf_e, nf_h, steps, e_ratio = run_jit(*args)
         jax.block_until_ready(steps)

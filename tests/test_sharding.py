@@ -185,3 +185,83 @@ def test_explicit_shard_kernel_pml():
         _close_explicit(a, b)
     for fa, fb in zip(got["fields"], ref["fields"]):
         _close_explicit(fa, fb)
+
+
+def _build_tall(pad_x=8, boundary="MUR_1", n_steps=160):
+    """A z > 128 (two-lane-tile) scene: the VMEM shard kernel is
+    ineligible, so the explicit path must fall through to the sharded
+    HBM-streaming trapezoidal kernel."""
+    mb = MeshBuilder()
+    mb.add_line("x", np.linspace(0, 39, 40))
+    mb.add_line("y", np.linspace(0, 15, 16))
+    mb.add_line("z", np.linspace(0, 130, 131))
+    grid = mb.build(1.0)
+    assert grid.shape == (40, 16, 131), grid.shape
+    scene = Scene()
+    scene.add_material_box("sub", 4.3, 0.005, [12, 4, 60], [28, 11, 64], 0)
+    scene.add_metal_box("patch", [14, 6, 64], [26, 10, 64], priority=10)
+    scene.add_metal_box("gnd", [12, 4, 60], [28, 11, 60], priority=10)
+    scene.add_lumped_port(1, 50.0, [20, 8, 60], [20, 8, 64], direction="z")
+    cfg = FDTDConfig(
+        n_steps_max=n_steps, check_every=40, end_criteria=1e-30,
+        probe_decimation=10, boundary=boundary,
+    )
+    return build_simulation(
+        scene, grid, f0=2.45e9, fc=1.225e9, cfg=cfg,
+        port_freqs_hz=np.linspace(2e9, 3e9, 7),
+        nf_freqs_hz=np.array([2.45e9]),
+        nf_margin_cells=2,
+        pad_multiple=(pad_x, 1, 1),
+    )
+
+
+@pytest.mark.slow
+def test_explicit_stream_kernel_matches_single_device():
+    """Sharded HBM-streaming kernel (z > 128, interpret mode on the
+    virtual mesh): each device streams a halo-extended local array in the
+    interleaved (x·ZT, y·128) row layout through the trapezoidal kernel —
+    T fused steps per pallas_call plus a remainder variant (decim=10,
+    T=4 → 4+4+2), ONE ppermute halo restock per call, MUR x-face masks as
+    per-device windowed columns. Must reproduce the single-device XLA
+    run, including the MUR faces and the port/NF2FF DFTs."""
+    from fdtd_solver_antennas_tpu.parallel.explicit import build_explicit_run
+
+    from fdtd_solver_antennas_tpu.ops.fdtd_pallas import (
+        pick_shard_stream_params,
+    )
+
+    # the geometry must actually exercise the deep trapezoid + remainder
+    assert pick_shard_stream_params(5, 10, 16, 131, 1, True) == (16, 4, 2)
+
+    ref = _build_tall().run()
+    sim = _build_tall()
+    mesh = make_device_mesh((8,), ("x",))
+    run = build_explicit_run(sim, mesh, use_kernel=True)
+    got = run()
+
+    assert int(got["steps"]) == int(ref["steps"])
+    _close_explicit(got["uf"], ref["uf"])
+    _close_explicit(got["if_"], ref["if_"])
+    for a, b in zip(got["nf_e"], ref["nf_e"]):
+        _close_explicit(a, b)
+    for fa, fb in zip(got["fields"], ref["fields"]):
+        _close_explicit(fa, fb)
+
+
+@pytest.mark.slow
+def test_explicit_stream_kernel_pec():
+    """Sharded streaming kernel with PEC walls (no MUR fix-ups): the pure
+    trapezoid + halo-exchange path must match the single-device run."""
+    from fdtd_solver_antennas_tpu.parallel.explicit import build_explicit_run
+
+    ref = _build_tall(boundary="PEC", n_steps=120).run()
+    sim = _build_tall(boundary="PEC", n_steps=120)
+    mesh = make_device_mesh((8,), ("x",))
+    got = build_explicit_run(sim, mesh, use_kernel=True)()
+
+    assert int(got["steps"]) == int(ref["steps"])
+    _close_explicit(got["uf"], ref["uf"])
+    for a, b in zip(got["nf_e"], ref["nf_e"]):
+        _close_explicit(a, b)
+    for fa, fb in zip(got["fields"], ref["fields"]):
+        _close_explicit(fa, fb)
