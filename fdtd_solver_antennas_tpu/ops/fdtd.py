@@ -949,25 +949,25 @@ def _stream_prepass(cfg, grid_shape, padded_shape, scene) -> int:
 
     if cfg.pallas_mode == "chunk" or not _pallas_wanted(cfg):
         return 0
-    if cfg.pml_cells() > 0:
-        return 0
+    n_psi = 12 if cfg.pml_cells() > 0 else 0
     n_src = len(
         {p.direction for p in scene.ports}
         | ({"z"} if scene.msl_ports else set())
     )
     qx = grid_shape[0]
     zt = -(-padded_shape[2] // 128)
+    mur_b = cfg.boundary.upper().startswith("MUR")
     # block height in x-planes, largest-first (fewer fetch overheads).
     # Bx·ZT % 8 == 0 keeps block sublane counts Mosaic-legal; the lo
     # extension (MUR top face on a block boundary) must leave room for a
     # ≥1-step trapezoid.
     for b in (16, 12, 8, 6, 4, 3):
         B = b * zt
-        lo = zt if ((qx - 1) * zt) % B == 0 else 0
+        lo = zt if (mur_b and ((qx - 1) * zt) % B == 0) else 0
         if B % 8 or (B - lo) // zt - 1 < 1:
             continue
         if stream_vmem_bytes(
-            padded_shape[1], padded_shape[2], n_src, b
+            padded_shape[1], padded_shape[2], n_src, b, n_psi
         ) <= STREAM_VMEM_BUDGET:
             return b
     return 0
@@ -991,7 +991,6 @@ def _resolve_pallas_mode(sim: "PreparedSimulation", stream_block: int) -> None:
     if (
         forced != "chunk"
         and _pallas_wanted(cfg)
-        and cfg.pml_cells() == 0
         and sim.field_sharding is None
         and stream_block > 0
         and px % stream_block == 0
@@ -1246,7 +1245,8 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None,
 
             (stream_step, _stream_statics, _pl_to_flat, _pl_from_flat,
              _flat_shape, _stream_T) = (
-                build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef)
+                build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef,
+                                            pml=pml)
             )
             _flat_zt = _flat_shape[0] // Px
             pallas_step = True  # flat-field carry mode marker
@@ -1257,6 +1257,22 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None,
                 build_pallas_chunk_stepper(sim, inv_p, inv_d, mur_coef, pml)
             )
             pallas_step = True  # flat-field carry mode marker
+
+    # ψ pack/unpack for the streaming kernel's flat carry (pe6 then ph6,
+    # PSI_KEYS order); () when the boundary is MUR/PEC
+    from .fdtd_pallas import PSI_KEYS as _PSI_KEYS
+
+    def _psi_pack(c):
+        if pml is None:
+            return ()
+        return tuple(c["psi_e"][k] for k in _PSI_KEYS) + tuple(
+            c["psi_h"][k] for k in _PSI_KEYS)
+
+    def _psi_unpack(c, psi2):
+        if pml is not None:
+            c = dict(c, psi_e=dict(zip(_PSI_KEYS, psi2[:6])),
+                     psi_h=dict(zip(_PSI_KEYS, psi2[6:])))
+        return c
 
     # CPML recursive-convolution coefficients: E-side derivatives live on
     # node positions, H-side on half positions, broadcast along their axis.
@@ -1510,8 +1526,12 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None,
                     wf_t = jax.lax.dynamic_slice(
                         waveform, (c["n"],), (_stream_T,)
                     )
-                    f2 = stream_step(_stream_statics, c["fields"], wf_t)
-                    return dict(c, fields=f2, n=c["n"] + _stream_T)
+                    f2, psi2 = stream_step(
+                        _stream_statics, c["fields"], _psi_pack(c), wf_t
+                    )
+                    return _psi_unpack(
+                        dict(c, fields=f2, n=c["n"] + _stream_T), psi2
+                    )
             else:
                 def step_only(_, c):
                     c2, _probes = field_step(c, c["n"], coeffs, waveform)
@@ -1723,9 +1743,12 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None,
                 wf_t = jax.lax.dynamic_slice(
                     waveform, (c["n"],), (_stream_T,)
                 )
-                return dict(c, fields=stream_step(pl_statics, c["fields"],
-                                                  wf_t),
-                            n=c["n"] + _stream_T)
+                f2, psi2 = stream_step(
+                    pl_statics, c["fields"], _psi_pack(c), wf_t
+                )
+                return _psi_unpack(
+                    dict(c, fields=f2, n=c["n"] + _stream_T), psi2
+                )
 
             def advance(c):
                 return jax.lax.fori_loop(

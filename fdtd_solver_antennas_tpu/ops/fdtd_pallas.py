@@ -21,9 +21,12 @@ on — so the curls need no extra masks. MUR faces are fixed in the same
 x→y→z order as the XLA path: x faces as row writes, y faces as aligned
 lane-tile writes, z faces as a masked blend (z planes are lane-strided).
 
-Supported: MUR/PEC boundaries, any number of lumped ports (folded into
-per-component source matrices), single chip. PML and sharded runs use the
-XLA path.
+Supported: MUR/PEC and CPML boundaries, any number of lumped ports
+(folded into per-component source matrices). Single-chip grids use the
+VMEM chunk kernel (z ≤ 128) or the HBM-streaming trapezoidal kernel (any
+z, incl. streamed CPML ψ state); the explicit multi-chip path has
+per-shard variants of both (:func:`build_pallas_shard_stepper`,
+:func:`build_pallas_stream_stepper` with ``shard=``).
 """
 
 from __future__ import annotations
@@ -269,7 +272,8 @@ def build_pallas_stepper(sim, inv_p, inv_d, mur_coef, alias: bool = False):
 # chunk-level kernel: D·n_sub steps + in-kernel probe extraction per sample
 # ---------------------------------------------------------------------------
 
-def stream_vmem_bytes(py: int, pz: int, n_src: int, block: int) -> int:
+def stream_vmem_bytes(py: int, pz: int, n_src: int, block: int,
+                      n_psi: int = 0) -> int:
     """Estimated peak VMEM of one streaming-kernel grid step at ``block``
     x-planes per block.
 
@@ -277,13 +281,16 @@ def stream_vmem_bytes(py: int, pz: int, n_src: int, block: int) -> int:
     ``B = block·ceil(pz/128)`` of them. Calibrated against the XLA
     allocator's report on v5e (215.93 MB at B=16, Py=201, n_src=1):
     double-buffered (prev, cur, next) input blocks for the 12 field + 6
-    coefficient + n_src source arrays, double-buffered outputs, and ~48
-    block-rows' worth of window temporaries.
+    coefficient + n_src source (+ ``n_psi`` CPML ψ) arrays,
+    double-buffered outputs, and ~48 block-rows' worth of window
+    temporaries (~12 more per ψ family for the recursion intermediates).
     """
     zt = -(-pz // 128)
     B = block * zt
     row_bytes = py * 128 * 4
-    rows = 2 * (12 + n_src) * 3 * B + 2 * 6 * B + 48 * B
+    rows = (2 * (12 + n_psi + n_src) * 3 * B
+            + 2 * (6 + n_psi) * B
+            + (48 + n_psi) * B)
     return rows * row_bytes
 
 
@@ -316,7 +323,7 @@ def pick_stream_block(qx: int, px: int, py: int, pz: int, n_src: int):
 STREAM_VMEM_BUDGET = 120 * 1024 * 1024
 
 
-def pick_shard_stream_params(n, decim, py, pz, n_src, mur):
+def pick_shard_stream_params(n, decim, py, pz, n_src, mur, has_pml=False):
     """Choose (Bx, T, rem) for the sharded streaming kernel, or None.
 
     ``n`` is the owned x-planes per device, ``decim`` the probe
@@ -327,14 +334,17 @@ def pick_shard_stream_params(n, decim, py, pz, n_src, mur):
     (``B ≥ (T+1)·ZT + lo``, ``lo = ZT`` under MUR since face/block
     alignment varies per device). Larger blocks amortize fetches better;
     deeper trapezoids mean fewer collectives — blocks are tried largest
-    first, depths deepest first."""
+    first, depths deepest first. Under CPML the 12 streamed ψ arrays
+    roughly double the per-block VMEM footprint (smaller blocks
+    resolve)."""
     zt = -(-pz // 128)
     lo = zt if mur else 0
+    n_psi = 12 if has_pml else 0
     for b in (16, 12, 8, 6, 4, 3):
         B = b * zt
         if B % 8:
             continue
-        if stream_vmem_bytes(py, pz, n_src, b) > STREAM_VMEM_BUDGET:
+        if stream_vmem_bytes(py, pz, n_src, b, n_psi) > STREAM_VMEM_BUDGET:
             continue
         t_max = (B - lo) // zt - 1
         for t in (4, 3, 2, 1):
@@ -343,7 +353,8 @@ def pick_shard_stream_params(n, decim, py, pz, n_src, mur):
     return None
 
 
-def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef, shard=None):
+def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef, shard=None,
+                                pml=None):
     """HBM-streaming trapezoidal T-step kernel for large grids (any z).
 
     The VMEM-resident chunk kernel requires the whole working set in VMEM
@@ -386,11 +397,18 @@ def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef, shard=None):
 
     T is ``sim.stream_T`` (must divide the probe decimation; the mode
     resolver rounds ``probe_decim`` to a multiple of T and requires
-    T ≤ Bx−1). MUR/PEC only; PML uses the XLA path.
+    T ≤ Bx−1). Under CPML (``pml`` given) the 12 ψ arrays stream through
+    the same trapezoid windows as the fields — ψ_e rows ride with E, ψ_h
+    with H — and the recursion profiles enter like the spacings
+    (y-graded lane rows, z-graded per-tile rows, x-graded windowed
+    columns); beyond-domain profile entries are zero so ψ stays
+    identically zero in the padding.
 
-    Returns ``(step_fn, to_flat, from_flat, (R, C), T)`` with
-    ``step_fn(fields6_flat, wf_t) -> fields6_flat`` advancing T steps
-    (``wf_t``: (T,) waveform samples).
+    Returns ``(step_fn, statics, to_flat, from_flat, (R, C), T)`` with
+    ``step_fn(statics, fields6_flat, psi_flat, wf_t) ->
+    (fields6_flat, psi_flat)`` advancing T steps (``wf_t``: (T,)
+    waveform samples; ``psi_flat``: 12-tuple pe6+ph6, or () for
+    MUR/PEC).
 
     **Sharded variant** (``shard`` given, built for the explicit
     shard_map path — :func:`parallel.explicit.build_explicit_run`): the
@@ -428,8 +446,10 @@ def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef, shard=None):
     C = Py * 128
     dtmu = np.float32(sim.dt / MU0)
     mur = sim.cfg.boundary.upper().startswith("MUR")
-    if sim.cfg.pml_cells() > 0:
-        raise ValueError("MUR/PEC only")
+    if sim.cfg.pml_cells() > 0 and pml is None:
+        raise ValueError("PML boundary requires the pml profile dict")
+    has_pml = pml is not None
+    n_psi = 12 if has_pml else 0
     Qx, Qy, Qz = sim.grid.shape
     if shard is None:
         R = Px * ZT
@@ -525,8 +545,11 @@ def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef, shard=None):
     izp_tiles = [lane_vec_z(inv_p[2], t) for t in range(ZT)]
     izd_tiles = [lane_vec_z(inv_d[2], t) for t in range(ZT)]
     # per-row x inverse spacings: each x-plane's value repeated ZT times
-    ix_p = np.repeat(np.asarray(inv_p[0], np.float32), ZT).reshape(R_g, 1)
-    ix_d = np.repeat(np.asarray(inv_d[0], np.float32), ZT).reshape(R_g, 1)
+    def x_col(per_x):
+        return np.repeat(np.asarray(per_x, np.float32), ZT).reshape(R_g, 1)
+
+    ix_p = x_col(inv_p[0])
+    ix_d = x_col(inv_d[0])
     # MUR x-face row masks as global columns (sharded variant only: the
     # single-chip kernel derives them from the grid index instead)
     ftop = (Qx - 1) * ZT
@@ -534,6 +557,21 @@ def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef, shard=None):
     m0col[0:ZT] = 1.0
     mtcol = np.zeros((R_g, 1), np.float32)
     mtcol[ftop : ftop + ZT] = 1.0
+    # CPML recursion profiles: y-graded as lane rows, z-graded as
+    # per-tile lane rows (composed under row-parity masks in-kernel, like
+    # the z spacings), x-graded as windowed columns (like the x spacings).
+    # Beyond-domain entries are zero, so ψ stays identically zero in the
+    # padding — the same invariant that protects the curls.
+    if has_pml:
+        pml_lane = [lane_vec_y(pml[1][kind][w])
+                    for kind in ("half", "node") for w in (0, 1)]
+        pml_ztiles = [
+            lane_vec_z(pml[2][kind][w], t)
+            for kind in ("half", "node") for w in (0, 1)
+            for t in range(ZT)
+        ]
+        pml_xcols = [x_col(pml[0][kind][w])
+                     for kind in ("half", "node") for w in (0, 1)]
 
     # z-face lane masks (row zt-masks are applied in-kernel via iota)
     zt1 = (Qz - 1) // 128               # tile holding the top z face
@@ -576,6 +614,7 @@ def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef, shard=None):
         ixp_dev, ixd_dev = ext(ix_p), ext(ix_d)
         m0_dev, mt_dev = ext(m0col), ext(mtcol)
         src_dev = [ext(s) for s in src_inputs]
+        pml_xcols_dev = [ext(c) for c in pml_xcols] if has_pml else []
 
     def up(a, axis, n):
         return pltpu.roll(a, a.shape[axis] - n, axis)
@@ -597,15 +636,31 @@ def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef, shard=None):
         izd_rs = refs[3 + ZT : 3 + 2 * ZT]
         o = 3 + 2 * ZT
         (mz0_r, mz1_r, my0_r, my1_r, ml127_r, ml0_r) = refs[o : o + 6]
-        ix_cols = refs[o + 6 : o + 12]   # ixp p/c/n, ixd p/c/n
-        o = o + 12
+        o = o + 6
+        if has_pml:
+            (bhy_r, chy_r, bey_r, cey_r) = refs[o : o + 4]
+            o = o + 4
+            bhz_rs = refs[o : o + ZT]
+            chz_rs = refs[o + ZT : o + 2 * ZT]
+            bez_rs = refs[o + 2 * ZT : o + 3 * ZT]
+            cez_rs = refs[o + 3 * ZT : o + 4 * ZT]
+            o = o + 4 * ZT
+        ix_cols = refs[o : o + 6]        # ixp p/c/n, ixd p/c/n
+        o = o + 6
         if shard is not None:
             fm_cols = refs[o : o + 6]    # m0 p/c/n, mt p/c/n
             o = o + 6
+        if has_pml:
+            pmlx_cols = refs[o : o + 12]  # bh/ch/be/ce_x, each p/c/n
+            o = o + 12
         coef_refs = refs[o : o + n_coef]
         src_refs = refs[o + n_coef : o + n_coef + n_srcw]
         f_refs = refs[o + n_coef + n_srcw : o + n_coef + n_srcw + 18]
-        (ex_o, ey_o, ez_o, hx_o, hy_o, hz_o) = refs[o + n_coef + n_srcw + 18 :]
+        o = o + n_coef + n_srcw + 18
+        psi_in = refs[o : o + 3 * n_psi]  # ψ (pe6, ph6) × p/c/n
+        outs = refs[o + 3 * n_psi :]
+        (ex_o, ey_o, ez_o, hx_o, hy_o, hz_o) = outs[:6]
+        psi_out = outs[6:]
 
         j = pl.program_id(0)
         iyp, iyd = iyp_r[:], iyd_r[:]
@@ -623,29 +678,33 @@ def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef, shard=None):
                 parts.append(n[max(lo - 2 * B, 0):hi - 2 * B])
             return parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
 
-        # z inverse spacings over the full window, built once per grid
+        # z-graded vectors over the full window, built once per grid
         # step: window coord 0 is global row j·B − B ≡ 0 (mod ZT), so the
         # zt of window row w is the static pattern w % ZT.
         if ZT == 1:
-            izp_full = izp_rs[0][:]
-            izd_full = izd_rs[0][:]
+            def z_full(tiles):
+                return tiles[0][:]
 
             def iz_at(full, s, L):
                 return full
         else:
             rows3 = jax.lax.broadcasted_iota(jnp.int32, (3 * B, 1), 0)
             ztr = jax.lax.rem(rows3, ZT)
-            izp_full = sum(
-                (ztr == t).astype(jnp.float32) * izp_rs[t][:]
-                for t in range(ZT)
-            )
-            izd_full = sum(
-                (ztr == t).astype(jnp.float32) * izd_rs[t][:]
-                for t in range(ZT)
-            )
+            zt_masks = [(ztr == t).astype(jnp.float32) for t in range(ZT)]
+
+            def z_full(tiles):
+                return sum(zt_masks[t] * tiles[t][:] for t in range(ZT))
 
             def iz_at(full, s, L):
                 return full[s : s + L]
+
+        izp_full = z_full(izp_rs)
+        izd_full = z_full(izd_rs)
+        if has_pml:
+            bhz_full = z_full(bhz_rs)
+            chz_full = z_full(chz_rs)
+            bez_full = z_full(bez_rs)
+            cez_full = z_full(cez_rs)
 
         # E^0 window rows [B−T·ZT−lo, 2B+T·ZT); H^0 rows [B−(T+1)·ZT−lo, ·)
         aE0, bE0 = B - Tk * ZT - lo, 2 * B + Tk * ZT
@@ -654,8 +713,19 @@ def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef, shard=None):
              for c in range(3)]
         H = [win3(f_refs[3 + c][:], f_refs[9 + c][:], f_refs[15 + c][:],
                   aH0, bE0) for c in range(3)]
+        if has_pml:
+            # ψ_e windows ride with E (same rows), ψ_h with H
+            PE = [win3(psi_in[c][:], psi_in[12 + c][:], psi_in[24 + c][:],
+                       aE0, bE0) for c in range(6)]
+            PH = [win3(psi_in[6 + c][:], psi_in[18 + c][:],
+                       psi_in[30 + c][:], aH0, bE0) for c in range(6)]
         ixp_w = jnp.concatenate([r[:] for r in ix_cols[0:3]], 0)
         ixd_w = jnp.concatenate([r[:] for r in ix_cols[3:6]], 0)
+        if has_pml:
+            bhx_w = jnp.concatenate([r[:] for r in pmlx_cols[0:3]], 0)
+            chx_w = jnp.concatenate([r[:] for r in pmlx_cols[3:6]], 0)
+            bex_w = jnp.concatenate([r[:] for r in pmlx_cols[6:9]], 0)
+            cex_w = jnp.concatenate([r[:] for r in pmlx_cols[9:12]], 0)
         caw = [win3(coef_refs[c][:], coef_refs[6 + c][:],
                     coef_refs[12 + c][:], 0, 3 * B) for c in range(6)]
         srcw = [win3(src_refs[s][:], src_refs[n_src + s][:],
@@ -691,18 +761,46 @@ def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef, shard=None):
             Ex_zp, Ey_zp = Ex[1 : LH + 1], Ey[1 : LH + 1]
             ixp_k = ixp_w[a_p : a_p + LH]
             izp_k = iz_at(izp_full, a_p, LH)
-            Hxn = Hx[ZT:LE] - dtmu * (
-                (up(EzL, 1, 128) - EzL) * iyp
-                - (up_z(EyL, Ey_zp) - EyL) * izp_k
-            )
-            Hyn = Hy[ZT:LE] - dtmu * (
-                (up_z(ExL, Ex_zp) - ExL) * izp_k
-                - (Ez[ZT:LE] - EzL) * ixp_k
-            )
-            Hzn = Hz[ZT:LE] - dtmu * (
-                (Ey[ZT:LE] - EyL) * ixp_k
-                - (up(ExL, 1, 128) - ExL) * iyp
-            )
+            if has_pml:
+                dEz_y = (up(EzL, 1, 128) - EzL) * iyp
+                dEy_z = (up_z(EyL, Ey_zp) - EyL) * izp_k
+                dEx_z = (up_z(ExL, Ex_zp) - ExL) * izp_k
+                dEz_x = (Ez[ZT:LE] - EzL) * ixp_k
+                dEy_x = (Ey[ZT:LE] - EyL) * ixp_k
+                dEx_y = (up(ExL, 1, 128) - ExL) * iyp
+                bhy, chy = bhy_r[:], chy_r[:]
+                bhz_k = iz_at(bhz_full, a_p, LH)
+                chz_k = iz_at(chz_full, a_p, LH)
+                bhx_k = bhx_w[a_p : a_p + LH]
+                chx_k = chx_w[a_p : a_p + LH]
+                phxy = bhy * PH[0][ZT:LE] + chy * dEz_y
+                phxz = bhz_k * PH[1][ZT:LE] + chz_k * dEy_z
+                phyz = bhz_k * PH[2][ZT:LE] + chz_k * dEx_z
+                phyx = bhx_k * PH[3][ZT:LE] + chx_k * dEz_x
+                phzx = bhx_k * PH[4][ZT:LE] + chx_k * dEy_x
+                phzy = bhy * PH[5][ZT:LE] + chy * dEx_y
+                Hxn = Hx[ZT:LE] - dtmu * (
+                    (dEz_y + phxy) - (dEy_z + phxz))
+                Hyn = Hy[ZT:LE] - dtmu * (
+                    (dEx_z + phyz) - (dEz_x + phyx))
+                Hzn = Hz[ZT:LE] - dtmu * (
+                    (dEy_x + phzx) - (dEx_y + phzy))
+                PH = [phxy, phxz, phyz, phyx, phzx, phzy]
+            else:
+                # MUR/PEC hot path: spacing multiplies fused inline (the
+                # hardware-proven form — keep it byte-identical)
+                Hxn = Hx[ZT:LE] - dtmu * (
+                    (up(EzL, 1, 128) - EzL) * iyp
+                    - (up_z(EyL, Ey_zp) - EyL) * izp_k
+                )
+                Hyn = Hy[ZT:LE] - dtmu * (
+                    (up_z(ExL, Ex_zp) - ExL) * izp_k
+                    - (Ez[ZT:LE] - EzL) * ixp_k
+                )
+                Hzn = Hz[ZT:LE] - dtmu * (
+                    (Ey[ZT:LE] - EyL) * ixp_k
+                    - (up(ExL, 1, 128) - ExL) * iyp
+                )
 
             # ---- E half-step on rows [a_k, b_k) -----------------------
             HxT, HyT, HzT = Hxn[ZT:LH], Hyn[ZT:LH], Hzn[ZT:LH]
@@ -710,18 +808,44 @@ def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef, shard=None):
             ixd_k = ixd_w[a_k : b_k]
             izd_k = iz_at(izd_full, a_k, LEn)
             ca = [c[a_k : b_k] for c in caw]
-            Exn = ca[0] * Ex[ZT : ZT + LEn] + ca[1] * (
-                (HzT - dn(HzT, 1, 128)) * iyd
-                - (HyT - dn_z(HyT, Hy_zm)) * izd_k
-            )
-            Eyn = ca[2] * Ey[ZT : ZT + LEn] + ca[3] * (
-                (HxT - dn_z(HxT, Hx_zm)) * izd_k
-                - (HzT - Hzn[:LEn]) * ixd_k
-            )
-            Ezn = ca[4] * Ez[ZT : ZT + LEn] + ca[5] * (
-                (HyT - Hyn[:LEn]) * ixd_k
-                - (HxT - dn(HxT, 1, 128)) * iyd
-            )
+            if has_pml:
+                dHz_y = (HzT - dn(HzT, 1, 128)) * iyd
+                dHy_z = (HyT - dn_z(HyT, Hy_zm)) * izd_k
+                dHx_z = (HxT - dn_z(HxT, Hx_zm)) * izd_k
+                dHz_x = (HzT - Hzn[:LEn]) * ixd_k
+                dHy_x = (HyT - Hyn[:LEn]) * ixd_k
+                dHx_y = (HxT - dn(HxT, 1, 128)) * iyd
+                bey, cey = bey_r[:], cey_r[:]
+                bez_k = iz_at(bez_full, a_k, LEn)
+                cez_k = iz_at(cez_full, a_k, LEn)
+                bex_k = bex_w[a_k : b_k]
+                cex_k = cex_w[a_k : b_k]
+                pexy = bey * PE[0][ZT : ZT + LEn] + cey * dHz_y
+                pexz = bez_k * PE[1][ZT : ZT + LEn] + cez_k * dHy_z
+                peyz = bez_k * PE[2][ZT : ZT + LEn] + cez_k * dHx_z
+                peyx = bex_k * PE[3][ZT : ZT + LEn] + cex_k * dHz_x
+                pezx = bex_k * PE[4][ZT : ZT + LEn] + cex_k * dHy_x
+                pezy = bey * PE[5][ZT : ZT + LEn] + cey * dHx_y
+                Exn = ca[0] * Ex[ZT : ZT + LEn] + ca[1] * (
+                    (dHz_y + pexy) - (dHy_z + pexz))
+                Eyn = ca[2] * Ey[ZT : ZT + LEn] + ca[3] * (
+                    (dHx_z + peyz) - (dHz_x + peyx))
+                Ezn = ca[4] * Ez[ZT : ZT + LEn] + ca[5] * (
+                    (dHy_x + pezx) - (dHx_y + pezy))
+                PE = [pexy, pexz, peyz, peyx, pezx, pezy]
+            else:
+                Exn = ca[0] * Ex[ZT : ZT + LEn] + ca[1] * (
+                    (HzT - dn(HzT, 1, 128)) * iyd
+                    - (HyT - dn_z(HyT, Hy_zm)) * izd_k
+                )
+                Eyn = ca[2] * Ey[ZT : ZT + LEn] + ca[3] * (
+                    (HxT - dn_z(HxT, Hx_zm)) * izd_k
+                    - (HzT - Hzn[:LEn]) * ixd_k
+                )
+                Ezn = ca[4] * Ez[ZT : ZT + LEn] + ca[5] * (
+                    (HyT - Hyn[:LEn]) * ixd_k
+                    - (HxT - dn(HxT, 1, 128)) * iyd
+                )
             s_val = wf_ref[0, k - 1]
             for s, comp in enumerate(src_comps):
                 mat = srcw[s][a_k : b_k] * s_val
@@ -848,6 +972,11 @@ def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef, shard=None):
         # dropped at write time
         ex_o[:], ey_o[:], ez_o[:] = (e[lo:] for e in E)
         hx_o[:], hy_o[:], hz_o[:] = (h[ZT + lo:] for h in H)
+        if has_pml:
+            for ref, arr in zip(psi_out[:6], PE):   # ψ_e rows ride with E
+                ref[:] = arr[lo:]
+            for ref, arr in zip(psi_out[6:], PH):   # ψ_h rows with H
+                ref[:] = arr[ZT + lo:]
 
     # ---- BlockSpecs --------------------------------------------------------
     blk = pl.BlockSpec((B, C), lambda j: (j, 0), memory_space=pltpu.VMEM)
@@ -867,6 +996,11 @@ def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef, shard=None):
         [col_p, col_c, col_n, col_p, col_c, col_n] if shard is not None
         else []
     )
+    pml_row_specs = [const_row] * (4 + 4 * ZT) if has_pml else []
+    pml_col_specs = ([col_p, col_c, col_n] * 4) if has_pml else []
+    psi_specs = (
+        [blk_p] * n_psi + [blk] * n_psi + [blk_n] * n_psi
+    )
     call = pl.pallas_call(
         kernel,
         grid=(nb,),
@@ -875,14 +1009,17 @@ def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef, shard=None):
             + [const_row] * 2                                 # iyp iyd
             + [const_row] * (2 * ZT)                          # izp/izd tiles
             + [const_row] * 6                                 # mz0 mz1 my0 my1 ml127 ml0
+            + pml_row_specs                                   # CPML y rows + z tiles
             + [col_p, col_c, col_n, col_p, col_c, col_n]      # ixp3, ixd3
             + mask_specs                                      # m0/mt p/c/n
+            + pml_col_specs                                   # bh/ch/be/ce_x p/c/n
             + [blk_p] * 6 + [blk] * 6 + [blk_n] * 6           # coeffs p/c/n
             + [blk_p] * n_src + [blk] * n_src + [blk_n] * n_src
             + [blk_p] * 6 + [blk] * 6 + [blk_n] * 6           # fields p/c/n
+            + psi_specs                                       # ψ p/c/n
         ),
-        out_specs=(blk,) * 6,
-        out_shape=(out6,) * 6,
+        out_specs=(blk,) * (6 + n_psi),
+        out_shape=(out6,) * (6 + n_psi),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(127 * 1024 * 1024),
             dimension_semantics=("arbitrary",),
@@ -898,6 +1035,9 @@ def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef, shard=None):
            jnp.asarray(my0), jnp.asarray(my1),
            jnp.asarray(ml127), jnp.asarray(ml0)]
     )
+    if has_pml:
+        lane_statics += [jnp.asarray(v) for v in pml_lane]
+        lane_statics += [jnp.asarray(v) for v in pml_ztiles]
 
     if shard is not None:
         # per-device row statics carry a leading n_dev axis; the caller
@@ -905,16 +1045,18 @@ def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef, shard=None):
         dev_statics = (
             [ixp_dev] * 3 + [ixd_dev] * 3
             + [m0_dev] * 3 + [mt_dev] * 3
+            + [c for c in pml_xcols_dev for _ in range(3)]
             + coeffs_dev * 3
             + src_dev * 3
         )
 
-        def step_call(lane_in, dev_in, fields_flat, wf_t, nsteps):
-            ex, ey, ez, hx, hy, hz = fields_flat
+        def step_call(lane_in, dev_in, fields_flat, psi_flat, wf_t, nsteps):
             wf2 = jnp.asarray(wf_t, jnp.float32).reshape(1, nsteps)
-            fields = (ex, ey, ez, hx, hy, hz)
-            out = call(wf2, *lane_in, *dev_in, *fields, *fields, *fields)
-            return tuple(out)
+            fields = tuple(fields_flat)
+            psi = tuple(psi_flat)
+            out = call(wf2, *lane_in, *dev_in,
+                       *fields, *fields, *fields, *psi, *psi, *psi)
+            return tuple(out[:6]), tuple(out[6:])
 
         def from_local(a2):
             """Extended local flat (R, C) → owned (n, Py, Pz) rows."""
@@ -926,29 +1068,33 @@ def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef, shard=None):
             lane_statics=tuple(lane_statics),
             dev_statics=dev_statics,
             from_local=from_local,
-            R=R, C=C, T=T, rem=rem, ZT=ZT,
+            R=R, C=C, T=T, rem=rem, ZT=ZT, n_psi=n_psi,
             own0=own0, n_rows=sh_n * ZT, halo_rows=Hx * ZT,
         )
 
     statics = tuple(
         lane_statics
-        + [jnp.asarray(ix_p), jnp.asarray(ix_p), jnp.asarray(ix_p),
-           jnp.asarray(ix_d), jnp.asarray(ix_d), jnp.asarray(ix_d)]
+        + [jnp.asarray(ix_p)] * 3 + [jnp.asarray(ix_d)] * 3
+        + ([a for v in pml_xcols for a in [jnp.asarray(v)] * 3]
+           if has_pml else [])
         + [coeffs_flat[k] for k in
            ("ca_ex", "cb_ex", "ca_ey", "cb_ey", "ca_ez", "cb_ez")] * 3
         + [jnp.asarray(v) for v in src_inputs] * 3
     )
 
-    def step_fn(statics_in, fields_flat, wf_t):
+    def step_fn(statics_in, fields_flat, psi_flat, wf_t):
         """Advance T steps. ``statics_in`` must be passed through the
         enclosing jit as an *argument* (closure capture would embed
         ~200 MB of coefficient arrays as HLO constants, which made the
-        remote-compile payload enormous and compile times explode)."""
-        ex, ey, ez, hx, hy, hz = fields_flat
+        remote-compile payload enormous and compile times explode).
+        ``psi_flat`` is the 12-tuple of CPML ψ arrays (pe6 then ph6, flat
+        layout) or () for MUR/PEC; returns (fields6, psi)."""
         wf2 = jnp.asarray(wf_t, jnp.float32).reshape(1, T)
-        fields = (ex, ey, ez, hx, hy, hz)
-        out = call(wf2, *statics_in, *fields, *fields, *fields)
-        return tuple(out)
+        fields = tuple(fields_flat)
+        psi = tuple(psi_flat)
+        out = call(wf2, *statics_in, *fields, *fields, *fields,
+                   *psi, *psi, *psi)
+        return tuple(out[:6]), tuple(out[6:])
 
     return step_fn, statics, to_flat, from_flat, (R, C), T
 

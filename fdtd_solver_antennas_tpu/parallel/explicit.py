@@ -47,9 +47,11 @@ Three per-shard compute paths (``use_kernel``):
   entire termination chunk; the shard kernel's per-call ceiling is set
   by the halo redundancy (m/n = 1.78 at n_dev=1, shrinking relevance as
   real multi-chip shards get smaller per device).
-- **Sharded HBM-streaming kernel** (default on TPU for z > 128, MUR/PEC):
-  each device streams a halo-extended local array in the interleaved
-  (x·ZT, y·128) row layout through the trapezoidal streaming kernel
+- **Sharded HBM-streaming kernel** (default on TPU for z > 128; MUR/PEC
+  and CPML — the 12 ψ arrays stream through the same trapezoid windows
+  and their halos ride the same restock): each device streams a
+  halo-extended local array in the interleaved (x·ZT, y·128) row layout
+  through the trapezoidal streaming kernel
   (:func:`ops.fdtd_pallas.build_pallas_stream_stepper` with ``shard=``) —
   T fused steps per ``pallas_call``, ONE ppermute halo restock per call.
   This brings the streaming kernel's rate (4.0 Gcell/s single-chip on the
@@ -132,7 +134,7 @@ def build_explicit_run(sim, mesh: Mesh, axis_name: str | None = None,
       (:func:`ops.fdtd_pallas.build_pallas_shard_stepper`) when z ≤ 128,
       else the sharded HBM-streaming kernel
       (:func:`ops.fdtd_pallas.build_pallas_stream_stepper` with
-      ``shard=``, MUR/PEC only) — multiple leapfrog steps per invocation,
+      ``shard=``, any boundary) — multiple leapfrog steps per invocation,
       halos refreshed by ONE ``ppermute`` between invocations, so
       multi-chip inherits the single-chip kernels' HBM-traffic profile
       instead of the ~2.5× slower per-step XLA walk;
@@ -178,11 +180,12 @@ def build_explicit_run(sim, mesh: Mesh, axis_name: str | None = None,
             _K = k
             break
     _kernel_fits = Pz <= LANE and _K >= 1
-    # large-z fallback kernel: the sharded streaming kernel (MUR/PEC
-    # only — CPML ψ state is not in the streaming kernel)
+    # large-z fallback kernel: the sharded streaming kernel (ψ state
+    # streamed with the fields under CPML)
     _stream_params = (
-        None if (_has_pml or _kernel_fits)
-        else pick_shard_stream_params(n, _decim, Py, Pz, _n_src, _is_mur)
+        None if _kernel_fits
+        else pick_shard_stream_params(n, _decim, Py, Pz, _n_src, _is_mur,
+                                      _has_pml)
     )
     if use_kernel is None:
         use_kernel = (_kernel_fits or _stream_params is not None) and \
@@ -216,6 +219,7 @@ def build_explicit_run(sim, mesh: Mesh, axis_name: str | None = None,
         stream_kern = build_pallas_stream_stepper(
             sim, inv_p, inv_d, mur_coef,
             shard=dict(n_dev=n_dev, n=n, Bx=_Bx, T=_T, rem=_rem),
+            pml=pml,
         )
     n_ports = n_probe_rows(sim)
     n_src_steps = sim.n_source_steps
@@ -573,13 +577,21 @@ def build_explicit_run(sim, mesh: Mesh, axis_name: str | None = None,
 
             def advance_stream(c, nsteps):
                 """``nsteps`` steps of the HBM-streaming trapezoid on the
-                halo-extended local array, then one halo restock."""
+                halo-extended local array, then one halo restock (ψ halos
+                ride the same ppermute under CPML)."""
                 wf_win = jax.lax.dynamic_slice(
                     waveform, (c["n"],), (nsteps,))
-                f6 = stream_kern["step_call"](
-                    krepl, kdev, c["fields"], wf_win, nsteps)
-                f6 = refresh_halos(list(f6))
-                return dict(c, fields=tuple(f6), n=c["n"] + nsteps)
+                psi = (tuple(c["psi_e"][k] for k in keys)
+                       + tuple(c["psi_h"][k] for k in keys)
+                       ) if pml is not None else ()
+                f6, psi2 = stream_kern["step_call"](
+                    krepl, kdev, c["fields"], psi, wf_win, nsteps)
+                arrs = refresh_halos(list(f6) + list(psi2))
+                c = dict(c, fields=tuple(arrs[:6]), n=c["n"] + nsteps)
+                if pml is not None:
+                    c["psi_e"] = dict(zip(keys, arrs[6:12]))
+                    c["psi_h"] = dict(zip(keys, arrs[12:18]))
+                return c
 
             def advance_decim_stream(c):
                 sT, srem = stream_kern["T"], stream_kern["rem"]

@@ -265,3 +265,24 @@ def test_explicit_stream_kernel_pec():
         _close_explicit(a, b)
     for fa, fb in zip(got["fields"], ref["fields"]):
         _close_explicit(fa, fb)
+
+
+@pytest.mark.slow
+def test_explicit_stream_kernel_pml():
+    """Sharded streaming kernel with CPML: the 12 ψ arrays stream through
+    the same trapezoid windows as the fields and their halos ride the
+    same per-call ppermute restock. Must match the single-device CPML
+    run."""
+    from fdtd_solver_antennas_tpu.parallel.explicit import build_explicit_run
+
+    ref = _build_tall(boundary="PML_4", n_steps=120).run()
+    sim = _build_tall(boundary="PML_4", n_steps=120)
+    mesh = make_device_mesh((8,), ("x",))
+    got = build_explicit_run(sim, mesh, use_kernel=True)()
+
+    assert int(got["steps"]) == int(ref["steps"])
+    _close_explicit(got["uf"], ref["uf"])
+    for a, b in zip(got["nf_e"], ref["nf_e"]):
+        _close_explicit(a, b)
+    for fa, fb in zip(got["fields"], ref["fields"]):
+        _close_explicit(fa, fb)

@@ -16,15 +16,19 @@ from fdtd_solver_antennas_tpu.ops.mesh import MeshBuilder
 
 def _build(pallas_mode, boundary="MUR", n_steps=120, tall=False):
     mb = MeshBuilder()
-    mb.add_line("x", [-40, 40, 0.0, -6.0])
-    mb.add_line("y", [-30, 30, 0.0])
+    # PML eats pml_cells + NF2FF margin from each wall: give it a wider
+    # footprint so the nf box keeps positive extents
+    res = 4.0 if boundary.upper().startswith("PML") else 5.0
+    span = 52 if boundary.upper().startswith("PML") else 40
+    mb.add_line("x", [-span, span, 0.0, -6.0])
+    mb.add_line("y", [-span * 0.75, span * 0.75, 0.0])
     if tall:
         # force > 128 z nodes: beyond the chunk kernel's single lane tile
         mb.add_line("z", np.linspace(-20, 30, 131))
     else:
         mb.add_line("z", [-20, 30])
         mb.add_line("z", np.linspace(0, 1.6, 3))
-    grid = mb.build(5.0)
+    grid = mb.build(res)
     scene = Scene()
     scene.add_material_box("sub", 4.3, 0.005, [-20, -20, 0], [20, 20, 1.6], 0)
     scene.add_metal_box("patch", [-15, -12, 1.6], [15, 12, 1.6], priority=10)
@@ -45,9 +49,13 @@ def _build(pallas_mode, boundary="MUR", n_steps=120, tall=False):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("boundary", ["MUR", "PEC"])
+@pytest.mark.parametrize("boundary", ["MUR", "PEC", "PML_4"])
 @pytest.mark.parametrize("tall", [False, True])
 def test_stream_matches_xla(boundary, tall):
+    """Streamed trapezoid vs the XLA path. PML_4 exercises the CPML ψ
+    state streamed through the same windows as the fields (ψ_e with E,
+    ψ_h with H; recursion profiles as lane rows / per-tile rows /
+    windowed columns)."""
     sim_ref = _build(None, boundary=boundary, tall=tall)
     sim_st = _build("stream", boundary=boundary, tall=tall)
     assert sim_st.pallas_mode == "stream", (
