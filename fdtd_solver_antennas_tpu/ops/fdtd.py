@@ -877,13 +877,18 @@ def build_simulation(
     faces = _build_faces(grid, nf_box_idx)
 
     # --- excitation ------------------------------------------------------------
-    t_half = (np.arange(cfg.n_steps_max) + 0.5) * dt
     from .source import gaussian_source_params
 
+    n_src = source_active_steps(f0, fc, dt)
+    # the waveform must cover the FULL source duration, not just
+    # n_steps_max: a sim built with a small step budget would otherwise
+    # silently truncate the source, and a checkpoint taken from it could
+    # never resume to the same physics as an uninterrupted run (the
+    # missing samples are gone). A few thousand float32s cost nothing.
+    t_half = (np.arange(max(int(cfg.n_steps_max), n_src)) + 0.5) * dt
     sigma_t, t0 = gaussian_source_params(f0, fc)
     env = np.exp(-0.5 * ((t_half - t0) / sigma_t) ** 2)
     waveform = (np.cos(2 * math.pi * f0 * (t_half - t0)) * env).astype(np.float32)
-    n_src = source_active_steps(f0, fc, dt)
 
     if port_freqs_hz is None:
         port_freqs_hz = np.linspace(max(1e8, f0 * 0.5), f0 * 1.5, 201)

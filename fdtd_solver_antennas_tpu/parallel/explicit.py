@@ -285,7 +285,8 @@ def build_explicit_run(sim, mesh: Mesh, axis_name: str | None = None,
 
     def local_fn(coeffs, waveform, w_port, w_nf, ixp, ixd, m0, mt,
                  src_list, pml_x, ge_i, ge_w, gh_i, gh_w,
-                 v_i, v_w, i_i, i_w, kdev, krepl):
+                 v_i, v_w, i_i, i_w, kdev, krepl,
+                 res_f, res_psi, res_n, res_emax):
         # shard_map hands (1, T, k)-blocks of the per-device gather tables
         ge_i, ge_w = ge_i[0], ge_w[0]
         gh_i, gh_w = gh_i[0], gh_w[0]
@@ -501,26 +502,53 @@ def build_explicit_run(sim, mesh: Mesh, axis_name: str | None = None,
                  jnp.zeros((wf_len - waveform.shape[0],), waveform.dtype)]
             )
 
-        def zeros():
+        def lift(a3):
+            """Owned (n, Py, Pz) resume rows → this path's carry layout
+            (3D for the XLA step; halo-extended flat for the kernels —
+            halos start zero and are restocked below)."""
             if use_kernel:
-                return jnp.zeros((shard_kern["m"], shard_kern["C"]),
-                                 jnp.float32)
+                from ..ops.fdtd_pallas import LANE as _L
+
+                flat = jnp.pad(
+                    a3, ((0, 0), (0, 0), (0, _L - Pz))
+                ).reshape(n, shard_kern["C"])
+                return jnp.zeros(
+                    (shard_kern["m"], shard_kern["C"]), jnp.float32
+                ).at[kW : kW + n].set(flat)
             if use_stream:
-                return jnp.zeros((stream_kern["R"], stream_kern["C"]),
-                                 jnp.float32)
-            return jnp.zeros((n, Py, Pz), jnp.float32)
+                zt = stream_kern["ZT"]
+                flat = jnp.pad(
+                    a3, ((0, 0), (0, 0), (0, 128 * zt - Pz))
+                ).reshape(n, Py, zt, 128).transpose(0, 2, 1, 3).reshape(
+                    n * zt, stream_kern["C"])
+                return jnp.zeros(
+                    (stream_kern["R"], stream_kern["C"]), jnp.float32
+                ).at[s_own0 : s_own0 + s_nr].set(flat)
+            return a3
 
         keys = ("xy", "xz", "yz", "yx", "zx", "zy")
+        # the (Px, Py, Pz) resume arrays shard along x → (n, Py, Pz)
+        fields0 = [lift(f) for f in res_f]
+        psi0 = [lift(p) for p in res_psi]
+        if use_kernel or use_stream:
+            # resumed halos must hold the neighbors' rows before the
+            # first fused-step call (for a fresh start this restocks
+            # zeros with zeros — harmless)
+            arrs = refresh_halos(fields0 + psi0)
+            fields0, psi0 = arrs[:6], arrs[6:]
         carry = dict(
-            fields=tuple(zeros() for _ in range(6)),
+            fields=tuple(fields0),
+            # DFT accumulators stay zero per device even on resume: they
+            # are *partial* sums finalized by one psum, so the resumed
+            # totals are added once on the host after the run (linearity)
             uf=jnp.zeros((2, n_ports, n_pf), jnp.float32),
             if_=jnp.zeros((2, n_ports, n_pf), jnp.float32),
             nf_e=jnp.zeros((2, n_nf, T_faces), jnp.float32),
             nf_h=jnp.zeros((2, n_nf, T_faces), jnp.float32),
-            psi_e={k: zeros() for k in keys} if pml is not None else {},
-            psi_h={k: zeros() for k in keys} if pml is not None else {},
-            n=jnp.int32(0),
-            e_max=jnp.float32(0.0),
+            psi_e=dict(zip(keys, psi0[:6])) if pml is not None else {},
+            psi_h=dict(zip(keys, psi0[6:])) if pml is not None else {},
+            n=res_n.astype(jnp.int32),
+            e_max=res_emax.astype(jnp.float32),
             e_ratio=jnp.float32(1.0),
             done=jnp.bool_(False),
         )
@@ -685,10 +713,15 @@ def build_explicit_run(sim, mesh: Mesh, axis_name: str | None = None,
         nf_e = jax.lax.psum(carry["nf_e"], axis_name)
         nf_h = jax.lax.psum(carry["nf_h"], axis_name)
         out_fields = tuple(carry["fields"])
+        psi_state = ()
+        if pml is not None:
+            psi_state = tuple(carry["psi_e"][k] for k in keys) + tuple(
+                carry["psi_h"][k] for k in keys)
         if use_kernel or use_stream:  # extended flat blocks → owned 3D rows
             out_fields = tuple(inner3(f) for f in out_fields)
-        return (out_fields, uf, if_, nf_e, nf_h,
-                carry["n"], carry["e_ratio"])
+            psi_state = tuple(inner3(p) for p in psi_state)
+        return (out_fields, psi_state, uf, if_, nf_e, nf_h,
+                carry["n"], carry["e_max"], carry["e_ratio"])
 
     # ---- shard_map wrapping ------------------------------------------------
     px = P(axis_name, None, None)
@@ -706,6 +739,7 @@ def build_explicit_run(sim, mesh: Mesh, axis_name: str | None = None,
         P(axis_name, *([None] * (a.ndim - 1))) for a in _kdev_np
     ]
     krepl_specs = [P(*([None] * a.ndim)) for a in _krepl_np]
+    n_psi_args = 12 if pml is not None else 0
     in_specs = (
         {k: px for k in sim.coeffs},     # coeffs
         P(None),                          # waveform
@@ -717,14 +751,19 @@ def build_explicit_run(sim, mesh: Mesh, axis_name: str | None = None,
         gspec, gspec, gspec, gspec,       # face gathers e/h
         gspec, gspec, gspec, gspec,       # port gathers v/i
         kdev_specs, krepl_specs,          # shard-kernel statics
+        [px] * 6,                         # resume fields (zeros if fresh)
+        [px] * n_psi_args,                # resume ψ
+        P(), P(),                         # resume n, e_max
     )
     out_specs = (
         (px,) * 6,                        # fields stay sharded
+        (px,) * n_psi_args,               # ψ state (owned 3D rows)
         P(None, None, None),              # uf (replicated after psum)
         P(None, None, None),              # if_
         P(None, None, None),              # nf_e
         P(None, None, None),              # nf_h
         P(),                              # steps
+        P(),                              # e_max
         P(),                              # e_ratio
     )
     mapped = _shard_map(
@@ -733,7 +772,36 @@ def build_explicit_run(sim, mesh: Mesh, axis_name: str | None = None,
     )
     run_jit = jax.jit(mapped)
 
-    def run():
+    psi_keys = ("xy", "xz", "yz", "yx", "zx", "zy")
+
+    def run(resume_state=None):
+        """Execute (or resume) the sharded run.
+
+        ``resume_state`` is the canonical ``out["state"]`` pytree of any
+        previous run — single-chip or sharded, any kernel path, any
+        padding (``sim._adapt_resume_arrays`` re-pads) — and the output
+        carries a ``state`` entry in the same canonical 3D layout, so
+        checkpoints are portable across all run paths (SURVEY §5
+        checkpoint/resume, extended to multi-chip)."""
+        if resume_state is not None:
+            rs = sim._adapt_resume_arrays(dict(resume_state))
+            r_fields = [np.asarray(f, np.float32) for f in rs["fields"]]
+            r_psi = (
+                [np.asarray(rs["psi_e"][k], np.float32) for k in psi_keys]
+                + [np.asarray(rs["psi_h"][k], np.float32)
+                   for k in psi_keys]
+            ) if pml is not None else []
+            r_uf = np.asarray(rs["uf"], np.float32)
+            r_if = np.asarray(rs["if_"], np.float32)
+            r_nfe = np.asarray(rs["nf_e"], np.float32)
+            r_nfh = np.asarray(rs["nf_h"], np.float32)
+            r_n, r_emax = np.int32(rs["n"]), np.float32(rs["e_max"])
+        else:
+            z3 = np.zeros((Px, Py, Pz), np.float32)
+            r_fields = [z3] * 6
+            r_psi = [z3] * 12 if pml is not None else []
+            r_uf = r_if = r_nfe = r_nfh = None
+            r_n, r_emax = np.int32(0), np.float32(0.0)
         args = (
             sim.coeffs,
             jnp.asarray(sim.waveform),
@@ -749,25 +817,52 @@ def build_explicit_run(sim, mesh: Mesh, axis_name: str | None = None,
             jnp.asarray(pi_idx_d), jnp.asarray(pi_w_d),
             _dedup_asarray(_kdev_np),
             _dedup_asarray(_krepl_np),
+            _dedup_asarray(r_fields),
+            _dedup_asarray(r_psi),
+            jnp.asarray(r_n), jnp.asarray(r_emax),
         )
-        fields, uf, if_, nf_e, nf_h, steps, e_ratio = run_jit(*args)
+        (fields, psi_state, uf, if_, nf_e, nf_h, steps, e_max,
+         e_ratio) = run_jit(*args)
         jax.block_until_ready(steps)
 
+        # resumed DFT totals are added once, after the final psum
+        uf_s = np.asarray(uf)
+        if_s = np.asarray(if_)
+        nfe_s = np.asarray(nf_e)
+        nfh_s = np.asarray(nf_h)
+        if resume_state is not None:
+            uf_s = uf_s + r_uf
+            if_s = if_s + r_if
+            nfe_s = nfe_s + r_nfe
+            nfh_s = nfh_s + r_nfh
+
         def split_faces(acc):
-            acc = np.asarray(acc)
             return [
                 acc[:, :, off : off + 2 * nu * nv].reshape(2, n_nf, 2, nu, nv)
                 for (off, nu, nv) in face_layout
             ]
 
+        state = dict(
+            fields=tuple(np.asarray(f) for f in fields),
+            psi_e={k: np.asarray(psi_state[i])
+                   for i, k in enumerate(psi_keys)} if pml is not None
+            else {},
+            psi_h={k: np.asarray(psi_state[6 + i])
+                   for i, k in enumerate(psi_keys)} if pml is not None
+            else {},
+            uf=uf_s, if_=if_s, nf_e=nfe_s, nf_h=nfh_s,
+            n=np.asarray(steps), e_max=np.asarray(e_max),
+            e_ratio=np.asarray(e_ratio),
+        )
         return dict(
-            uf=nf_to_complex(np.asarray(uf)),
-            if_=nf_to_complex(np.asarray(if_)),
-            nf_e=split_faces(nf_e),
-            nf_h=split_faces(nf_h),
+            uf=nf_to_complex(uf_s),
+            if_=nf_to_complex(if_s),
+            nf_e=split_faces(nfe_s),
+            nf_h=split_faces(nfh_s),
             steps=steps,
             e_ratio=e_ratio,
             fields=fields,
+            state=state,
         )
 
     return run

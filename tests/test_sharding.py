@@ -16,7 +16,7 @@ from fdtd_solver_antennas_tpu.parallel.sharding import (
 )
 
 
-def _build(pad_x=1, pad_y=1):
+def _build(pad_x=1, pad_y=1, n_steps=300):
     mb = MeshBuilder()
     mb.add_line("x", [-40, 40, 0.0, -6.0])
     mb.add_line("y", [-40, 40, 0.0])
@@ -28,7 +28,7 @@ def _build(pad_x=1, pad_y=1):
     scene.add_metal_box("patch", [-15, -12, 1.6], [15, 12, 1.6], priority=10)
     scene.add_metal_box("gnd", [-20, -20, 0], [20, 20, 0], priority=10)
     scene.add_lumped_port(1, 50.0, [-6, 0, 0], [-6, 0, 1.6], direction="z")
-    cfg = FDTDConfig(n_steps_max=300, check_every=100, end_criteria=1e-12)
+    cfg = FDTDConfig(n_steps_max=n_steps, check_every=100, end_criteria=1e-12)
     return build_simulation(
         scene, grid, f0=2.45e9, fc=1.225e9, cfg=cfg,
         port_freqs_hz=np.linspace(2e9, 3e9, 21),
@@ -285,4 +285,61 @@ def test_explicit_stream_kernel_pml():
     for a, b in zip(got["nf_e"], ref["nf_e"]):
         _close_explicit(a, b)
     for fa, fb in zip(got["fields"], ref["fields"]):
+        _close_explicit(fa, fb)
+
+
+def test_explicit_resume_matches_uninterrupted():
+    """Multi-chip checkpoint/resume (SURVEY §5 extended): a run split at
+    a chunk boundary and resumed — including a cross-path resume from a
+    SINGLE-CHIP checkpoint into the sharded run — must match the
+    uninterrupted sharded run (fields, port and NF2FF DFT accumulators).
+    Resumed DFT totals are added after the final psum (partial-sum
+    linearity), which this pins down."""
+    from fdtd_solver_antennas_tpu.parallel.explicit import build_explicit_run
+
+    mesh = make_device_mesh((8,), ("x",))
+    ref = build_explicit_run(_build(pad_x=8), mesh)()
+
+    # leg 1: single-chip XLA run to the first chunk boundary (100 steps)
+    sim_a = _build(pad_x=8, n_steps=100)
+    out_a = sim_a.run()
+    steps_a = int(out_a["steps"])  # chunk-rounded past 100
+    assert 100 <= steps_a < int(ref["steps"])
+
+    # leg 2: resume the sharded run from the single-chip checkpoint
+    sim_b = _build(pad_x=8)
+    out_b = build_explicit_run(sim_b, mesh)(resume_state=out_a["state"])
+    assert int(out_b["steps"]) == int(ref["steps"])
+
+    _close_explicit(out_b["uf"], ref["uf"])
+    _close_explicit(out_b["if_"], ref["if_"])
+    for a, b in zip(out_b["nf_e"], ref["nf_e"]):
+        _close_explicit(a, b)
+    for fa, fb in zip(out_b["fields"], ref["fields"]):
+        _close_explicit(fa, fb)
+    # and the output state round-trips as a valid checkpoint
+    assert out_b["state"]["fields"][0].shape == tuple(
+        sim_b.padded_shape or sim_b.grid.shape)
+
+
+@pytest.mark.slow
+def test_explicit_resume_stream_kernel():
+    """Resume through the sharded HBM-streaming kernel: the checkpoint's
+    canonical 3D rows are lifted into the halo-extended interleaved
+    layout and the halos restocked once before stepping."""
+    from fdtd_solver_antennas_tpu.parallel.explicit import build_explicit_run
+
+    mesh = make_device_mesh((8,), ("x",))
+    ref = build_explicit_run(_build_tall(), mesh, use_kernel=True)()
+
+    sim_a = _build_tall(n_steps=80)
+    out_a = build_explicit_run(sim_a, mesh, use_kernel=True)()
+    assert int(out_a["steps"]) == 80
+
+    sim_b = _build_tall()
+    out_b = build_explicit_run(sim_b, mesh, use_kernel=True)(
+        resume_state=out_a["state"])
+    assert int(out_b["steps"]) == int(ref["steps"])
+    _close_explicit(out_b["uf"], ref["uf"])
+    for fa, fb in zip(out_b["fields"], ref["fields"]):
         _close_explicit(fa, fb)
