@@ -61,12 +61,49 @@ def _timed_run(sim):
     return out, wall, steps
 
 
+def _prev_round_values() -> dict:
+    """Per-metric values from the newest BENCH_r*.json the driver left in
+    the repo — so every emitted line carries ``vs_prev`` and an untracked
+    round-over-round drop is visible in the recorded output itself
+    (round 2 shipped an unexplained-looking 7% canonical dip that turned
+    out to be single-run tunnel jitter; best-of-3 + this field make that
+    class of confusion impossible)."""
+    import pathlib
+    import re
+
+    vals: dict = {}
+    files = sorted(pathlib.Path(__file__).parent.glob("BENCH_r*.json"))
+    if not files:
+        return vals
+    try:
+        tail = json.loads(files[-1].read_text()).get("tail", "")
+        for line in tail.splitlines():
+            m = re.match(r"\{.*\}", line.strip())
+            if not m:
+                continue
+            try:
+                rec = json.loads(m.group(0))
+            except json.JSONDecodeError:
+                continue
+            if "metric" in rec and "value" in rec:
+                vals[rec["metric"]] = float(rec["value"])
+    except Exception:
+        pass
+    return vals
+
+
+_PREV = None
+
+
 def _emit(metric: str, sim, wall: float, steps: int) -> None:
     import jax
 
+    global _PREV
+    if _PREV is None:
+        _PREV = _prev_round_values()
     cells = sim.grid.num_cells
     gcells = cells * steps / wall / 1e9
-    print(json.dumps({
+    rec = {
         "metric": metric,
         "value": round(gcells, 4),
         "unit": "Gcell-updates/s/chip",
@@ -80,7 +117,10 @@ def _emit(metric: str, sim, wall: float, steps: int) -> None:
             "backend": jax.devices()[0].platform,
             "device": str(jax.devices()[0]),
         },
-    }), flush=True)
+    }
+    if metric in _PREV and _PREV[metric] > 0:
+        rec["vs_prev"] = round(gcells / _PREV[metric], 4)
+    print(json.dumps(rec), flush=True)
 
 
 def bench_canonical_patch() -> None:
