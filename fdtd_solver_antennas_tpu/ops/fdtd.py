@@ -1228,13 +1228,9 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None,
     # Source patterns as dense per-component matrices: one fused FMA per
     # component beats per-port dynamic-update-slices (which profiled at
     # ~20 µs each per step on TPU).
-    src_np = {}
-    for prt in ports:
-        mat = src_np.setdefault(prt.axis, np.zeros((Px, Py, Pz), np.float32))
-        mat[prt.sl] += prt.src_col
-    for msl in msl_ports:
-        mat = src_np.setdefault(2, np.zeros((Px, Py, Pz), np.float32))
-        mat[msl.sl] += msl.src_col
+    from .fdtd_pallas import build_src_mats
+
+    src_np = build_src_mats(sim, Px, Py, Pz, int_keys=True)
     src_mats = {k: jnp.asarray(v) for k, v in src_np.items()}
 
     pallas_step = None

@@ -42,6 +42,25 @@ from ..physics import MU0
 LANE = 128  # z-extent is padded to exactly one lane tile
 
 
+
+def build_src_mats(sim, Px, Py, Pz, int_keys=False):
+    """Per-component dense source matrices: every lumped-port column and
+    MSL plane folded into ONE (Px, Py, Pz) stamp per excited E component
+    (one fused FMA per component in the step, instead of per-port
+    dynamic-update-slices). Keys are 'x'/'y'/'z' (or 0/1/2 with
+    ``int_keys`` for the XLA paths that index component lists)."""
+    src_mats = {}
+    for prt in sim.ports:
+        comp = prt.axis if int_keys else prt.spec.direction
+        mat = src_mats.setdefault(comp, np.zeros((Px, Py, Pz), np.float32))
+        mat[prt.sl] += prt.src_col
+    for msl in sim.msl_ports:
+        key = 2 if int_keys else "z"
+        mat = src_mats.setdefault(key, np.zeros((Px, Py, Pz), np.float32))
+        mat[msl.sl] += msl.src_col
+    return src_mats
+
+
 def build_pallas_stepper(sim, inv_p, inv_d, mur_coef, alias: bool = False):
     # NOTE on `alias`: input_output_aliases proved unreliable on this
     # Pallas/Mosaic build — aliased output buffers intermittently failed to
@@ -112,14 +131,7 @@ def build_pallas_stepper(sim, inv_p, inv_d, mur_coef, alias: bool = False):
     z_masks = [mz0.reshape(1, C), mz1.reshape(1, C)]
 
     # per-component port source matrices (lumped columns + MSL planes)
-    src_mats = {}
-    for prt in sim.ports:
-        comp = prt.spec.direction  # 'x' | 'y' | 'z'
-        mat = src_mats.setdefault(comp, np.zeros((Px, Py, Pz), np.float32))
-        mat[prt.sl] += prt.src_col
-    for msl in sim.msl_ports:
-        mat = src_mats.setdefault("z", np.zeros((Px, Py, Pz), np.float32))
-        mat[msl.sl] += msl.src_col
+    src_mats = build_src_mats(sim, Px, Py, Pz)
     src_comps = sorted(src_mats)  # deterministic arg order
     def _to_flat_np(a3):
         a3 = np.pad(a3, ((0, 0), (0, 0), (0, LANE - Pz)))
@@ -294,26 +306,9 @@ def stream_vmem_bytes(py: int, pz: int, n_src: int, block: int,
     return rows * row_bytes
 
 
-def pick_stream_block(qx: int, px: int, py: int, pz: int, n_src: int):
-    """Choose the streaming-kernel block height in x-planes.
-
-    Constraints: divides the padded x-extent, gives a Mosaic-legal block
-    row count (Bx·ZT divisible by 8 — TPU block sublane dims must be
-    multiples of 8), leaves room for a ≥1-step trapezoid (incl. the
-    extra low-edge plane needed when the MUR top face lands on a block
-    boundary), and fits the VMEM budget. Larger blocks amortize fetch
-    overhead better, so candidates are tried largest first. Returns 0 if
-    none works (→ XLA path).
-    """
-    zt = -(-pz // 128)
-    for b in (16, 12, 8, 6, 4, 3):
-        B = b * zt
-        lo = zt if ((qx - 1) * zt) % B == 0 else 0
-        if B % 8 or px % b or (B - lo) // zt - 1 < 1:
-            continue
-        if stream_vmem_bytes(py, pz, n_src, b) <= STREAM_VMEM_BUDGET:
-            return b
-    return 0
+# (Single-chip stream-block selection lives in ops.fdtd._stream_prepass —
+# it needs build-time context this module doesn't have: the cfg/boundary
+# and the pre-padding grid shape.)
 
 
 # Peak VMEM allowed for one streaming-kernel invocation (as estimated by
@@ -327,7 +322,7 @@ def pick_shard_stream_params(n, decim, py, pz, n_src, mur, has_pml=False):
     """Choose (Bx, T, rem) for the sharded streaming kernel, or None.
 
     ``n`` is the owned x-planes per device, ``decim`` the probe
-    decimation. Unlike :func:`pick_stream_block` there is no global
+    decimation. Unlike the single-chip ``_stream_prepass`` there is no global
     divisibility constraint — the per-device local extent is padded to a
     block multiple internally — but the halo must fit in the shard
     (``T + 1 ≤ n``) and the block must leave trapezoid room
@@ -462,8 +457,7 @@ def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef, shard=None,
             raise ValueError(
                 f"stream T={T} must satisfy 1 <= T <= Bx-1={Bx - 1}")
         nb = R // B
-        jq = ((Qx - 1) * ZT) // B       # block holding the top x-face rows
-        r1 = ((Qx - 1) * ZT) % B        # row offset of the face x-plane
+        r1 = ((Qx - 1) * ZT) % B        # row offset of the top face x-plane
         # When the MUR top x-face sits exactly on a block boundary
         # (r1 = 0), its x-neighbor plane belongs to the previous block;
         # extend every step's valid row range one x-plane below the
@@ -472,6 +466,7 @@ def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef, shard=None,
         # ZT rows of redundant compute per step and tightens the halo
         # requirement to B ≥ (T+1)·ZT + lo.
         lo = ZT if (mur and r1 == 0) else 0
+        hi = 0  # x = 0 is always the first row of block 0 on one chip
     else:
         n_dev = int(shard["n_dev"])
         sh_n = int(shard["n"])          # owned x-planes per device
@@ -485,8 +480,15 @@ def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef, shard=None,
         if sh_n < Hx:
             raise ValueError(f"shard of {sh_n} planes < halo {Hx}")
         # Face positions vary per device relative to local blocks, so
-        # the low-edge extension must hold for every alignment.
+        # the low-edge extension must hold for every alignment — and,
+        # symmetrically, a HIGH-edge extension: the bottom x-face fix
+        # reads its x+1 neighbor's E^k (shift_dn), which falls outside
+        # the computed range when the face lands on the last plane of a
+        # block (e.g. (T+2) % Bx == 0 puts device 0's x = 0 plane
+        # there). One extra plane above keeps the neighbor in-window at
+        # every step; the extension rows stay outside the output cone.
         lo = ZT if mur else 0
+        hi = ZT if mur else 0
         base = Bx + Hx + sh_n + Hx + Bx
         PxL = -(-base // Bx) * Bx       # extra planes go to the top dead
         R = PxL * ZT
@@ -584,14 +586,7 @@ def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef, shard=None,
     ml127 = (zl == 127).astype(np.float32).reshape(1, C)
     ml0 = (zl == 0).astype(np.float32).reshape(1, C)
 
-    src_mats = {}
-    for prt in sim.ports:
-        comp = prt.spec.direction
-        mat = src_mats.setdefault(comp, np.zeros((Px, Py, Pz), np.float32))
-        mat[prt.sl] += prt.src_col
-    for msl in sim.msl_ports:
-        mat = src_mats.setdefault("z", np.zeros((Px, Py, Pz), np.float32))
-        mat[msl.sl] += msl.src_col
+    src_mats = build_src_mats(sim, Px, Py, Pz)
     src_comps = sorted(src_mats)
 
     def _to_flat_np(a3):
@@ -706,8 +701,8 @@ def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef, shard=None,
             bez_full = z_full(bez_rs)
             cez_full = z_full(cez_rs)
 
-        # E^0 window rows [B−T·ZT−lo, 2B+T·ZT); H^0 rows [B−(T+1)·ZT−lo, ·)
-        aE0, bE0 = B - Tk * ZT - lo, 2 * B + Tk * ZT
+        # E^0 window rows [B−T·ZT−lo, 2B+T·ZT+hi); H^0 rows [B−(T+1)·ZT−lo, ·)
+        aE0, bE0 = B - Tk * ZT - lo, 2 * B + Tk * ZT + hi
         aH0 = B - (Tk + 1) * ZT - lo
         E = [win3(f_refs[c][:], f_refs[6 + c][:], f_refs[12 + c][:], aE0, bE0)
              for c in range(3)]
@@ -749,7 +744,7 @@ def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef, shard=None,
         for k in range(1, Tk + 1):
             a_p = B - (Tk - k + 1) * ZT - lo  # start of E^{k-1} (window coords)
             a_k = a_p + ZT               # start of E^k
-            b_k = 2 * B + (Tk - k) * ZT
+            b_k = 2 * B + (Tk - k) * ZT + hi
             LEn = b_k - a_k              # rows of E^k
             LH = LEn + ZT                # rows of H^k  [a_k−ZT, b_k)
             LE = LEn + 2 * ZT            # rows of E^{k-1}
@@ -967,16 +962,15 @@ def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef, shard=None,
             E = [Exn, Eyn, Ezn]
             H = [Hxn, Hyn, Hzn]
 
-        # after T steps E covers [B−lo, 2B); H covers [B−ZT−lo, 2B); the
-        # lo extension rows (duplicates of the previous block's top) are
-        # dropped at write time
-        ex_o[:], ey_o[:], ez_o[:] = (e[lo:] for e in E)
-        hx_o[:], hy_o[:], hz_o[:] = (h[ZT + lo:] for h in H)
+        # after T steps E covers [B−lo, 2B+hi); H covers [B−ZT−lo, 2B+hi);
+        # the lo/hi extension rows are dropped at write time
+        ex_o[:], ey_o[:], ez_o[:] = (e[lo : lo + B] for e in E)
+        hx_o[:], hy_o[:], hz_o[:] = (h[ZT + lo : ZT + lo + B] for h in H)
         if has_pml:
             for ref, arr in zip(psi_out[:6], PE):   # ψ_e rows ride with E
-                ref[:] = arr[lo:]
+                ref[:] = arr[lo : lo + B]
             for ref, arr in zip(psi_out[6:], PH):   # ψ_h rows with H
-                ref[:] = arr[ZT + lo:]
+                ref[:] = arr[ZT + lo : ZT + lo + B]
 
     # ---- BlockSpecs --------------------------------------------------------
     blk = pl.BlockSpec((B, C), lambda j: (j, 0), memory_space=pltpu.VMEM)
@@ -1190,14 +1184,7 @@ def build_pallas_chunk_stepper(sim, inv_p, inv_d, mur_coef, pml=None):
     mz1[(zz == Qz - 1) & (yy < Qy)] = 1.0
     z_masks = [mz0.reshape(1, C), mz1.reshape(1, C)]
 
-    src_mats = {}
-    for prt in sim.ports:
-        comp = prt.spec.direction
-        mat = src_mats.setdefault(comp, np.zeros((Px, Py, Pz), np.float32))
-        mat[prt.sl] += prt.src_col
-    for msl in sim.msl_ports:
-        mat = src_mats.setdefault("z", np.zeros((Px, Py, Pz), np.float32))
-        mat[msl.sl] += msl.src_col
+    src_mats = build_src_mats(sim, Px, Py, Pz)
     src_comps = sorted(src_mats)
     def _to_flat_np(a3):
         a3 = np.pad(a3, ((0, 0), (0, 0), (0, LANE - Pz)))
@@ -1589,14 +1576,23 @@ def build_pallas_shard_stepper(sim, inv_p, inv_d, mur_coef, pml, n_dev,
         raise ValueError(f"Px={Px} not divisible by {n_dev} devices")
     n = Px // n_dev
     D = int(sim.probe_decim)
+    Qx_g = sim.grid.shape[0]
+    mur = sim.cfg.boundary.upper().startswith("MUR")
+    # When the MUR top x-face sits on a shard boundary, its fix at the
+    # K-th fused step reads the *innermost lower-halo row* (x = Qx−2),
+    # which roll-wrap garbage reaches after exactly K steps with a
+    # K-row halo — the halo must be one row wider than the step count
+    # (the sharded streaming kernel's Hx = T+1 for the same reason).
+    straddle = mur and (Qx_g - 1) % n == 0
     K = int(k_steps) if k_steps else min(n, D, 32)
+    if straddle:
+        K = min(K, n - 1)
     if not 1 <= K <= min(n, D):
         raise ValueError(f"k_steps={K} must be in [1, min(n={n}, D={D})]")
-    W = K
+    W = K + 1 if straddle else K
     m = n + 2 * W
     C = Py * LANE
     dtmu = np.float32(sim.dt / MU0)
-    mur = sim.cfg.boundary.upper().startswith("MUR")
     if sim.cfg.pml_cells() > 0 and pml is None:
         raise ValueError("PML boundary requires the pml profile dict")
     has_pml = pml is not None
@@ -1656,8 +1652,11 @@ def build_pallas_shard_stepper(sim, inv_p, inv_d, mur_coef, pml, n_dev,
     n_repl = len(repl_statics)
 
     # ---- per-device row-direction statics ---------------------------------
+    # (from the host coefficient copies: a device readback through the
+    # tunneled runtime costs ~50 s per array)
     coeff_keys = ("ca_ex", "cb_ex", "ca_ey", "cb_ey", "ca_ez", "cb_ez")
-    dev_statics = [shard_rows(to_flat_np(sim.coeffs[k])) for k in coeff_keys]
+    dev_statics = [shard_rows(to_flat_np(sim._coeffs_np[k]))
+                   for k in coeff_keys]
     dev_statics.append(
         shard_rows(np.asarray(inv_p[0], np.float32).reshape(Px, 1)))
     dev_statics.append(
@@ -1673,14 +1672,7 @@ def build_pallas_shard_stepper(sim, inv_p, inv_d, mur_coef, pml, n_dev,
             for w in (0, 1):
                 dev_statics.append(shard_rows(
                     np.asarray(pml[0][kind][w], np.float32).reshape(Px, 1)))
-    src_mats = {}
-    for prt in sim.ports:
-        comp = prt.spec.direction
-        mat = src_mats.setdefault(comp, np.zeros((Px, Py, Pz), np.float32))
-        mat[prt.sl] += prt.src_col
-    for msl in sim.msl_ports:
-        mat = src_mats.setdefault("z", np.zeros((Px, Py, Pz), np.float32))
-        mat[msl.sl] += msl.src_col
+    src_mats = build_src_mats(sim, Px, Py, Pz)
     src_comps = sorted(src_mats)
     n_src = len(src_comps)
     for c in src_comps:
@@ -1835,29 +1827,28 @@ def build_pallas_shard_stepper(sim, inv_p, inv_d, mur_coef, pml, n_dev,
     )
     interpret = jax.default_backend() not in ("tpu", "axon")
 
-    def make_step_call(nsteps):
-        call = pl.pallas_call(
-            kernel,
-            out_shape=out_shape,
-            in_specs=in_specs,
-            out_specs=tuple([vspec] * (6 + n_psi)),
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=int(110 * 1024 * 1024),
-            ),
-            interpret=interpret,
-        )
+    call = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=tuple([vspec] * (6 + n_psi)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(110 * 1024 * 1024),
+        ),
+        interpret=interpret,
+    )
 
-        def step_call(dev, repl, fields6, psi_e, psi_h, wf):
-            out = call(wf, *repl, *dev, *fields6, *psi_e, *psi_h)
-            return tuple(out[:6]), tuple(out[6:12]) if has_pml else (), (
-                tuple(out[12:18]) if has_pml else ())
-
-        return step_call
+    def step_call(dev, repl, fields6, psi_e, psi_h, wf):
+        # the step count is the (static) waveform-window width, so one
+        # call object serves both the K-step and remainder variants
+        out = call(wf, *repl, *dev, *fields6, *psi_e, *psi_h)
+        return tuple(out[:6]), tuple(out[6:12]) if has_pml else (), (
+            tuple(out[12:18]) if has_pml else ())
 
     rem = D % K
     return dict(
         W=W, m=m, n=n, K=K, rem=rem, C=C, n_src=n_src, n_psi=n_psi,
         dev_statics=dev_statics, repl_statics=repl_statics,
-        step_call=make_step_call(K),
-        step_call_rem=make_step_call(rem) if rem else None,
+        step_call=step_call,
+        step_call_rem=step_call if rem else None,
     )

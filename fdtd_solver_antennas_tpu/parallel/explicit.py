@@ -124,8 +124,9 @@ def build_explicit_run(sim, mesh: Mesh, axis_name: str | None = None,
     """Build a jitted explicit-collective run function for ``sim``.
 
     ``mesh`` must be 1-D (n_dev devices); the padded x extent must be
-    divisible by n_dev. Returns ``run()`` producing the same output dict
-    as ``PreparedSimulation.run()`` (without resume support).
+    divisible by n_dev. Returns ``run(resume_state=None)`` producing the
+    same output dict as ``PreparedSimulation.run()``, including a
+    canonical ``state`` checkpoint portable across all run paths.
 
     ``use_kernel`` selects the per-shard compute path:
 
@@ -244,14 +245,9 @@ def build_explicit_run(sim, mesh: Mesh, axis_name: str | None = None,
     m_xt[Qx - 1] = 1.0
 
     # per-component source matrices (global, sharded along x)
-    src_np = {}
-    for prt in sim.ports:
-        axis = {"x": 0, "y": 1, "z": 2}[prt.spec.direction]
-        mat = src_np.setdefault(axis, np.zeros((Px, Py, Pz), np.float32))
-        mat[prt.sl] += prt.src_col
-    for msl in sim.msl_ports:
-        mat = src_np.setdefault(2, np.zeros((Px, Py, Pz), np.float32))
-        mat[msl.sl] += msl.src_col
+    from ..ops.fdtd_pallas import build_src_mats
+
+    src_np = build_src_mats(sim, Px, Py, Pz, int_keys=True)
     src_comps = sorted(src_np)
     src_mats_g = [src_np[c] for c in src_comps]
 

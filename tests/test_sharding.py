@@ -343,3 +343,79 @@ def test_explicit_resume_stream_kernel():
     _close_explicit(out_b["uf"], ref["uf"])
     for fa, fb in zip(out_b["fields"], ref["fields"]):
         _close_explicit(fa, fb)
+
+
+def test_explicit_shard_kernel_mur_face_straddle():
+    """Regression: when the MUR top x-face sits exactly on a shard
+    boundary, the per-shard VMEM kernel's halo must be one row WIDER
+    than the fused step count — at the K-th step the face fix reads the
+    innermost lower-halo row, which roll-wrap garbage reaches after
+    exactly K steps with a K-row halo. Geometry pins (Qx-1) % n == 0."""
+    from fdtd_solver_antennas_tpu.parallel.explicit import build_explicit_run
+    from fdtd_solver_antennas_tpu.ops.fdtd_pallas import (
+        build_pallas_shard_stepper,
+    )
+
+    def build(n_steps=300):
+        mb = MeshBuilder()
+        mb.add_line("x", np.linspace(0, 24, 25))
+        mb.add_line("y", np.linspace(0, 15, 16))
+        mb.add_line("z", np.linspace(0, 19, 20))
+        grid = mb.build(1.0)
+        assert grid.shape == (25, 16, 20), grid.shape
+        scene = Scene()
+        scene.add_material_box("sub", 4.3, 0.005, [8, 4, 8], [18, 11, 10], 0)
+        scene.add_metal_box("patch", [10, 6, 10], [16, 10, 10], priority=10)
+        scene.add_metal_box("gnd", [8, 4, 8], [18, 11, 8], priority=10)
+        scene.add_lumped_port(1, 50.0, [13, 8, 8], [13, 8, 10],
+                              direction="z")
+        cfg = FDTDConfig(n_steps_max=n_steps, check_every=60,
+                         end_criteria=1e-30, probe_decimation=4)
+        return build_simulation(
+            scene, grid, f0=2.45e9, fc=1.225e9, cfg=cfg,
+            port_freqs_hz=np.linspace(2e9, 3e9, 7),
+            nf_freqs_hz=np.array([2.45e9]), nf_margin_cells=2,
+            pad_multiple=(8, 1, 1),
+        )
+
+    sim = build()
+    Px = (sim.padded_shape or sim.grid.shape)[0]
+    n = Px // 8
+    assert (sim.grid.shape[0] - 1) % n == 0, "face not on a shard boundary"
+    # the builder must widen the halo beyond the step count here
+    inv_p, inv_d, mur_coef, pml = sim._aux
+    kern = build_pallas_shard_stepper(sim, inv_p, inv_d, mur_coef, pml, 8)
+    assert kern["W"] == kern["K"] + 1, (kern["W"], kern["K"])
+
+    ref = build().run()
+    mesh = make_device_mesh((8,), ("x",))
+    got = build_explicit_run(sim, mesh, use_kernel=True)()
+    assert int(got["steps"]) == int(ref["steps"])
+    _close_explicit(got["uf"], ref["uf"])
+    for fa, fb in zip(got["fields"], ref["fields"]):
+        _close_explicit(fa, fb)
+
+
+@pytest.mark.slow
+def test_explicit_stream_kernel_face_on_block_end(monkeypatch):
+    """Regression: sharded streaming kernel with the bottom MUR x-face on
+    the LAST plane of a local block ((T+2) % Bx == 0): the final step's
+    face fix reads its x+1 neighbor beyond the computed range unless the
+    range is extended one plane above (``hi``). Forces Bx=4, T=2."""
+    from fdtd_solver_antennas_tpu.parallel import explicit as ex
+
+    def pick44(n, decim, py, pz, n_src, mur, has_pml=False):
+        return 4, 2, decim % 2
+
+    monkeypatch.setattr(
+        "fdtd_solver_antennas_tpu.ops.fdtd_pallas.pick_shard_stream_params",
+        pick44,
+    )
+    ref = _build_tall(n_steps=120).run()
+    sim = _build_tall(n_steps=120)
+    mesh = make_device_mesh((8,), ("x",))
+    got = ex.build_explicit_run(sim, mesh, use_kernel=True)()
+    assert int(got["steps"]) == int(ref["steps"])
+    _close_explicit(got["uf"], ref["uf"])
+    for fa, fb in zip(got["fields"], ref["fields"]):
+        _close_explicit(fa, fb)
