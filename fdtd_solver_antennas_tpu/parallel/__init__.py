@@ -1,6 +1,8 @@
+from .explicit import build_explicit_run
 from .sharding import (
     make_device_mesh,
     shard_fields,
+    shard_simulation,
     sharded_step_fn,
 )
 from .sweep_shard import (
@@ -11,8 +13,10 @@ from .sweep_shard import (
 )
 
 __all__ = [
+    "build_explicit_run",
     "make_device_mesh",
     "shard_fields",
+    "shard_simulation",
     "sharded_step_fn",
     "make_sweep_mesh",
     "pad_batch",

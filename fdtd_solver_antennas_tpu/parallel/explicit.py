@@ -22,8 +22,9 @@ the whole chunked time loop runs inside one ``shard_map``, with
 Collective traffic per step is therefore 2 planes × 2 fields × 4 B ≈
 ``16·Py·Pz`` bytes — see BASELINE.md §"halo roofline" for why this is
 negligible against the step's HBM traffic. MUR x-face updates are applied
-as masked row-selects (the face row and its inward neighbor must live on
-the same device: ``(Qx−1) % shard ≠ 0``); y/z faces are device-local.
+as masked row-selects; a top face on a shard boundary fetches its inward
+neighbor via an extra per-step halo (``straddle_top``) on the XLA path
+and a one-row-wider halo on the kernel paths. y/z faces are device-local.
 CPML is supported — the ψ recursions are elementwise given the
 halo-extended derivative terms.
 
