@@ -17,6 +17,10 @@ Prints one JSON line per metric (the driver records each):
 4. ``yee_cell_updates_stream_tall_patch`` — a z=160 (two-lane-tile) patch
    variant sized so the only eligible Pallas path is the streaming kernel:
    a guaranteed per-round TPU number for the stream kernel itself.
+5. ``yee_cell_updates_shard_kernel_1dev`` — the canonical patch through
+   the explicit multi-chip path on a 1-device mesh (``"kernel": "shard"``):
+   a per-round TPU number for the per-shard VMEM kernel + ppermute
+   machinery (capped by halo redundancy at n_dev=1; see BASELINE.md).
 
 Each metric reports the best of three timed runs (a single run through the
 tunneled runtime shows ~10% wall-clock jitter — round 2's apparent 7%
@@ -95,7 +99,7 @@ def _prev_round_values() -> dict:
 _PREV = None
 
 
-def _emit(metric: str, sim, wall: float, steps: int) -> None:
+def _emit(metric: str, sim, wall: float, steps: int, kernel=None) -> None:
     import jax
 
     global _PREV
@@ -113,7 +117,7 @@ def _emit(metric: str, sim, wall: float, steps: int) -> None:
             "cells": cells,
             "steps": steps,
             "wall_s": round(wall, 4),
-            "kernel": sim.pallas_mode or "xla",
+            "kernel": kernel or sim.pallas_mode or "xla",
             "backend": jax.devices()[0].platform,
             "device": str(jax.devices()[0]),
         },
@@ -207,6 +211,45 @@ def bench_stream_tall_patch() -> None:
     _emit("yee_cell_updates_stream_tall_patch", sim, wall, steps)
 
 
+def bench_shard_kernel_1dev() -> None:
+    """The canonical patch through the explicit multi-chip path on a
+    1-device mesh: pins a real-TPU number on the per-shard VMEM kernel
+    (trapezoidal halo exchange, K fused steps per pallas_call) every
+    round. At n_dev=1 the halo redundancy caps it well below the
+    single-chip chunk kernel (see BASELINE.md §per-shard) — the value
+    tracked here is the kernel+collective machinery itself."""
+    import jax
+
+    from fdtd_solver_antennas_tpu.models.params import PatchAntennaParams
+    from fdtd_solver_antennas_tpu.parallel import (
+        build_explicit_run,
+        make_device_mesh,
+    )
+    from fdtd_solver_antennas_tpu.solvers.patch_fixed import prepare_patch_fixed
+
+    params = PatchAntennaParams.from_user_units(
+        frequency_ghz=2.45, er=4.3, h_mm=1.6, loss_tangent=0.02
+    )
+    prep = prepare_patch_fixed(params)
+    assert prep.ok, prep.message
+    sim = prep.sim
+    mesh = make_device_mesh((1,), ("x",))
+    run = build_explicit_run(sim, mesh, use_kernel=True)
+    out = run()
+    jax.block_until_ready(out["e_ratio"])
+    wall = float("inf")
+    for _ in range(BEST_OF):
+        t0 = time.perf_counter()
+        out = run()
+        jax.block_until_ready(out["e_ratio"])
+        wall = min(wall, time.perf_counter() - t0)
+    steps = int(out["steps"])
+    assert np.isfinite(np.asarray(out["uf"])).all(), "non-finite port DFTs"
+    assert float(out["e_ratio"]) < 1.0, "energy never decayed — suspicious"
+    _emit("yee_cell_updates_shard_kernel_1dev", sim, wall, steps,
+          kernel="shard")
+
+
 def main() -> None:
     from fdtd_solver_antennas_tpu.utils.backend import (
         enable_compile_cache,
@@ -220,6 +263,7 @@ def main() -> None:
         (bench_large_mixed_scene, "yee_cell_updates_large_mixed_scene"),
         (bench_pml_patch, "yee_cell_updates_pml_patch"),
         (bench_stream_tall_patch, "yee_cell_updates_stream_tall_patch"),
+        (bench_shard_kernel_1dev, "yee_cell_updates_shard_kernel_1dev"),
     ):
         try:  # never lose the primary metric to an add-on
             fn()
