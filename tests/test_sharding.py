@@ -419,3 +419,25 @@ def test_explicit_stream_kernel_face_on_block_end(monkeypatch):
     _close_explicit(got["uf"], ref["uf"])
     for fa, fb in zip(got["fields"], ref["fields"]):
         _close_explicit(fa, fb)
+
+
+def test_explicit_resume_vmem_shard_kernel():
+    """Resume through the per-shard VMEM kernel: checkpoint rows are
+    lifted into the halo-extended (m, Py·128) flat layout and the halos
+    restocked once before the first fused-step call."""
+    from fdtd_solver_antennas_tpu.parallel.explicit import build_explicit_run
+
+    mesh = make_device_mesh((8,), ("x",))
+    ref = build_explicit_run(_build(pad_x=8), mesh, use_kernel=True)()
+
+    out_a = build_explicit_run(_build(pad_x=8, n_steps=100), mesh,
+                               use_kernel=True)()
+    steps_a = int(out_a["steps"])
+    assert 100 <= steps_a < int(ref["steps"])
+
+    out_b = build_explicit_run(_build(pad_x=8), mesh, use_kernel=True)(
+        resume_state=out_a["state"])
+    assert int(out_b["steps"]) == int(ref["steps"])
+    _close_explicit(out_b["uf"], ref["uf"])
+    for fa, fb in zip(out_b["fields"], ref["fields"]):
+        _close_explicit(fa, fb)
