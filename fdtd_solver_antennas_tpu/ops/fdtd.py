@@ -117,8 +117,12 @@ class FDTDConfig:
     courant: float = 0.95
     dtype: str = "float32"
     # Probe/DFT sampling stride. None → auto: the largest D keeping the
-    # sampling interval D·dt below 1/(4·(f0+fc)) — a 2x Nyquist margin over
-    # the excitation's -20 dB corner. 1 reproduces per-step sampling.
+    # sampling interval D·dt below 1/(2.5·(f0+fc)) — i.e. sampling at
+    # 2.5× the excitation's −20 dB corner. The margin over Nyquist is
+    # 1.25×, which suffices because the Gaussian spectrum falls
+    # super-exponentially past the corner (alias-band content sits below
+    # 10⁻³ in amplitude; see the builder comment in build_simulation).
+    # 1 reproduces openEMS-style per-step sampling.
     probe_decimation: int | None = None
     # VMEM-resident Pallas multi-step kernel for the inner D-step loop.
     # None → auto (on for TPU backends when the boundary is MUR/PEC and the
@@ -619,6 +623,17 @@ def _build_port_runtime(
     # ∮H·dl = (ΔHv/dd_u)·dd_u·dd_v − (ΔHu/dd_v)·dd_u·dd_v
     #       = ΔHv·dd_v ... careful: (∂Hv/∂u)·A/dd_u·... A = dd_u·dd_v so
     # (ΔHv/dd_u)·A = ΔHv·dd_v and (ΔHu/dd_v)·A = ΔHu·dd_u.
+    # the Ampère loop needs the H row one cell BELOW the port in both
+    # transverse directions — a port flush against the grid wall would
+    # produce a −1 index that silently wraps to the opposite wall and
+    # corrupts I(t) (and with it Z_in/S11) with no error
+    for a in (u, v):
+        if idx[a] < 1:
+            raise ValueError(
+                f"lumped port at {'xyz'[a]}-index {idx[a]} touches the "
+                "grid boundary; its current probe needs one cell of "
+                "clearance — move the port or extend the grid"
+            )
     i_gather = [
         tup(idx, u, 0),  # Hv at idx        (+)
         tup(idx, u, -1),  # Hv at idx − û   (−)
@@ -954,11 +969,31 @@ def _stream_prepass(cfg, grid_shape, padded_shape, scene) -> int:
 
     if cfg.pallas_mode == "chunk" or not _pallas_wanted(cfg):
         return 0
-    n_psi = 12 if cfg.pml_cells() > 0 else 0
+    has_pml = cfg.pml_cells() > 0
+    n_psi = 12 if has_pml else 0
     n_src = len(
         {p.direction for p in scene.ports}
         | ({"z"} if scene.msl_ports else set())
     )
+    # The chunk kernel takes precedence in the mode resolver: when it
+    # will clearly engage, stream-block x padding would only tax it with
+    # dead planes computed every step (measured ~12% on the canonical
+    # 56-plane patch padded to 64) AND inflate the resident-VMEM estimate
+    # that decides chunk eligibility in the first place. Mirror
+    # _resolve_use_pallas's conditions on the pre-stream padded shape and
+    # skip the prepass when the chunk kernel will take the grid.
+    if cfg.pallas_mode != "stream":
+        n_rows = len(scene.ports) + MSLRuntime.N_ROWS * len(scene.msl_ports)
+        n_resident = 18 + max(1, n_src) + (24 if has_pml else 0)
+        resident = n_resident * padded_shape[0] * padded_shape[1] * 128 * 4
+        budget = (72 if has_pml else 48) * 1024 * 1024
+        chunk_takes_it = (
+            padded_shape[2] <= 128
+            and n_rows <= 8
+            and (cfg.use_pallas is True or resident <= budget)
+        )
+        if chunk_takes_it:
+            return 0
     qx = grid_shape[0]
     zt = -(-padded_shape[2] // 128)
     mur_b = cfg.boundary.upper().startswith("MUR")
@@ -1013,6 +1048,15 @@ def _resolve_pallas_mode(sim: "PreparedSimulation", stream_block: int) -> None:
         mur_b = cfg.boundary.upper().startswith("MUR")
         lo = zt if (mur_b and ((qx - 1) * zt) % B == 0) else 0
         t_max = (B - lo) // zt - 1
+        if cfg.stream_T and not (
+            cfg.stream_T <= t_max and sim.probe_decim >= cfg.stream_T
+        ):
+            raise ValueError(
+                f"stream_T={cfg.stream_T} cannot be honored: the block "
+                f"(Bx={stream_block}, ZT={zt}, lo={lo}) allows T ≤ "
+                f"{t_max} and the probe decimation {sim.probe_decim} "
+                "bounds it too"
+            )
         T = 1
         cands = (
             (cfg.stream_T,) if cfg.stream_T else (4, 3, 2)
@@ -1024,6 +1068,17 @@ def _resolve_pallas_mode(sim: "PreparedSimulation", stream_block: int) -> None:
         sim.stream_T = T
         sim.probe_decim = max(T, (sim.probe_decim // T) * T)
         return
+    if forced in ("chunk", "stream") and _pallas_wanted(cfg):
+        # a forced kernel that cannot engage must fail loudly: falling
+        # back silently would make a user benchmark the wrong code path
+        raise ValueError(
+            f"pallas_mode={forced!r} was forced but is not eligible "
+            f"(grid {sim.grid.shape}, padded {sim.padded_shape}, "
+            f"boundary {cfg.boundary!r}, probe rows {n_probe_rows(sim)}, "
+            f"field_sharding={sim.field_sharding is not None}, "
+            f"stream_block={stream_block}); remove pallas_mode or fix "
+            "the configuration"
+        )
     sim.pallas_mode = None
     sim.use_pallas = False
 
@@ -1200,6 +1255,28 @@ def build_probe_gathers(sim: "PreparedSimulation", Px: int, Py: int,
 # ---------------------------------------------------------------------------
 # the time loop
 # ---------------------------------------------------------------------------
+
+def _rescale_resume_dfts(resume_state, new_decim):
+    """Pop the checkpoint's probe decimation and rescale its DFT sums.
+
+    Post-processing multiplies the final sums by ``dft_dt = dt·decim`` to
+    form Fourier-integral estimates. If the resuming sim resolves a
+    DIFFERENT probe decimation (e.g. the stream kernel rounds decim to a
+    multiple of T on one backend but not another), the old sums were
+    built at the old cadence — scale them by old/new so their
+    contribution stays a correct integral under the new factor. Old
+    checkpoints without a "decim" key are assumed cadence-matched."""
+    resume_state = dict(resume_state)
+    old = resume_state.pop("decim", None)
+    if old is None:
+        return resume_state
+    # trace-safe: the chunk path's run() is jitted, so "decim" may be a
+    # tracer — apply the ratio as a traced multiply (1.0 when unchanged)
+    scale = jnp.asarray(old, jnp.float32) / np.float32(new_decim)
+    for k in ("uf", "if_", "nf_e", "nf_h"):
+        resume_state[k] = jnp.asarray(resume_state[k]) * scale
+    return resume_state
+
 
 def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None,
                  _expose_step=False, force_xla=False):
@@ -1655,7 +1732,7 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None,
 
         carry = init_carry(coeffs, n_nf_freqs, n_port_freqs)
         if resume_state is not None:
-            resume_state = dict(resume_state)
+            resume_state = _rescale_resume_dfts(resume_state, decim)
             # Checkpoints store fields/ψ in the canonical 3D padded layout;
             # convert to the kernel's flat layout when resuming on the
             # Pallas path (layouts are a static property of the trace).
@@ -1687,8 +1764,11 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None,
             out_fields = tuple(_pl_from_flat(f) for f in out_fields)
         # state fields/ψ use the canonical 3D layout regardless of the run
         # path, so a checkpoint written on the Pallas path resumes cleanly
-        # on the XLA path (and vice versa, on any process/backend)
+        # on the XLA path (and vice versa, on any process/backend); the
+        # cadence tag lets a resume under a different probe decimation
+        # rescale the DFT sums (see _rescale_resume_dfts)
         state = {k: carry[k] for k in state_keys}
+        state["decim"] = np.int32(decim)
         if flat_fields:
             for grp in ("psi_e", "psi_h"):
                 if carry[grp]:
@@ -1892,7 +1972,7 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None,
         carry = init_carry(coeffs, n_nf_freqs, n_port_freqs)
         n_cur = 0
         if resume_state is not None:
-            resume_state = dict(resume_state)
+            resume_state = _rescale_resume_dfts(resume_state, decim)
             n_cur = int(np.asarray(resume_state["n"]))
             if flat_fields and np.asarray(resume_state["fields"][0]).ndim == 3:
                 resume_state["fields"] = tuple(
@@ -1948,6 +2028,7 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None,
         state_keys = ("psi_e", "psi_h", "uf", "if_", "nf_e",
                       "nf_h", "n", "e_max", "e_ratio")
         state = {k: carry[k] for k in state_keys}
+        state["decim"] = np.int32(decim)
         if flat_fields:
             for grp in ("psi_e", "psi_h"):
                 if carry[grp]:

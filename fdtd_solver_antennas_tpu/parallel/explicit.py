@@ -788,10 +788,16 @@ def build_explicit_run(sim, mesh: Mesh, axis_name: str | None = None,
                 + [np.asarray(rs["psi_h"][k], np.float32)
                    for k in psi_keys]
             ) if pml is not None else []
-            r_uf = np.asarray(rs["uf"], np.float32)
-            r_if = np.asarray(rs["if_"], np.float32)
-            r_nfe = np.asarray(rs["nf_e"], np.float32)
-            r_nfh = np.asarray(rs["nf_h"], np.float32)
+            # cadence rescale: the resumed sums were accumulated at the
+            # checkpoint's probe decimation; post-processing multiplies
+            # the combined totals by THIS run's dft_dt (see
+            # ops.fdtd._rescale_resume_dfts for the derivation)
+            old_decim = int(np.asarray(rs.get("decim", decim)))
+            dscale = np.float32(old_decim / decim)
+            r_uf = np.asarray(rs["uf"], np.float32) * dscale
+            r_if = np.asarray(rs["if_"], np.float32) * dscale
+            r_nfe = np.asarray(rs["nf_e"], np.float32) * dscale
+            r_nfh = np.asarray(rs["nf_h"], np.float32) * dscale
             r_n, r_emax = np.int32(rs["n"]), np.float32(rs["e_max"])
         else:
             z3 = np.zeros((Px, Py, Pz), np.float32)
@@ -849,7 +855,7 @@ def build_explicit_run(sim, mesh: Mesh, axis_name: str | None = None,
             else {},
             uf=uf_s, if_=if_s, nf_e=nfe_s, nf_h=nfh_s,
             n=np.asarray(steps), e_max=np.asarray(e_max),
-            e_ratio=np.asarray(e_ratio),
+            e_ratio=np.asarray(e_ratio), decim=np.int32(decim),
         )
         return dict(
             uf=nf_to_complex(uf_s),

@@ -59,6 +59,11 @@ def make_sweep_mesh(
     if jax.process_count() > 1:  # pragma: no cover — needs a real pod
         from jax.experimental import mesh_utils
 
+        if n_sweep % jax.process_count():
+            raise ValueError(
+                f"sweep axis {n_sweep} must divide evenly over "
+                f"{jax.process_count()} processes"
+            )
         arr = mesh_utils.create_hybrid_device_mesh(
             (n_sweep // jax.process_count(), n_spatial),
             (jax.process_count(), 1),
@@ -96,7 +101,8 @@ def shard_sweep(prepared, mesh: Mesh):
     executes SPMD — no code change, the partitioner sees sharded inputs
     and keeps every per-variant carry local to its device group. Batches
     that do not divide the sweep axis are padded by repeating the last
-    variant; ``run_*`` trims automatically via ``prepared._sweep_pad``.
+    variant; the ``run_*`` post-processing indexes only the real variants
+    (it never reads the padded rows), so no explicit trim is required.
     """
     if prepared.batched_coeffs is None:
         raise ValueError("prepare a sweep before sharding it")
@@ -120,15 +126,21 @@ def shard_sweep(prepared, mesh: Mesh):
 
 
 def trim_sweep_out(prepared, out):
-    """Drop padded batch rows from a sharded sweep's output pytree and
-    bring results to host-local numpy (the cross-host result gather)."""
+    """Optional utility: drop padded batch rows from a sharded sweep's
+    raw output pytree (device-side slicing — nothing is materialized to
+    host; the big field arrays stay on device). The stock ``run_*``
+    post-processing never reads padded rows, so calling this is only
+    needed when consuming ``out`` directly."""
     pad = getattr(prepared, "_sweep_pad", 0)
     if not pad:
         return out
     b = len(prepared.variants)
 
     def _trim(a):
-        a = np.asarray(a)
-        return a[:b] if a.ndim >= 1 and a.shape[0] == b + pad else a
+        return (
+            a[:b]
+            if getattr(a, "ndim", 0) >= 1 and a.shape[0] == b + pad
+            else a
+        )
 
     return jax.tree_util.tree_map(_trim, out)

@@ -34,6 +34,8 @@ def save_state(path, out_or_state: Dict) -> None:
             flat[f"{grp}_{k}"] = np.asarray(v)
     for k in ("uf", "if_", "nf_e", "nf_h", "n", "e_max", "e_ratio"):
         flat[k] = np.asarray(state[k])
+    if "decim" in state:  # cadence tag for cross-decimation resume
+        flat["decim"] = np.asarray(state["decim"])
     np.savez_compressed(Path(path), **flat)
 
 
@@ -62,4 +64,5 @@ def load_state(path) -> Dict:
         n=np.int32(data["n"]),
         e_max=np.float32(data["e_max"]),
         e_ratio=np.float32(data["e_ratio"]),
+        **({"decim": np.int32(data["decim"])} if "decim" in data else {}),
     )

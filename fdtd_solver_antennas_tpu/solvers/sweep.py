@@ -301,14 +301,27 @@ def _run_batched(prepared: SweepPrepared):
     out = prepared._vrun(*args)
     jax.block_until_ready(out["steps"])
     wall = time.perf_counter() - t0
-    return out, wall, int(np.max(np.asarray(out["steps"])))
+    return out, wall, int(np.max(_fetch(out["steps"])))
+
+
+
+def _fetch(a) -> np.ndarray:
+    """Device→host for arrays that may be sharded across *processes*: a
+    plain np.asarray raises on non-fully-addressable arrays (the sweep
+    axis spans hosts on a real pod), so gather them first. Single-process
+    (incl. virtual CPU meshes) takes the cheap path."""
+    if getattr(a, "is_fully_addressable", True):
+        return np.asarray(a)
+    from jax.experimental import multihost_utils  # pragma: no cover
+
+    return np.asarray(multihost_utils.process_allgather(a))
 
 
 def _batched_port_spectra(prepared: SweepPrepared, out) -> List[PortSpectra]:
     """Per-variant port-0 spectra from batched (B, 2, n_ports, Nf) DFTs."""
     sim = prepared.sim
-    uf = np.asarray(out["uf"])
-    if_ = np.asarray(out["if_"])
+    uf = _fetch(out["uf"])
+    if_ = _fetch(out["if_"])
     return [
         port_spectra(
             sim.port_freqs_hz,
@@ -502,9 +515,11 @@ def run_horn_aperture_sweep(
             )
         # nf_e / nf_h are per-face lists; vmap puts the batch axis at the
         # front of each face array — one batched NF2FF device program for
-        # all variants × frequencies instead of a serial per-variant loop
-        nf_e = [np.asarray(face) for face in out["nf_e"]]
-        nf_h = [np.asarray(face) for face in out["nf_h"]]
+        # all variants × frequencies instead of a serial per-variant loop.
+        # Slice to the REAL variant count: a sharded sweep pads the batch
+        # axis (shard_sweep), and nf_centers has only n_var rows.
+        nf_e = [_fetch(face)[:n_var] for face in out["nf_e"]]
+        nf_h = [_fetch(face)[:n_var] for face in out["nf_h"]]
         ffs = nf2ff_transform_batch(
             sim.faces, nf_e, nf_h, sim.dft_dt, sim.nf_freqs_hz,
             prepared.theta, prepared.phi,

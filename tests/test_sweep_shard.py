@@ -115,3 +115,43 @@ def test_sharded_inputs_actually_sharded():
     shard_shape = arr.sharding.shard_shape(arr.shape)
     assert shard_shape[0] == arr.shape[0] // 4
     assert shard_shape[1] < arr.shape[1]
+
+
+@pytest.mark.slow
+def test_horn_sweep_padding_equality():
+    """Regression: a sharded HORN sweep whose batch pads onto the sweep
+    axis must slice the padded NF2FF face accumulators back to the real
+    variant count before the batched transform (the nf_centers table has
+    only n_var rows — this crashed with a reshape error before)."""
+    from fdtd_solver_antennas_tpu.models.params import HornAntennaParams
+    from fdtd_solver_antennas_tpu.solvers.sweep import (
+        prepare_horn_aperture_sweep,
+        run_horn_aperture_sweep,
+    )
+
+    base = HornAntennaParams.from_user_units(
+        frequency_ghz=12.0, throat_a_mm=19.05, throat_b_mm=9.525,
+        aperture_A_mm=48.0, aperture_B_mm=36.0, length_mm=40.0,
+    )
+    apertures = [(30.0, 24.0, 30.0), (40.0, 30.0, 36.0), (55.0, 42.0, 45.0)]
+
+    def run(mesh=None):
+        prep = prepare_horn_aperture_sweep(
+            base, apertures, mesh_ppw=10.0, n_steps_max=2500,
+        )
+        assert prep.ok, prep.message
+        if mesh is not None:
+            shard_sweep(prep, mesh)
+            assert prep._sweep_pad == 1  # 3 variants on a 4-way axis
+        res = run_horn_aperture_sweep(prep)
+        assert res.ok, res.message
+        return res
+
+    ref = run()
+    res = run(make_sweep_mesh(4, 2))
+    assert len(res.spectra) == 3 and res.Dmax_dbi.shape == (3,)
+    np.testing.assert_allclose(res.Dmax_dbi, ref.Dmax_dbi, rtol=1e-4)
+    for sp_s, sp_u in zip(res.spectra, ref.spectra):
+        np.testing.assert_allclose(
+            np.abs(sp_s.s11), np.abs(sp_u.s11), rtol=1e-4, atol=1e-6
+        )
