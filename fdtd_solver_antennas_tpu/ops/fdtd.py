@@ -1567,6 +1567,106 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None,
     if _expose_step:
         return field_step, init_carry
 
+    def _flush_and_check(carry, bufs, n0, w_port, w_nf):
+        """Shared tail of every termination chunk: the chunked DFT flush
+        (phases (Nf, n_sub) @ staged buffers on the MXU; sample j sits
+        after step n0 + (j+1)·D — E-state at that time, H-state half a
+        step earlier) followed by the energy-decay termination check.
+        Used by both the traced while_loop body and the host-driven
+        superchunk pipeline so the two paths cannot drift."""
+        j_idx = jnp.arange(n_sub, dtype=jnp.float32)
+        t_e = (n0.astype(jnp.float32) + (j_idx + 1.0) * decim) * np.float32(dt)
+        t_h = t_e - np.float32(0.5 * dt)
+
+        def dft_mats(w, t):
+            ang = w[:, None] * t[None, :]  # (Nf, K)
+            return jnp.cos(ang), jnp.sin(ang)
+
+        ce_p, se_p = dft_mats(w_port, t_e)
+        ch_p, sh_p = dft_mats(w_port, t_h)
+        uf = carry["uf"] + jnp.stack(
+            [ce_p @ bufs["v"], -(se_p @ bufs["v"])]
+        ).transpose(0, 2, 1)
+        if_ = carry["if_"] + jnp.stack(
+            [ch_p @ bufs["i"], -(sh_p @ bufs["i"])]
+        ).transpose(0, 2, 1)
+        ce_n, se_n = dft_mats(w_nf, t_e)
+        ch_n, sh_n = dft_mats(w_nf, t_h)
+        nf_e = carry["nf_e"] + jnp.stack(
+            [ce_n @ bufs["fe"], -(se_n @ bufs["fe"])]
+        )
+        nf_h = carry["nf_h"] + jnp.stack(
+            [ch_n @ bufs["fh"], -(sh_n @ bufs["fh"])]
+        )
+        E = carry["fields"][:3]
+        energy = sum(jnp.sum(e * e) for e in E)
+        e_max = jnp.maximum(carry["e_max"], energy)
+        ratio = jnp.where(e_max > 0, energy / e_max, jnp.float32(1.0))
+        done = (ratio < np.float32(cfg.end_criteria)) & (
+            carry["n"] > np.int32(n_src)
+        )
+        return dict(carry, uf=uf, if_=if_, nf_e=nf_e, nf_h=nf_h,
+                    e_max=e_max, e_ratio=ratio, done=done)
+
+    def _lift_resume_layout(resume_state):
+        """Canonical 3D checkpoint arrays → this trace's kernel-flat
+        carry layout when a Pallas path runs (layouts are a static
+        property of the trace)."""
+        # .ndim works on np arrays AND tracers (this runs inside the
+        # jitted path too — np.asarray on a tracer would raise)
+        if flat_fields and resume_state["fields"][0].ndim == 3:
+            resume_state = dict(resume_state)
+            resume_state["fields"] = tuple(
+                _pl_to_flat(f) for f in resume_state["fields"]
+            )
+            for grp in ("psi_e", "psi_h"):
+                if resume_state.get(grp):
+                    resume_state[grp] = {
+                        k: _pl_to_flat(v)
+                        for k, v in resume_state[grp].items()
+                    }
+        return resume_state
+
+    def _assemble_output(carry, n_nf_freqs):
+        """Output dict + canonical-layout resumable state (fields/ψ in
+        the padded 3D layout regardless of run path, so a checkpoint
+        written on the Pallas path resumes cleanly on the XLA path and
+        vice versa; the cadence tag lets a resume under a different
+        probe decimation rescale the DFT sums)."""
+        out_fields = carry["fields"]
+        if flat_fields:
+            out_fields = tuple(_pl_from_flat(f) for f in out_fields)
+        state_keys = ("psi_e", "psi_h", "uf", "if_", "nf_e",
+                      "nf_h", "n", "e_max", "e_ratio")
+        state = {k: carry[k] for k in state_keys}
+        state["decim"] = np.int32(decim)
+        if flat_fields:
+            for grp in ("psi_e", "psi_h"):
+                if carry[grp]:
+                    state[grp] = {
+                        k: _pl_from_flat(v) for k, v in carry[grp].items()
+                    }
+        state["fields"] = out_fields
+
+        def split_faces(acc):
+            return [
+                acc[:, :, off : off + 2 * nu * nv].reshape(
+                    2, n_nf_freqs, 2, nu, nv
+                )
+                for (off, nu, nv) in face_layout
+            ]
+
+        return dict(
+            uf=carry["uf"],
+            if_=carry["if_"],
+            nf_e=split_faces(carry["nf_e"]),
+            nf_h=split_faces(carry["nf_h"]),
+            steps=carry["n"],
+            e_ratio=carry["e_ratio"],
+            fields=out_fields,
+            state=state,
+        )
+
     def run(coeffs, waveform, w_port, w_nf, resume_state=None):
         n_port_freqs = w_port.shape[0]
         n_nf_freqs = w_nf.shape[0]
@@ -1686,106 +1786,19 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None,
                     0, n_sub, sub_body, (carry, bufs)
                 )
 
-            # --- chunked DFT: phases (Nf, n_sub) @ buffers on the MXU -----
-            # Sample j sits after step n0 + (j+1)·D: E-state at that time,
-            # H-state half a step earlier.
-            j_idx = jnp.arange(n_sub, dtype=jnp.float32)
-            t_e = (n0.astype(jnp.float32) + (j_idx + 1.0) * decim) * np.float32(dt)
-            t_h = t_e - np.float32(0.5 * dt)
-
-            def dft_mats(w, t):
-                ang = w[:, None] * t[None, :]  # (Nf, K)
-                return jnp.cos(ang), jnp.sin(ang)
-
-            ce_p, se_p = dft_mats(w_port, t_e)
-            ch_p, sh_p = dft_mats(w_port, t_h)
-            uf = carry["uf"] + jnp.stack(
-                [ce_p @ bufs["v"], -(se_p @ bufs["v"])]
-            ).transpose(0, 2, 1)
-            if_ = carry["if_"] + jnp.stack(
-                [ch_p @ bufs["i"], -(sh_p @ bufs["i"])]
-            ).transpose(0, 2, 1)
-
-            ce_n, se_n = dft_mats(w_nf, t_e)
-            ch_n, sh_n = dft_mats(w_nf, t_h)
-            nf_e = carry["nf_e"] + jnp.stack(
-                [ce_n @ bufs["fe"], -(se_n @ bufs["fe"])]
-            )
-            nf_h = carry["nf_h"] + jnp.stack(
-                [ch_n @ bufs["fh"], -(sh_n @ bufs["fh"])]
-            )
-            carry = dict(carry, uf=uf, if_=if_, nf_e=nf_e, nf_h=nf_h)
-
-            # --- energy-decay termination check -------------------------
-            E = carry["fields"][:3]
-            energy = sum(jnp.sum(e * e) for e in E)
-            e_max = jnp.maximum(carry["e_max"], energy)
-            ratio = jnp.where(e_max > 0, energy / e_max, jnp.float32(1.0))
-            done = (ratio < np.float32(cfg.end_criteria)) & (
-                carry["n"] > np.int32(n_src)
-            )
-            carry = dict(carry, e_max=e_max, e_ratio=ratio, done=done)
-            return carry
+            return _flush_and_check(carry, bufs, n0, w_port, w_nf)
 
         def cond(carry):
             return (~carry["done"]) & (carry["n"] < np.int32(cfg.n_steps_max))
 
         carry = init_carry(coeffs, n_nf_freqs, n_port_freqs)
         if resume_state is not None:
-            resume_state = _rescale_resume_dfts(resume_state, decim)
-            # Checkpoints store fields/ψ in the canonical 3D padded layout;
-            # convert to the kernel's flat layout when resuming on the
-            # Pallas path (layouts are a static property of the trace).
-            if flat_fields and resume_state["fields"][0].ndim == 3:
-                resume_state["fields"] = tuple(
-                    _pl_to_flat(f) for f in resume_state["fields"]
-                )
-                for grp in ("psi_e", "psi_h"):
-                    if resume_state.get(grp):
-                        resume_state[grp] = {
-                            k: _pl_to_flat(v)
-                            for k, v in resume_state[grp].items()
-                        }
+            resume_state = _lift_resume_layout(
+                _rescale_resume_dfts(resume_state, decim))
             carry = dict(carry, **resume_state, done=jnp.bool_(False))
         carry = jax.lax.while_loop(cond, chunk_body, carry)
 
-        def split_faces(acc):
-            return [
-                acc[:, :, off : off + 2 * nu * nv].reshape(
-                    2, n_nf_freqs, 2, nu, nv
-                )
-                for (off, nu, nv) in face_layout
-            ]
-
-        state_keys = ("psi_e", "psi_h", "uf", "if_", "nf_e",
-                      "nf_h", "n", "e_max", "e_ratio")
-        out_fields = carry["fields"]
-        if flat_fields:
-            out_fields = tuple(_pl_from_flat(f) for f in out_fields)
-        # state fields/ψ use the canonical 3D layout regardless of the run
-        # path, so a checkpoint written on the Pallas path resumes cleanly
-        # on the XLA path (and vice versa, on any process/backend); the
-        # cadence tag lets a resume under a different probe decimation
-        # rescale the DFT sums (see _rescale_resume_dfts)
-        state = {k: carry[k] for k in state_keys}
-        state["decim"] = np.int32(decim)
-        if flat_fields:
-            for grp in ("psi_e", "psi_h"):
-                if carry[grp]:
-                    state[grp] = {
-                        k: _pl_from_flat(v) for k, v in carry[grp].items()
-                    }
-        state["fields"] = out_fields
-        return dict(
-            uf=carry["uf"],
-            if_=carry["if_"],
-            nf_e=split_faces(carry["nf_e"]),
-            nf_h=split_faces(carry["nf_h"]),
-            steps=carry["n"],
-            e_ratio=carry["e_ratio"],
-            fields=out_fields,
-            state=state,
-        )
+        return _assemble_output(carry, n_nf_freqs)
 
     # ------------------------------------------------------------------
     # host-driven chunk pipeline (XLA / stream modes)
@@ -1888,40 +1901,8 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None,
                 0, n_sub, sub_body, (carry, bufs0)
             )
 
-        n0 = carry["n"] - np.int32(chunk)
-        j_idx = jnp.arange(n_sub, dtype=jnp.float32)
-        t_e = (n0.astype(jnp.float32) + (j_idx + 1.0) * decim) * np.float32(dt)
-        t_h = t_e - np.float32(0.5 * dt)
-
-        def dft_mats(w, t):
-            ang = w[:, None] * t[None, :]
-            return jnp.cos(ang), jnp.sin(ang)
-
-        ce_p, se_p = dft_mats(w_port, t_e)
-        ch_p, sh_p = dft_mats(w_port, t_h)
-        uf = carry["uf"] + jnp.stack(
-            [ce_p @ bufs["v"], -(se_p @ bufs["v"])]
-        ).transpose(0, 2, 1)
-        if_ = carry["if_"] + jnp.stack(
-            [ch_p @ bufs["i"], -(sh_p @ bufs["i"])]
-        ).transpose(0, 2, 1)
-        ce_n, se_n = dft_mats(w_nf, t_e)
-        ch_n, sh_n = dft_mats(w_nf, t_h)
-        nf_e = carry["nf_e"] + jnp.stack(
-            [ce_n @ bufs["fe"], -(se_n @ bufs["fe"])]
-        )
-        nf_h = carry["nf_h"] + jnp.stack(
-            [ch_n @ bufs["fh"], -(sh_n @ bufs["fh"])]
-        )
-        E = carry["fields"][:3]
-        energy = sum(jnp.sum(e * e) for e in E)
-        e_max = jnp.maximum(carry["e_max"], energy)
-        ratio = jnp.where(e_max > 0, energy / e_max, jnp.float32(1.0))
-        done = (ratio < np.float32(cfg.end_criteria)) & (
-            carry["n"] > np.int32(n_src)
-        )
-        return dict(carry, uf=uf, if_=if_, nf_e=nf_e, nf_h=nf_h,
-                    e_max=e_max, e_ratio=ratio, done=done)
+        return _flush_and_check(
+            carry, bufs, carry["n"] - np.int32(chunk), w_port, w_nf)
 
     # superchunk size: amortize the ~0.3 s per-dispatch cost of the
     # tunneled runtime over many chunks. The chunk loop is a lax.fori
@@ -1972,18 +1953,9 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None,
         carry = init_carry(coeffs, n_nf_freqs, n_port_freqs)
         n_cur = 0
         if resume_state is not None:
-            resume_state = _rescale_resume_dfts(resume_state, decim)
+            resume_state = _lift_resume_layout(
+                _rescale_resume_dfts(resume_state, decim))
             n_cur = int(np.asarray(resume_state["n"]))
-            if flat_fields and np.asarray(resume_state["fields"][0]).ndim == 3:
-                resume_state["fields"] = tuple(
-                    _pl_to_flat(f) for f in resume_state["fields"]
-                )
-                for grp in ("psi_e", "psi_h"):
-                    if resume_state.get(grp):
-                        resume_state[grp] = {
-                            k: _pl_to_flat(v)
-                            for k, v in resume_state[grp].items()
-                        }
             carry = dict(carry, **resume_state, done=jnp.bool_(False))
             carry["n"] = jnp.int32(n_cur)
         # dispatch ceil(remaining/K) superchunks of a single compiled
@@ -2022,40 +1994,7 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None,
                     aborted = True
                     break
 
-        out_fields = carry["fields"]
-        if flat_fields:
-            out_fields = tuple(_pl_from_flat(f) for f in out_fields)
-        state_keys = ("psi_e", "psi_h", "uf", "if_", "nf_e",
-                      "nf_h", "n", "e_max", "e_ratio")
-        state = {k: carry[k] for k in state_keys}
-        state["decim"] = np.int32(decim)
-        if flat_fields:
-            for grp in ("psi_e", "psi_h"):
-                if carry[grp]:
-                    state[grp] = {
-                        k: _pl_from_flat(v) for k, v in carry[grp].items()
-                    }
-        state["fields"] = out_fields
-
-        def split_faces(acc):
-            return [
-                acc[:, :, off : off + 2 * nu * nv].reshape(
-                    2, n_nf_freqs, 2, nu, nv
-                )
-                for (off, nu, nv) in face_layout
-            ]
-
-        return dict(
-            uf=carry["uf"],
-            if_=carry["if_"],
-            nf_e=split_faces(carry["nf_e"]),
-            nf_h=split_faces(carry["nf_h"]),
-            steps=carry["n"],
-            e_ratio=carry["e_ratio"],
-            fields=out_fields,
-            state=state,
-            aborted=aborted,
-        )
+        return dict(_assemble_output(carry, n_nf_freqs), aborted=aborted)
 
     run.host_run = host_run
     return run
