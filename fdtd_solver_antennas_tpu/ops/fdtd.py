@@ -48,12 +48,17 @@ _AXIS_OF = {"x": 0, "y": 1, "z": 2}
 _STEP_UNROLL = 8
 
 
-def nf_to_complex(stacked) -> np.ndarray:
-    """Convert a stacked (re, im)-leading float array to complex on host."""
+def nf_to_complex(stacked, axis: int = 0) -> np.ndarray:
+    """Convert a stacked (re, im) float array to complex on host.
+
+    ``axis`` is the position of the 2-wide re/im axis (0 for the engine's
+    accumulators; 1 for vmapped sweep outputs whose batch axis leads).
+    Complex input passes through. The single definition keeps every
+    consumer in sync with the engine's stacked layout."""
     a = np.asarray(stacked)
     if np.iscomplexobj(a):
         return a
-    return a[0] + 1j * a[1]
+    return np.take(a, 0, axis) + 1j * np.take(a, 1, axis)
 
 
 # ---------------------------------------------------------------------------

@@ -19,12 +19,21 @@ from typing import Dict
 import numpy as np
 
 
+def _npz_path(path) -> Path:
+    """np.savez_compressed silently appends '.npz' to suffix-less paths;
+    normalize here so save/load round-trip on the SAME string."""
+    path = Path(path)
+    return path if path.suffix == ".npz" else path.with_suffix(
+        path.suffix + ".npz")
+
+
 def save_state(path, out_or_state: Dict) -> None:
     """Persist a run's resumable state to ``path`` (.npz).
 
     Accepts either a full ``sim.run()`` output dict (uses its ``state``
     entry) or the state pytree itself.
     """
+    path = _npz_path(path)
     state = out_or_state.get("state", out_or_state)
     flat: Dict[str, np.ndarray] = {}
     for i, f in enumerate(state["fields"]):
@@ -42,10 +51,11 @@ def save_state(path, out_or_state: Dict) -> None:
 def load_state(path) -> Dict:
     """Load a state saved by :func:`save_state` into the pytree layout
     ``sim.run(resume_state=...)`` expects."""
-    with np.load(Path(path)) as z:
+    with np.load(_npz_path(path)) as z:
         data = {k: z[k] for k in z.files}
+    n_fields = sum(1 for k in data if k.startswith("field_"))
     fields = tuple(
-        data[f"field_{i}"] for i in range(6)
+        data[f"field_{i}"] for i in range(n_fields)
     )
     psi_e = {
         k.split("_", 2)[2]: v for k, v in data.items() if k.startswith("psi_e_")

@@ -126,10 +126,9 @@ def _face_geometry(faces: Sequence):
 
 def _face_complex(a) -> np.ndarray:
     """Accept complex accumulators or the engine's stacked (re, im) floats."""
-    a = np.asarray(a)
-    if not np.iscomplexobj(a):
-        a = a[0] + 1j * a[1]
-    return a
+    from ..ops.fdtd import nf_to_complex
+
+    return nf_to_complex(a)
 
 
 def select_face_freqs(accs: Sequence, fi) -> List[np.ndarray]:
@@ -141,8 +140,8 @@ def select_face_freqs(accs: Sequence, fi) -> List[np.ndarray]:
     frequencies — the transform requires accumulator rows and ``freq_hz``
     to correspond 1:1.
     """
-    if isinstance(fi, int):
-        fi = slice(fi, fi + 1)
+    if isinstance(fi, (int, np.integer)):  # np.argmin returns np.int64
+        fi = slice(int(fi), int(fi) + 1)
     out = []
     for a in accs:
         a = np.asarray(a)
@@ -232,7 +231,14 @@ def _assemble_far_field(N, L, k_rows, rhat, trig, centers, P_rad, nth, nph):
     E_norm = np.sqrt(np.abs(E_theta) ** 2 + np.abs(E_phi) ** 2)
     U = E_norm**2 / (2.0 * ETA0)  # r = 1 m
     with np.errstate(divide="ignore", invalid="ignore"):
-        directivity = 4.0 * np.pi * U / np.maximum(P_rad[:, None, None], 1e-30)
+        # a non-positive radiated power means the row holds numerical
+        # noise (e.g. a frequency far outside the excitation band) —
+        # mark it NaN instead of inventing astronomical directivity
+        directivity = np.where(
+            P_rad[:, None, None] > 0.0,
+            4.0 * np.pi * U / np.maximum(P_rad[:, None, None], 1e-300),
+            np.nan,
+        )
     Dmax = directivity.reshape(K, -1).max(axis=1)
     return E_theta, E_phi, E_norm, directivity, Dmax
 
@@ -308,18 +314,19 @@ def nf2ff_transform_batch(
     axis of :func:`_radiation_integrals`.
     """
 
-    def _batched_complex(a):
-        # engine layout under vmap: (B, 2(re/im), nf, 2(u/v), nu, nv)
-        a = np.asarray(a)
-        if not np.iscomplexobj(a):
-            a = a[:, 0] + 1j * a[:, 1]
-        return a
+    from ..ops.fdtd import nf_to_complex
 
-    nf_e_batched = [_batched_complex(a) for a in nf_e_batched]
-    nf_h_batched = [_batched_complex(a) for a in nf_h_batched]
+    # engine layout under vmap: (B, 2(re/im), nf, 2(u/v), nu, nv)
+    nf_e_batched = [nf_to_complex(a, axis=1) for a in nf_e_batched]
+    nf_h_batched = [nf_to_complex(a, axis=1) for a in nf_h_batched]
     B, nf = nf_e_batched[0].shape[:2]
     freq_hz = np.atleast_1d(np.asarray(freq_hz, float))
-    assert len(freq_hz) == nf, "freq axis mismatch"
+    if len(freq_hz) != nf:
+        raise ValueError(
+            f"freq_hz has {len(freq_hz)} entries but the accumulators "
+            f"hold {nf} frequency rows; slice them to match "
+            "(see select_face_freqs)"
+        )
     theta, phi, rhat, trig = _angles(theta_deg, phi_deg)
     nth, nph = len(theta), len(phi)
     if centers_m is None:

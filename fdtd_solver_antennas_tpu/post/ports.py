@@ -51,7 +51,11 @@ def port_spectra(
     uf_inc = 0.5 * (uf + z_ref * if_)
     uf_ref = uf - uf_inc
     with np.errstate(divide="ignore", invalid="ignore"):
-        s11 = np.where(np.abs(uf_inc) > 0, uf_ref / uf_inc, 0.0)
+        # bins with NO incident energy carry no S11 information: NaN
+        # (0.0 would read as a perfect −∞ dB match and find_resonance /
+        # sweep minima would confidently report fake resonances there;
+        # NaN fails every < comparison, so dead ports surface loudly)
+        s11 = np.where(np.abs(uf_inc) > 0, uf_ref / uf_inc, np.nan)
         z_in = np.where(np.abs(if_) > 0, uf / if_, np.inf)
     return PortSpectra(
         freq_hz=freq_hz,
