@@ -20,6 +20,26 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 
+def _rigid_to_local(pts, rotation, rotation_origin, translation):
+    """World → local for the shared rigid transform (translation, then
+    rotation about ``rotation_origin``); one definition keeps Box and
+    ConvexPolyhedron (and the native C++ mirror's contract) in sync."""
+    pts = np.asarray(pts, float) - np.asarray(translation, float)
+    if rotation is not None:
+        o = np.asarray(rotation_origin, float)
+        pts = (pts - o) @ np.asarray(rotation, float) + o
+    return pts
+
+
+def _rigid_to_world(pts, rotation, rotation_origin, translation):
+    """Local → world: inverse of :func:`_rigid_to_local`."""
+    pts = np.asarray(pts, float)
+    if rotation is not None:
+        o = np.asarray(rotation_origin, float)
+        pts = (pts - o) @ np.asarray(rotation, float).T + o
+    return pts + np.asarray(translation, float)
+
+
 @dataclass(frozen=True)
 class Material:
     """Lossy dielectric: relative permittivity + conductivity (S/m)."""
@@ -93,19 +113,13 @@ class Box:
 
     def to_world(self, pts: np.ndarray) -> np.ndarray:
         """Local (mm) points → world (mm). pts: (..., 3)."""
-        pts = np.asarray(pts, float)
-        if self.rotation is not None:
-            o = np.asarray(self.rotation_origin, float)
-            pts = (pts - o) @ np.asarray(self.rotation, float).T + o
-        return pts + np.asarray(self.translation, float)
+        return _rigid_to_world(
+            pts, self.rotation, self.rotation_origin, self.translation)
 
     def to_local(self, pts: np.ndarray) -> np.ndarray:
         """World (mm) points → local box frame (mm)."""
-        pts = np.asarray(pts, float) - np.asarray(self.translation, float)
-        if self.rotation is not None:
-            o = np.asarray(self.rotation_origin, float)
-            pts = (pts - o) @ np.asarray(self.rotation, float) + o
-        return pts
+        return _rigid_to_local(
+            pts, self.rotation, self.rotation_origin, self.translation)
 
     def contains(self, pts: np.ndarray, tol: float = 1e-9) -> np.ndarray:
         """Boolean mask: world points inside (or on) the transformed box."""
@@ -134,11 +148,8 @@ class ConvexPolyhedron:
     bounds_hi: Tuple[float, float, float] = (0.0, 0.0, 0.0)
 
     def to_local(self, pts: np.ndarray) -> np.ndarray:
-        pts = np.asarray(pts, float) - np.asarray(self.translation, float)
-        if self.rotation is not None:
-            o = np.asarray(self.rotation_origin, float)
-            pts = (pts - o) @ np.asarray(self.rotation, float) + o
-        return pts
+        return _rigid_to_local(
+            pts, self.rotation, self.rotation_origin, self.translation)
 
     def contains(self, pts: np.ndarray, tol: float = 1e-9) -> np.ndarray:
         local = self.to_local(pts)
@@ -152,10 +163,8 @@ class ConvexPolyhedron:
             [[x, y, z] for x in (lo[0], hi[0]) for y in (lo[1], hi[1])
              for z in (lo[2], hi[2])]
         )
-        if self.rotation is not None:
-            o = np.asarray(self.rotation_origin, float)
-            corners = (corners - o) @ np.asarray(self.rotation, float).T + o
-        return corners + np.asarray(self.translation, float)
+        return _rigid_to_world(
+            corners, self.rotation, self.rotation_origin, self.translation)
 
 
 def make_plate(corners: np.ndarray, thickness: float, prop, priority: int = 10,

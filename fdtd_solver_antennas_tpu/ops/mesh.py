@@ -193,7 +193,9 @@ class MeshBuilder:
         for ai, axis in enumerate(_AXES):
             if axis not in dirs:
                 continue
-            a, b = float(lo[ai]), float(hi[ai])
+            # normalize: unordered bounds would flip the 1/3-inside /
+            # 2/3-outside rule to the wrong sides of each edge
+            a, b = sorted((float(lo[ai]), float(hi[ai])))
             if metal_edge_res is None or abs(b - a) < 1e-12:
                 self.add_line(axis, [a] if abs(b - a) < 1e-12 else [a, b])
                 continue

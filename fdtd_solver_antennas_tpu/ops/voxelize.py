@@ -89,6 +89,26 @@ def _pack_box(box: Box) -> np.ndarray:
     return rec
 
 
+def _grid_fingerprint(grid: YeeGrid):
+    """Cheap content key for the coordinate caches: in-place mutation of a
+    grid's line arrays (or swapping them) must invalidate cached points —
+    identity-keyed caches silently voxelized against stale geometry."""
+    return tuple(
+        (len(v), float(v[0]), float(v[-1]), float(np.sum(v)))
+        for v in (grid.x, grid.y, grid.z)
+    )
+
+
+def _grid_cache(grid: YeeGrid) -> dict:
+    """Per-grid memo dict, invalidated when the line content changes."""
+    key = _grid_fingerprint(grid)
+    entry = getattr(grid, "_vox_cache", None)
+    if entry is None or entry[0] != key:
+        entry = (key, {})
+        object.__setattr__(grid, "_vox_cache", entry)
+    return entry[1]
+
+
 def _edge_midpoints(grid: YeeGrid, component: str) -> np.ndarray:
     """World-frame midpoints (mm) of all E-edge slots, shape (Px,Py,Pz,3).
 
@@ -96,13 +116,11 @@ def _edge_midpoints(grid: YeeGrid, component: str) -> np.ndarray:
     valid coordinate; they never become PEC=True incorrectly because the
     coefficient builder zeroes them via validity masks anyway.
 
-    Cached per grid object: sweeps voxelize many variants onto one shared
-    grid, and rebuilding these meshgrids dominated sweep prepare time.
+    Cached per grid *content*: sweeps voxelize many variants onto one
+    shared grid, and rebuilding these point arrays dominated sweep
+    prepare time.
     """
-    cache = getattr(grid, "_edge_midpoint_cache", None)
-    if cache is None:
-        cache = {}
-        object.__setattr__(grid, "_edge_midpoint_cache", cache)
+    cache = _grid_cache(grid)
     if component in cache:
         return cache[component]
     xs, ys, zs = _edge_axes(grid, component)
@@ -146,6 +164,13 @@ def _poly_window(poly, xs, ys, zs, pad: float = 1e-9):
     flare plates cover a few percent of a big scene, so windowing the
     test to the AABB is a 10–50× prepare speedup on mixed scenes.
     """
+    if isinstance(poly, ConvexPolyhedron) and np.all(
+        np.asarray(poly.bounds_hi, float) == np.asarray(poly.bounds_lo, float)
+    ):
+        # bounds_lo/bounds_hi were never set (the dataclass default): a
+        # degenerate AABB would silently drop the whole solid from the
+        # raster — fall back to the full grid (correct, just unwindowed)
+        return (slice(0, len(xs)), slice(0, len(ys)), slice(0, len(zs)))
     c = poly.world_corners()
     lo, hi = c.min(axis=0) - pad, c.max(axis=0) + pad
     sls = []
@@ -180,12 +205,13 @@ def voxelize(scene: Scene, grid: YeeGrid, background_eps: float = 1.0) -> Voxeli
 
     lib = get_voxelize_lib()
     Px, Py, Pz = grid.shape
-    cell_pts = getattr(grid, "_cell_pts_cache", None)
+    cache = _grid_cache(grid)
+    cell_pts = cache.get("cells")
     if cell_pts is None:
-        cx, cy, cz = grid.centers("x"), grid.centers("y"), grid.centers("z")
-        CX, CY, CZ = np.meshgrid(cx, cy, cz, indexing="ij")
-        cell_pts = np.stack([CX, CY, CZ], axis=-1)
-        object.__setattr__(grid, "_cell_pts_cache", cell_pts)
+        cell_pts = _axes_to_points(
+            grid.centers("x"), grid.centers("y"), grid.centers("z")
+        )
+        cache["cells"] = cell_pts
 
     eps = np.full((Px - 1, Py - 1, Pz - 1), background_eps, dtype=np.float64)
     sigma = np.zeros_like(eps)
@@ -196,6 +222,13 @@ def voxelize(scene: Scene, grid: YeeGrid, background_eps: float = 1.0) -> Voxeli
     mat_boxes = [b for _, b in ordered if isinstance(b.prop, Material)]
     pec_boxes = [b for _, b in ordered if isinstance(b.prop, PEC)]
     sheet_boxes = [b for _, b in ordered if isinstance(b.prop, ConductiveSheet)]
+    for b in sheet_boxes:
+        if isinstance(b, ConvexPolyhedron):
+            raise ValueError(
+                "ConductiveSheet on a ConvexPolyhedron is not supported "
+                "(the subcell thin-sheet model needs the box's degenerate "
+                "axis); use a Box — axis-aligned or rotated"
+            )
     # the native core understands boxes only; any polyhedron in the
     # material set forces the ordered NumPy painting path (priority
     # interleaving must be preserved)
@@ -246,9 +279,51 @@ def voxelize(scene: Scene, grid: YeeGrid, background_eps: float = 1.0) -> Voxeli
     pec = {}
     pec_plain = [b for b in pec_boxes if not isinstance(b, ConvexPolyhedron)]
     pec_polys = [b for b in pec_boxes if isinstance(b, ConvexPolyhedron)]
+    # CSXCAD resolves overlaps per point by priority across ALL property
+    # types: a higher-priority material (e.g. an air box carving an
+    # aperture) removes lower-priority metal. That only matters when some
+    # material outranks some PEC — the common case (metal on top) keeps
+    # the fast boolean path below.
+    carve = bool(pec_boxes) and bool(mat_boxes) and (
+        max(b.priority for b in mat_boxes)
+        > min(b.priority for b in pec_boxes)
+    )
     for comp in ("ex", "ey", "ez"):
         axes = _edge_axes(grid, comp)
         pts = _edge_midpoints(grid, comp)
+        if carve:
+            # per-edge priority resolution: paint in ascending priority
+            # (assignment == max), PEC wins ties (insertion convention)
+            NEG = np.iinfo(np.int32).min
+            pec_prio = np.full(pts.shape[:-1], NEG, np.int32)
+            mat_prio = np.full(pts.shape[:-1], NEG, np.int32)
+            for box in pec_boxes:
+                if isinstance(box, ConvexPolyhedron):
+                    sl = _poly_window(box, *axes)
+                    if sl is None:
+                        continue
+                    sub = _axes_to_points(
+                        axes[0][sl[0]], axes[1][sl[1]], axes[2][sl[2]])
+                    mm = box.contains(sub)
+                    pec_prio[sl][mm] = np.maximum(
+                        pec_prio[sl][mm], box.priority)
+                else:
+                    mm = _inflated_contains(box, pts)
+                    pec_prio[mm] = np.maximum(pec_prio[mm], box.priority)
+            for box in mat_boxes:
+                sl = _poly_window(box, *axes, pad=_SHEET_TOL_MM)
+                if sl is None:
+                    continue
+                sub = _axes_to_points(
+                    axes[0][sl[0]], axes[1][sl[1]], axes[2][sl[2]])
+                if isinstance(box, ConvexPolyhedron):
+                    mm = box.contains(sub)
+                else:
+                    mm = _inflated_contains(box, sub)
+                mat_prio[sl][mm] = np.maximum(
+                    mat_prio[sl][mm], box.priority)
+            pec[comp] = (pec_prio > NEG) & (pec_prio >= mat_prio)
+            continue
         if lib is not None and pec_plain:
             import ctypes
 
@@ -284,8 +359,14 @@ def voxelize(scene: Scene, grid: YeeGrid, background_eps: float = 1.0) -> Voxeli
         comp_axis = {"ex": 0, "ey": 1, "ez": 2}
         for comp in ("ex", "ey", "ez"):
             add = np.zeros((Px, Py, Pz), np.float64)
-            pts = _edge_midpoints(grid, comp)
-            for box in sheet_boxes:
+            claimed = np.zeros((Px, Py, Pz), bool)
+            axes = _edge_axes(grid, comp)
+            # highest priority first: an edge inside several overlapping
+            # sheets belongs to exactly ONE (CSXCAD semantics) — += for
+            # every cover would double-count conductance at seams
+            for box in sorted(
+                sheet_boxes, key=lambda b: b.priority, reverse=True
+            ):
                 ext = box.hi - box.lo
                 n_axis = int(np.argmin(ext))
                 if box.rotation is not None:
@@ -295,15 +376,28 @@ def voxelize(scene: Scene, grid: YeeGrid, background_eps: float = 1.0) -> Voxeli
                     n_axis = int(np.argmax(np.abs(n_world)))
                 if comp_axis[comp] == n_axis:
                     continue  # normal component carries no sheet current
-                m = _inflated_contains(box, pts)
+                # AABB window: sheets cover a sliver of big scenes, and
+                # this was the one full-grid paint path left after the
+                # windowing pass
+                sl = _poly_window(box, *axes, pad=_SHEET_TOL_MM)
+                if sl is None:
+                    continue
+                sub = _axes_to_points(
+                    axes[0][sl[0]], axes[1][sl[1]], axes[2][sl[2]])
+                m = _inflated_contains(box, sub) & ~claimed[sl]
                 if not m.any():
                     continue
                 # Δn at each edge: dual spacing along the normal axis,
                 # indexed by the edge's position on that axis
                 dn = dual[n_axis]
-                idx = np.indices((Px, Py, Pz))[n_axis]
-                idx = np.minimum(idx, len(dn) - 1)
-                add[m] += box.prop.sigma_s / dn[idx][m]
+                ni = np.arange(sl[n_axis].start, sl[n_axis].stop)
+                ni = np.minimum(ni, len(dn) - 1)
+                shape = [1, 1, 1]
+                shape[n_axis] = -1
+                dn_w = np.broadcast_to(
+                    dn[ni].reshape(shape), m.shape)
+                add[sl][m] += box.prop.sigma_s / dn_w[m]
+                claimed[sl][m] = True
             sheets[comp] = add if add.any() else None
 
     return VoxelizedScene(

@@ -163,3 +163,100 @@ def test_windowed_poly_off_grid_is_noop():
     m = np.zeros(tuple(len(a) for a in _edge_axes(grid, "ez")), bool)
     _poly_contains_windowed(far, *_edge_axes(grid, "ez"), out_or=m)
     assert not m.any()
+
+
+def test_poly_with_default_bounds_not_dropped():
+    """Regression: a ConvexPolyhedron constructed directly (bounds_lo/hi
+    left at the (0,0,0) dataclass default) must still be rasterized —
+    the AABB window falls back to the full grid instead of collapsing to
+    a point and silently dropping the solid."""
+    from fdtd_solver_antennas_tpu.models.scene import ConvexPolyhedron
+
+    grid = _grid()
+    # axis-aligned cube |x|,|y|,|z| <= 5 as half-spaces, no bounds given
+    planes = []
+    for ax in range(3):
+        for sgn in (1.0, -1.0):
+            n = np.zeros(3)
+            n[ax] = sgn
+            planes.append(np.concatenate([n, [5.0]]))
+    poly = ConvexPolyhedron(prop=PEC("cube"), planes=np.array(planes),
+                            priority=10)
+    scene = Scene()
+    scene.boxes.append(poly)
+    vox = voxelize(scene, grid)
+    assert vox.pec_ez.any(), "default-bounds polyhedron was dropped"
+
+
+def test_higher_priority_material_carves_pec():
+    """CSXCAD overlap semantics: a higher-priority material (air slot)
+    removes lower-priority metal; lower-priority material does not."""
+    grid = _grid()
+    scene = Scene()
+    scene.add_metal_box("gnd", [-8, -8, 0], [8, 8, 0], priority=10)
+    scene.add_material_box("slot", 1.0, 0.0, [-2, -2, -1], [2, 2, 1],
+                           priority=20)
+    vox = voxelize(scene, grid)
+    # the sheet still exists away from the slot
+    assert vox.pec_ex.any()
+    # but inside the slot footprint the metal is carved away
+    from fdtd_solver_antennas_tpu.ops.voxelize import (
+        _edge_midpoints,
+        _inflated_contains,
+    )
+    from fdtd_solver_antennas_tpu.models.scene import Box, Material
+
+    slot_box = Box(prop=Material("slot", 1.0, 0.0),
+                   start=(-2.0, -2.0, -1.0), stop=(2.0, 2.0, 1.0),
+                   priority=20)
+    inside = _inflated_contains(slot_box, _edge_midpoints(grid, "ex"))
+    assert not (vox.pec_ex & inside).any(), "slot not carved"
+
+    # control: a LOWER-priority material must NOT carve
+    scene2 = Scene()
+    scene2.add_metal_box("gnd", [-8, -8, 0], [8, 8, 0], priority=10)
+    scene2.add_material_box("sub", 1.0, 0.0, [-2, -2, -1], [2, 2, 1],
+                            priority=0)
+    vox2 = voxelize(scene2, grid)
+    assert (vox2.pec_ex & inside).any(), "low-priority material carved PEC"
+
+
+def test_overlapping_sheets_do_not_double_count():
+    """Two overlapping ConductiveSheet boxes: edges in the overlap belong
+    to exactly one sheet (highest priority), not the sum of both."""
+    from fdtd_solver_antennas_tpu.models.scene import ConductiveSheet
+
+    grid = _grid()
+    scene = Scene()
+    sig = 5.8e7 * 35e-6  # sigma_s of 35 um copper
+    scene.boxes.append(Box(prop=ConductiveSheet("a", sig),
+                           start=(-8.0, -8.0, 0.0),
+                           stop=(0.0, 8.0, 0.0), priority=10))
+    scene.boxes.append(Box(prop=ConductiveSheet("b", sig),
+                           start=(-2.0, -8.0, 0.0),
+                           stop=(8.0, 8.0, 0.0), priority=10))
+    vox = voxelize(scene, grid)
+    add = vox.sheet_sigma_ex
+    assert add is not None and add.max() > 0
+    # a single-sheet scene gives the per-edge ceiling; the overlap region
+    # must not exceed it
+    scene1 = Scene()
+    scene1.boxes.append(Box(prop=ConductiveSheet("a", sig),
+                            start=(-8.0, -8.0, 0.0),
+                            stop=(8.0, 8.0, 0.0), priority=10))
+    ref = voxelize(scene1, grid).sheet_sigma_ex
+    assert np.all(add <= ref.max() * (1 + 1e-12)), "overlap double-counted"
+
+
+def test_grid_mutation_invalidates_point_cache():
+    """Voxelizing, shifting the grid lines in place, and voxelizing again
+    must rasterize against the NEW coordinates (the caches are keyed on
+    line content, not object identity)."""
+    grid = _grid()
+    scene = Scene()
+    scene.add_metal_box("m", [-8, -8, 0], [8, 8, 0], priority=10)
+    v1 = voxelize(scene, grid)
+    assert v1.pec_ex.any()
+    grid.z += 100.0  # in-place shift: the sheet plane no longer exists
+    v2 = voxelize(scene, grid)
+    assert not v2.pec_ex.any(), "stale cached coordinates were reused"
