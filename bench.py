@@ -23,8 +23,12 @@ Prints one JSON line per metric (the driver records each):
    machinery (capped by halo redundancy at n_dev=1; see BASELINE.md).
 
 Each metric reports the best of three timed runs (a single run through the
-tunneled runtime shows ~10% wall-clock jitter — round 2's apparent 7%
-canonical regression was mostly this noise; see BASELINE.md).
+tunneled runtime shows ~10% wall-clock jitter). Round 2's 7% canonical
+regression had a real cause found in round 3: the stream-kernel prepass
+padded x to a block multiple even for chunk-kernel grids, so the chunk
+kernel stepped 56→64 planes (12.5% dead rows) every leapfrog step. Fixed
+(the prepass now skips chunk-eligible grids); the canonical number should
+recover at or above the round-1 level.
 
 The reference publishes no cell rate — BASELINE.md's north-star target is
 1 Gcell/s/chip, so ``vs_baseline`` is the ratio to 1.0 Gcell/s for every
