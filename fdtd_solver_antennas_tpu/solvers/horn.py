@@ -198,7 +198,11 @@ def run_prepared_horn(
             np.asarray(out["if_"][0]), sim.dft_dt, z_ref=50.0,
         )
         f_res, s11_db_res = find_resonance(spectra, frequency_hz)
-        fi = int(np.argmin(np.abs(sim.nf_freqs_hz - frequency_hz)))
+        # pattern/Dmax/P_rad at the frequency the result REPORTS (the
+        # resonance when one was found) — the patch solvers' contract;
+        # selecting by the raw target made the reported resonance and
+        # the returned pattern describe different frequencies
+        fi = int(np.argmin(np.abs(sim.nf_freqs_hz - f_res)))
         theta = np.asarray(prepared.theta)
         phi = np.asarray(prepared.phi)
         ff = nf2ff_transform(

@@ -156,6 +156,17 @@ def build_microstrip_scene(
             inward = 1.0 if feed_direction == FeedDirection.NEG_Y else -1.0
         exc = edge + inward * 3.0
         meas = edge + inward * min(10.0, fl / 2)
+        # the 3-probe deembedding needs the measurement stencil clear of
+        # the soft-source discontinuity: with a short feed line the meas
+        # plane lands on (or behind) the excitation plane and the probed
+        # dEt/dHt straddle the source — garbage Z_L/β with no error
+        if inward * (meas - exc) < 3.0:
+            raise ValueError(
+                f"feed_line_length_mm={fl:g} is too short for the MSL "
+                "3-probe deembedding (measurement plane must sit ≥3 mm "
+                "beyond the excitation plane); lengthen the feed line "
+                "or use port_mode='lumped'"
+            )
         scene.add_msl_port(MSLPortSpec(
             port_id=1, prop_axis=prop, strip_center_mm=strip_center,
             strip_width_mm=feed_width, height_mm=h,
@@ -228,7 +239,13 @@ def prepare_microstrip_patch(
         )
         sim = build_simulation(
             scene, grid, f0=f0, fc=fc, cfg=cfg,
-            port_freqs_hz=np.linspace(max(1e9, f0 * 0.7), f0 * 1.3, 201),
+            # deviation from the reference's max(1e9, 0.7 f0) floor
+            # (solver_fdtd_openems_microstrip.py:408): for sub-GHz
+            # antennas that floor yields a DESCENDING sweep that
+            # excludes the design frequency — clamp so the sweep is
+            # always ascending and contains f0
+            port_freqs_hz=np.linspace(
+                min(max(1e8, 0.7 * f0), 0.9 * f0), f0 * 1.3, 201),
         )
 
         step = max(0.5, float(theta_step_deg))

@@ -66,7 +66,13 @@ def prepare_microstrip_patch_3d(
         )
         sim = build_simulation(
             scene, grid, f0=f0, fc=fc, cfg=cfg,
-            port_freqs_hz=np.linspace(max(1e9, f0 * 0.7), f0 * 1.3, 201),
+            # deviation from the reference's max(1e9, 0.7 f0) floor
+            # (solver_fdtd_openems_microstrip.py:408): for sub-GHz
+            # antennas that floor yields a DESCENDING sweep that
+            # excludes the design frequency — clamp so the sweep is
+            # always ascending and contains f0
+            port_freqs_hz=np.linspace(
+                min(max(1e8, 0.7 * f0), 0.9 * f0), f0 * 1.3, 201),
         )
 
         t_step = max(0.5, float(theta_step_deg))

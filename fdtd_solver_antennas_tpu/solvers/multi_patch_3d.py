@@ -128,6 +128,19 @@ def _instance_local_geometry(inst: PatchLike, feed_line_length_mm: float):
     return boxes, port_line, dims
 
 
+def _densify_rotated(mb, hull_box, mesh_res, axis, lo, hi):
+    """Mesh densification over a rotated instance's world AABB at res/2
+    plus the port's own lines — the reference's workaround for rotated
+    thin metals (multi_3d.py:306-324), shared by the patch and horn
+    loops so the rule cannot drift between them."""
+    corners = hull_box.world_corners()
+    lo_w, hi_w = corners.min(axis=0), corners.max(axis=0)
+    for a, nm in enumerate("xyz"):
+        n_lines = max(3, int(np.ceil((hi_w[a] - lo_w[a]) / (mesh_res / 2))))
+        mb.add_line(nm, np.linspace(lo_w[a], hi_w[a], n_lines + 1))
+    mb.add_line("xyz"[axis], [lo[axis], hi[axis], 0.5 * (lo + hi)[axis]])
+
+
 def prepare_multi_patch_3d(
     patches: Sequence[PatchLike],
     *,
@@ -163,11 +176,22 @@ def prepare_multi_patch_3d(
             if verbose:
                 print(msg)
 
-        f0 = max(
+        freqs = [
             float(inst.params.frequency_hz)
             for inst in list(patches) + list(horns)
-        )
-        fc = f0 / 2.0
+        ]
+        f_lo, f_hi = min(freqs), max(freqs)
+        if f_lo == f_hi:
+            # single design frequency: reference-faithful band (f0, f0/2)
+            f0 = f_hi
+            fc = f0 / 2.0
+        else:
+            # mixed-frequency scene: the excitation band and analysis
+            # sweep must cover EVERY instance — keying everything off
+            # max(f) left lower-frequency elements unexcited and their
+            # resonances outside the S11 sweep, silently
+            f0 = 0.5 * (0.7 * f_lo + 1.3 * f_hi)
+            fc = max(0.5 * (1.3 * f_hi - 0.7 * f_lo), f0 / 2.0)
         q = max(1, min(10, int(mesh_quality)))
         ppw = PPW_MAP_10.get(q, 20.0)
         mesh_res = C0 / (f0 + fc) / 1e-3 / ppw
@@ -212,8 +236,15 @@ def prepare_multi_patch_3d(
             lo, hi = mid.copy(), mid.copy()
             lo[axis] = mid[axis] - span / 2
             hi[axis] = mid[axis] + span / 2
+            # polarity: the engine normalizes start/stop (unsigned axis),
+            # so the rotated ground→patch direction must ride in the
+            # excitation sign — dropping it would feed a 180°-flipped
+            # element anti-phase ("excited in phase" would be violated
+            # invisibly: per-port S11 cancels the sign, but the array
+            # factor inverts)
+            pol = float(np.sign((p1 - p0)[axis]) or 1.0)
             scene.add_lumped_port(
-                idx + 1, 50.0, lo, hi, direction="xyz"[axis], excite=1.0
+                idx + 1, 50.0, lo, hi, direction="xyz"[axis], excite=pol
             )
             _log(
                 f"port {idx + 1}: axis {'xyz'[axis]}, span {span:.3f} mm, "
@@ -240,18 +271,11 @@ def prepare_multi_patch_3d(
                 mb.add_line("x", [lo[0]])
                 mb.add_line("y", [lo[1]])
             else:
-                # densify over the rotated instance's world bounding box
-                # (reference workaround for rotated thin metals, :306-324)
                 sub_box = Box(
                     None, boxes["substrate"][0], boxes["substrate"][1],
                     rotation=R, translation=tuple(T),
                 )
-                lo_w = sub_box.world_corners().min(axis=0)
-                hi_w = sub_box.world_corners().max(axis=0)
-                for a, nm in enumerate("xyz"):
-                    n_lines = max(3, int(np.ceil((hi_w[a] - lo_w[a]) / (mesh_res / 2))))
-                    mb.add_line(nm, np.linspace(lo_w[a], hi_w[a], n_lines + 1))
-                mb.add_line("xyz"[axis], [lo[axis], hi[axis], 0.5 * (lo + hi)[axis]])
+                _densify_rotated(mb, sub_box, mesh_res, axis, lo, hi)
 
         from .horn import horn_local_geometry
 
@@ -287,8 +311,9 @@ def prepare_multi_patch_3d(
             lo[axis] = mid[axis] - span / 2
             hi[axis] = mid[axis] + span / 2
             port_id = len(patches) + hidx + 1
+            pol = float(np.sign((p1 - p0)[axis]) or 1.0)
             scene.add_lumped_port(
-                port_id, 50.0, lo, hi, direction="xyz"[axis], excite=1.0
+                port_id, 50.0, lo, hi, direction="xyz"[axis], excite=pol
             )
             _log(
                 f"port {port_id} (horn): axis {'xyz'[axis]}, "
@@ -301,7 +326,6 @@ def prepare_multi_patch_3d(
                     off = T["xyz".index(nm)]
                     mb.add_line(nm, [v + off for v in vals])
             else:
-                # densify over the rotated horn's world bounding box
                 ext = max(geo["A"], geo["B"]) / 2
                 hull = Box(
                     None,
@@ -309,16 +333,7 @@ def prepare_multi_patch_3d(
                     [ext, ext, geo["L"]],
                     rotation=R, translation=tuple(T),
                 )
-                lo_w = hull.world_corners().min(axis=0)
-                hi_w = hull.world_corners().max(axis=0)
-                for a, nm in enumerate("xyz"):
-                    n_lines = max(
-                        3, int(np.ceil((hi_w[a] - lo_w[a]) / (mesh_res / 2)))
-                    )
-                    mb.add_line(nm, np.linspace(lo_w[a], hi_w[a], n_lines + 1))
-                mb.add_line(
-                    "xyz"[axis], [lo[axis], hi[axis], 0.5 * (lo + hi)[axis]]
-                )
+                _densify_rotated(mb, hull, mesh_res, axis, lo, hi)
 
         # simulation box
         lo_b, hi_b = scene.world_bounds()
@@ -341,6 +356,12 @@ def prepare_multi_patch_3d(
         exc_steps = source_active_steps(f0, fc, dt)
         nr_ts = max(nr_ts, min(220_000, int(2.2 * exc_steps)))
         ec_db = max(-80.0, min(-10.0, float(end_criteria_db)))
+        # amplitude convention 10^(dB/20), reference-faithful
+        # (multi_3d.py:275-282) — note the engine compares this against
+        # an ENERGY ratio, exactly as openEMS's EndCriteria does with
+        # the same 10^(dB/20) input: runs stop at dB/2 of field-amplitude
+        # decay. Kept as the behavioral contract; tighten end_criteria_db
+        # if a deeper ring-down is required.
         ec_lin = 10.0 ** (ec_db / 20.0)
         _log(
             f"Mesh q={q} → ppw={ppw:g}, res={mesh_res:.3f} mm, grid {grid.shape} "
@@ -352,7 +373,11 @@ def prepare_multi_patch_3d(
         )
         sim = build_simulation(
             scene, grid, f0=f0, fc=fc, cfg=cfg,
-            port_freqs_hz=np.linspace(max(1e9, f0 * 0.7), f0 * 1.3, 201),
+            # ascending by construction and covering every instance; the
+            # old max(1e9, ·) floor produced a DESCENDING sweep excluding
+            # the design frequency for sub-GHz antennas
+            port_freqs_hz=np.linspace(
+                max(1e8, 0.7 * f_lo), 1.3 * f_hi, 201),
         )
 
         t_step = max(0.5, float(theta_step_deg))
@@ -411,7 +436,10 @@ def run_prepared_multi_patch_3d(
                 False,
                 f"Run aborted by user at step {steps}/"
                 f"{sim.cfg.n_steps_max} ({wall:.1f}s elapsed)",
-                diagnostics={"aborted": True, "steps_done": steps},
+                diagnostics={"aborted": True, "steps_done": steps,
+                             # partial DFT/field state: a valid resume
+                             # checkpoint (sim.run(resume_state=...))
+                             "resume_state": out.get("state")},
             )
 
         all_s11 = []

@@ -221,3 +221,64 @@ def test_run_with_failed_prepare_is_structured(params):
     res = run_prepared_fixed(bad, frequency_hz=2.45e9)
     assert not res.ok
     assert "boom" in res.message
+
+
+def test_rotated_port_polarity(params):
+    """Regression: a 180°-flipped instance's port must be excited with
+    NEGATIVE polarity — the engine normalizes start/stop to the unsigned
+    grid axis, so dropping the rotated ground→patch sign fed flipped
+    elements anti-phase (invisible in per-port S11; the array factor
+    inverts)."""
+    patches = [
+        PatchLike(name="up", params=params),
+        PatchLike(name="down", params=params, center_x_m=0.08,
+                  rot_x_deg=180.0),
+    ]
+    prep = prepare_multi_patch_3d(
+        patches, mesh_quality=1, phi_step_deg=30.0, theta_step_deg=10.0,
+    )
+    assert prep.ok, prep.message
+    ex = {p.spec.port_id: p.spec.excite for p in prep.sim.ports}
+    assert ex[1] > 0
+    assert ex[2] < 0, "flipped instance must be excited anti-parallel"
+
+
+def test_mixed_frequency_scene_band_covers_all_instances():
+    """Regression: a scene mixing 2.4 and 5.8 GHz patches must excite and
+    sweep BOTH — keying the band off max(f) left the lower-frequency
+    element unexcited and its resonance outside the S11 sweep."""
+    from fdtd_solver_antennas_tpu.models.params import PatchAntennaParams
+
+    p24 = PatchAntennaParams.from_user_units(
+        frequency_ghz=2.4, er=4.3, h_mm=1.6)
+    p58 = PatchAntennaParams.from_user_units(
+        frequency_ghz=5.8, er=4.3, h_mm=1.6)
+    patches = [
+        PatchLike(name="lo", params=p24),
+        PatchLike(name="hi", params=p58, center_x_m=0.09),
+    ]
+    prep = prepare_multi_patch_3d(
+        patches, mesh_quality=1, phi_step_deg=30.0, theta_step_deg=10.0,
+    )
+    assert prep.ok, prep.message
+    f = np.asarray(prep.sim.port_freqs_hz)
+    assert f[0] <= 2.4e9 * 0.75 and f[-1] >= 5.8e9 * 1.25, f[[0, -1]]
+    assert np.all(np.diff(f) > 0), "sweep must ascend"
+
+
+def test_sub_ghz_sweep_ascending_and_contains_f0():
+    """Regression: the reference's max(1e9, 0.7·f0) sweep floor produced
+    a DESCENDING sweep excluding the design frequency below ~770 MHz
+    (documented deviation, solver_fdtd_openems_microstrip.py:408)."""
+    from fdtd_solver_antennas_tpu.models.params import PatchAntennaParams
+    from fdtd_solver_antennas_tpu.solvers.microstrip import (
+        prepare_openems_microstrip_patch,
+    )
+
+    p = PatchAntennaParams.from_user_units(
+        frequency_ghz=0.433, er=4.3, h_mm=1.6)
+    prep = prepare_openems_microstrip_patch(p)
+    assert prep.ok, prep.message
+    f = np.asarray(prep.sim.port_freqs_hz)
+    assert np.all(np.diff(f) > 0), "sweep must ascend"
+    assert f[0] < 0.433e9 < f[-1], "sweep must contain the design frequency"
