@@ -42,9 +42,15 @@ def _params_from_args(args):
 
 def main() -> None:
     # persistent compile cache: first FDTD compiles through the tunneled
-    # runtime cost minutes; repeat CLI invocations should start hot
-    from .utils.backend import enable_compile_cache
+    # runtime cost minutes; repeat CLI invocations should start hot.
+    # ensure_backend retries transient axon-tunnel registration failures
+    # (backend.py's contract: every device-touching entry path calls it)
+    from .utils.backend import enable_compile_cache, ensure_backend
 
+    try:
+        ensure_backend()
+    except Exception:
+        pass  # let the actual run report the real backend state
     enable_compile_cache()
     parser = argparse.ArgumentParser(
         description="TPU-native patch antenna simulator"

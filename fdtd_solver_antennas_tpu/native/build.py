@@ -29,16 +29,26 @@ def _build_library() -> Optional[Path]:
     out = _HERE / "_libvoxelize.so"
     if out.exists() and out.stat().st_mtime >= _SRC.stat().st_mtime:
         return out
+    # compile to a process-unique temp name and os.replace() into place:
+    # g++ writes non-atomically, and a concurrent process (pytest-xdist,
+    # multi-process sweeps) could dlopen a half-written .so, fail, and
+    # silently fall back to the slow NumPy path for its whole lifetime
+    tmp = _HERE / f"_libvoxelize.{os.getpid()}.tmp.so"
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-        str(_SRC), "-o", str(out),
+        str(_SRC), "-o", str(tmp),
     ]
     try:
         subprocess.run(
             cmd, check=True, capture_output=True, timeout=120
         )
+        os.replace(tmp, out)
         return out
     except Exception:
+        try:
+            tmp.unlink(missing_ok=True)
+        except OSError:
+            pass
         return None
 
 

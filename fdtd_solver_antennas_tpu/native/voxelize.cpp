@@ -6,7 +6,9 @@
 // midpoint / cell center against every scene primitive — and falls back to
 // the NumPy implementation when the shared library is unavailable.
 //
-// Built with:  g++ -O3 -march=native -shared -fPIC voxelize.cpp -o libvoxelize.so
+// Built by native/build.py:  g++ -O3 -shared -fPIC -std=c++17 voxelize.cpp -o _libvoxelize.so
+// (-march=native deliberately omitted: the .so may outlive the host it was
+//  built on; baseline vectorization is plenty for this memory-bound loop)
 // Interface: plain C ABI consumed via ctypes (no pybind11 dependency).
 
 #include <cstdint>

@@ -897,7 +897,7 @@ def build_simulation(
     faces = _build_faces(grid, nf_box_idx)
 
     # --- excitation ------------------------------------------------------------
-    from .source import gaussian_source_params
+    from .source import gaussian_excitation
 
     n_src = source_active_steps(f0, fc, dt)
     # the waveform must cover the FULL source duration, not just
@@ -905,10 +905,8 @@ def build_simulation(
     # silently truncate the source, and a checkpoint taken from it could
     # never resume to the same physics as an uninterrupted run (the
     # missing samples are gone). A few thousand float32s cost nothing.
-    t_half = (np.arange(max(int(cfg.n_steps_max), n_src)) + 0.5) * dt
-    sigma_t, t0 = gaussian_source_params(f0, fc)
-    env = np.exp(-0.5 * ((t_half - t0) / sigma_t) ** 2)
-    waveform = (np.cos(2 * math.pi * f0 * (t_half - t0)) * env).astype(np.float32)
+    waveform = gaussian_excitation(
+        f0, fc, dt, max(int(cfg.n_steps_max), n_src))
 
     if port_freqs_hz is None:
         port_freqs_hz = np.linspace(max(1e8, f0 * 0.5), f0 * 1.5, 201)

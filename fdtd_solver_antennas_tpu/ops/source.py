@@ -29,9 +29,14 @@ def gaussian_source_params(f0: float, fc: float) -> Tuple[float, float]:
 def gaussian_excitation(
     f0: float, fc: float, dt: float, n_steps: int
 ) -> np.ndarray:
-    """Waveform s(t_n) = cos(2π f0 (t−t0))·exp(−(t−t0)²/(2σ²)), t_n = n·dt."""
+    """Waveform s(t_n) = cos(2π f0 (t−t0))·exp(−(t−t0)²/(2σ²)) at the
+    engine's injection times t_n = (n + 1/2)·dt — the E half-step where
+    the soft source is applied. (Sampling at n·dt would disagree with
+    the injected source by half a step, a π·f0·dt phase error in any
+    phase-sensitive post-processing.) This is THE waveform builder; the
+    engine consumes it directly."""
     sigma, t0 = gaussian_source_params(f0, fc)
-    t = np.arange(n_steps) * dt
+    t = (np.arange(n_steps) + 0.5) * dt
     env = np.exp(-0.5 * ((t - t0) / sigma) ** 2)
     return (np.cos(2.0 * math.pi * f0 * (t - t0)) * env).astype(np.float32)
 

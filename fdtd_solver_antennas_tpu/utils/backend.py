@@ -25,11 +25,16 @@ def _reregister_axon() -> None:
     from axon.register import register
 
     gen = os.environ.get("PALLAS_AXON_TPU_GEN", "v5e")
+    # topology must match the container's real slice: silently
+    # re-registering a multi-chip container as 1x1x1 would downgrade
+    # jax.devices() to one chip and unshard every mesh
+    topo = os.environ.get("PALLAS_AXON_TPU_TOPOLOGY", "1x1x1")
+    so = os.environ.get("PALLAS_AXON_SO_PATH", "/opt/axon/libaxon_pjrt.so")
     rc = os.environ.get("PALLAS_AXON_REMOTE_COMPILE") == "1"
     register(
         None,
-        f"{gen}:1x1x1",
-        so_path="/opt/axon/libaxon_pjrt.so",
+        f"{gen}:{topo}",
+        so_path=so,
         session_id=str(uuid.uuid4()),
         remote_compile=rc,
     )
@@ -73,9 +78,14 @@ def enable_compile_cache(path: str | None = None) -> None:
     import jax
 
     try:
+        from pathlib import Path
+
+        # default beside the repo/package checkout (works from any
+        # location), not a hardcoded /root/repo
+        default = str(Path(__file__).resolve().parents[2] / ".jax_cache")
         jax.config.update(
             "jax_compilation_cache_dir",
-            path or os.path.join("/root/repo", ".jax_cache"),
+            path or os.environ.get("JAX_COMPILATION_CACHE_DIR", default),
         )
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception:
@@ -92,6 +102,7 @@ def ensure_backend(retries: int = 5, delay_s: float = 5.0):
     import jax
 
     last = None
+    retries = max(1, int(retries))  # 0 would fall through to `raise None`
     for attempt in range(retries):
         try:
             return jax.devices()
