@@ -70,6 +70,34 @@ class SimControls:
     boundary: str = "MUR"  # 'MUR' | 'PML_8'
     simbox_mode: str = "auto"  # 'auto' | 'manual'
     manual_size_mm: Optional[Tuple[float, float, float]] = None
+    feed_line_length_mm: float = 20.0  # solver default, kept in sync
+
+
+def _add_oriented_box(ax, lo, hi, R, T, color, alpha):
+    """Draw a rotated cuboid as its six true faces (Poly3DCollection).
+
+    The old AABB-of-rotated-corners rendering inflated a 45°-rotated
+    patch by ~√2 and drew it unrotated — previews showed overlaps that
+    the real geometry does not have."""
+    from mpl_toolkits.mplot3d.art3d import Poly3DCollection
+
+    lo = np.asarray(lo, float)
+    hi = np.asarray(hi, float)
+    c = np.array(
+        [[x, y, z] for x in (lo[0], hi[0]) for y in (lo[1], hi[1])
+         for z in (lo[2], hi[2])]
+    ) @ np.asarray(R, float).T + np.asarray(T, float)
+    # corner index = 4*ix + 2*iy + iz
+    faces = [
+        (0, 1, 3, 2), (4, 5, 7, 6),  # x = lo / hi
+        (0, 1, 5, 4), (2, 3, 7, 6),  # y = lo / hi
+        (0, 2, 6, 4), (1, 3, 7, 5),  # z = lo / hi
+    ]
+    polys = [[c[i] for i in f] for f in faces]
+    ax.add_collection3d(
+        Poly3DCollection(polys, facecolor=color, alpha=alpha,
+                         edgecolor="k", linewidths=0.3)
+    )
 
 
 class MultiPatchScene:
@@ -139,9 +167,17 @@ class MultiPatchScene:
         R = rotation_matrix(inst.rot_x_deg, inst.rot_y_deg, inst.rot_z_deg)
         T = np.array([inst.center_x_m, inst.center_y_m, inst.center_z_m]) * 1e3
         if isinstance(inst, PatchInstance):
-            W, L, h = _patch_dims_mm(inst.params)
-            lo = np.array([-W / 2 - 30, -L / 2 - 30, 0.0])
-            hi = np.array([W / 2 + 30, L / 2 + 30, h])
+            # the SOLVER's per-instance substrate (patch + margins + feed
+            # extension along the feed axis) — a local re-derivation here
+            # under-counted the feed side by the feed-line length and
+            # would drift if the solver geometry changes
+            from ..solvers.multi_patch_3d import _instance_local_geometry
+
+            boxes, _port, dims = _instance_local_geometry(
+                inst, self.controls.feed_line_length_mm
+            )
+            lo = np.asarray(boxes["substrate"][0], float)
+            hi = np.asarray(boxes["substrate"][1], float)
         else:
             p = inst.params
             A, B, Lh = p.aperture_A_m * 1e3, p.aperture_B_m * 1e3, p.length_m * 1e3
@@ -179,29 +215,26 @@ class MultiPatchScene:
             T = np.array(
                 [inst.center_x_m, inst.center_y_m, inst.center_z_m]
             ) * 1e3
-            # draw the rotated patch + substrate outline as polygons
+            # draw the rotated patch + substrate as true oriented faces
             for (lo, hi, color, alpha) in (
                 ((-W / 2 - 30, -L / 2 - 30, 0), (W / 2 + 30, L / 2 + 30, h),
                  "#2d6a4f", 0.35),
                 ((-W / 2, -L / 2, h), (W / 2, L / 2, h * 1.4), "#e07a1f", 0.9),
             ):
-                corners = np.array(
-                    [[x, y, z] for x in (lo[0], hi[0]) for y in (lo[1], hi[1])
-                     for z in (lo[2], hi[2])]
-                )
-                world = corners @ R.T + T
-                wl, wh = world.min(axis=0), world.max(axis=0)
-                _add_box(ax, wl, wh, color, alpha=alpha)
+                _add_oriented_box(ax, lo, hi, R, T, color, alpha)
             ax.text(*(T + [0, 0, 6]), inst.name, ha="center", fontsize=8)
         for inst in self.horns:
             p = inst.params
             A, B, Lh = p.aperture_A_m * 1e3, p.aperture_B_m * 1e3, p.length_m * 1e3
+            R = rotation_matrix(inst.rot_x_deg, inst.rot_y_deg, inst.rot_z_deg)
             T = np.array(
                 [inst.center_x_m, inst.center_y_m, inst.center_z_m]
             ) * 1e3
-            _add_box(
-                ax, T + [-A / 2, -B / 2, 0], T + [A / 2, B / 2, Lh],
-                "#6a4c93", alpha=0.5,
+            # the preview must show the orientation the solver simulates
+            # (instance_bounds_mm already rotates; the draw did not)
+            _add_oriented_box(
+                ax, [-A / 2, -B / 2, 0], [A / 2, B / 2, Lh], R, T,
+                "#6a4c93", 0.5,
             )
             ax.text(*(T + [0, 0, Lh + 6]), inst.name, ha="center", fontsize=8)
         lo, hi = self.scene_bounds_mm()
@@ -225,6 +258,7 @@ class MultiPatchScene:
             self.patches,
             horns=self.horns,
             boundary=c.boundary,
+            feed_line_length_mm=c.feed_line_length_mm,
             theta_step_deg=c.theta_step_deg,
             phi_step_deg=c.phi_step_deg,
             mesh_quality=c.mesh_quality,

@@ -47,6 +47,18 @@ import numpy as np
 LEGACY_MODES = ("2D (fast)", "3D legacy (full)")
 
 
+def _show(fig) -> None:
+    """st.pyplot + close: the polling background-run loop reruns the
+    script ~2.5×/s, and figures left in matplotlib's global registry
+    accumulate without bound in the long-lived server process.
+    (Imports are local: streamlit/matplotlib are gated dependencies.)"""
+    import matplotlib.pyplot as plt
+    import streamlit as st
+
+    st.pyplot(fig)
+    plt.close(fig)
+
+
 def normalize_and_bounds(curve) -> Tuple[np.ndarray, float, float]:
     """Polar-plot scaling contract from the reference
     (streamlit_app.py:215-220): normalize to peak (0 dB at max), snap the
@@ -242,7 +254,7 @@ def main() -> None:  # pragma: no cover - exercised manually via streamlit
         """'Compare with Analytical Solution' (reference :339-344)."""
         with st.expander("📈 Compare with Analytical Solution", expanded=False):
             st.write("**Expected patch antenna pattern from theory:**")
-            st.pyplot(plot_cross_sections(solver))
+            _show(plot_cross_sections(solver))
             st.write(
                 "**Note**: the analytical cavity model provides the "
                 "theoretical baseline for comparison with FDTD results."
@@ -266,9 +278,9 @@ def main() -> None:  # pragma: no cover - exercised manually via streamlit
     with tab_analytical:
         c1, c2 = st.columns(2)
         with c1:
-            st.pyplot(draw_patch_3d_geometry(solver.L_m, solver.W_m, params.h_m))
+            _show(draw_patch_3d_geometry(solver.L_m, solver.W_m, params.h_m))
         with c2:
-            st.pyplot(plot_cross_sections(solver))
+            _show(plot_cross_sections(solver))
 
     with tab_fdtd:
         probe = probe_fdtd()
@@ -277,9 +289,13 @@ def main() -> None:  # pragma: no cover - exercised manually via streamlit
         if c1.button("Prepare simulation"):
             with st.spinner("Building mesh + compiling…"):
                 st.session_state.prepared_fixed = prepare_patch_fixed(params)
-            st.success(st.session_state.prepared_fixed.message)
+        prepared = st.session_state.prepared_fixed
+        if prepared is not None:
+            # a failed prepare must read as a failure and keep Run off
+            (st.success if prepared.ok else st.error)(prepared.message)
         run_disabled = (
-            st.session_state.prepared_fixed is None
+            prepared is None
+            or not prepared.ok
             or st.session_state.fixed_run is not None
         )
         if c2.button("Run prepared", disabled=run_disabled):
@@ -308,11 +324,16 @@ def main() -> None:  # pragma: no cover - exercised manually via streamlit
             else:
                 st.session_state.fixed_run = None
                 if run.error is not None:
-                    st.error(f"Run failed: {run.error}")
+                    # persist: st.rerun() discards anything rendered in
+                    # THIS script run, so an un-persisted error vanished
+                    st.session_state.fixed_error = f"Run failed: {run.error}"
                 else:
+                    st.session_state.fixed_error = None
                     st.session_state.fixed_result = run.result
                 st.rerun()
 
+        if st.session_state.get("fixed_error"):
+            st.error(st.session_state.fixed_error)
         result = st.session_state.fixed_result
         if result is not None:
             if not result.ok:
@@ -331,18 +352,20 @@ def main() -> None:  # pragma: no cover - exercised manually via streamlit
                 ax.set_xlabel("f (GHz)")
                 ax.set_ylabel("|S11| (dB)")
                 ax.grid(alpha=0.4)
-                st.pyplot(fig)
+                _show(fig)
 
                 # pattern tiles (reference :268-290)
                 result_tiles(result)
 
-                # E/H cuts → interpolated full sphere (reference :346-469)
-                phi_full, grid_db = interpolate_cuts_to_sphere(
-                    result.intensity[:, 0], result.intensity[:, 1]
-                )
-                st.pyplot(
+                # E/H cuts → interpolated full sphere; shares the GUI's
+                # helper (incl. its full-sphere guard) instead of an
+                # inline copy of the cut-selection convention
+                from .gui_app import pattern_grid_for_plot
+
+                theta_g, phi_full, grid_db = pattern_grid_for_plot(result)
+                _show(
                     plot_3d_pattern_from_grid(
-                        result.theta,
+                        theta_g,
                         phi_full,
                         10 ** (grid_db / 10.0),
                         colors_db=grid_db,
@@ -365,10 +388,12 @@ def main() -> None:  # pragma: no cover - exercised manually via streamlit
                     params, legacy_mode
                 )
                 st.session_state.legacy_mode = legacy_mode
-            prep = st.session_state.prepared_legacy
+            if st.session_state.prepared_legacy.ok:
+                st.rerun()  # enable the Run button (message renders below)
+        prep = st.session_state.prepared_legacy
+        if prep is not None:
+            # rendered on every run, so the rerun doesn't swallow it
             (st.success if prep.ok else st.error)(prep.message)
-            if prep.ok:
-                st.rerun()  # enable the Run button
         if run_legacy_btn and st.session_state.prepared_legacy is not None:
             mode = st.session_state.legacy_mode or legacy_mode
             with st.spinner(f"Running {mode} on TPU…"):
@@ -400,7 +425,7 @@ def main() -> None:  # pragma: no cover - exercised manually via streamlit
                     ax.set_rticks(np.arange(rmin, rmax + 1e-9, 5.0))
                     ax.set_theta_zero_location("N")
                     ax.set_title(name)
-                st.pyplot(fig)
+                _show(fig)
                 result_tiles(result)
                 analytical_compare_expander()
 

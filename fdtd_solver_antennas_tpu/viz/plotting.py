@@ -247,14 +247,15 @@ def plot_3d_pattern_from_grid(
     W_m: Optional[float] = None,
     h_m: Optional[float] = None,
     dB_min: Optional[float] = None,
-    dB_max: float = 0.0,
+    dB_max: Optional[float] = None,
     fig_size=(8, 9),
     colors_db: Optional[np.ndarray] = None,
     clip_db: Optional[float] = None,
 ):
     """FDTD-grid 3D far-field surface with dB colormap and colorbar
     (reference: plotting.py:643-831). ``intensity`` may be linear or a dBi
-    grid passed through ``colors_db``."""
+    grid passed through ``colors_db``. ``h_m`` is accepted for reference
+    signature parity but unused (the footprint box is drawn flat)."""
     th = np.asarray(theta).reshape(-1)
     ph = np.asarray(phi).reshape(-1)
     G = np.asarray(intensity, dtype=float)
@@ -278,6 +279,12 @@ def plot_3d_pattern_from_grid(
         Gn = np.where(color_db < clip_db, np.nan, Gn)
     if dB_min is None:
         dB_min = max(-40.0, float(np.nanpercentile(color_db, 10)))
+    if dB_max is None:
+        # default to the grid's real peak: callers pass absolute-dBi
+        # grids (peak ~+7 dBi for a patch), and the reference's fixed
+        # 0 dB ceiling rendered the whole main lobe as one saturated
+        # color with a mislabeled colorbar
+        dB_max = float(np.nanmax(color_db))
     if dB_max <= dB_min:
         dB_min, dB_max = min(dB_min, -10.0), 0.0
     norm = np.clip((color_db - dB_min) / max(1e-9, dB_max - dB_min), 0, 1)
