@@ -151,6 +151,17 @@ class MultiPatchScene:
         setattr(inst, field, value)
         self._notify()
 
+    def update_fields(self, inst, values: dict) -> None:
+        """Apply several fields with ONE change notification — a UI
+        "Apply placement" click sets up to 7 fields, and notifying per
+        field re-rendered the full 3D preview 7 times per click."""
+        for field, value in values.items():
+            if not hasattr(inst, field):
+                raise AttributeError(
+                    f"{type(inst).__name__} has no field {field}")
+            setattr(inst, field, value)
+        self._notify()
+
     def set_change_callback(self, cb: Optional[Callable[[], None]]) -> None:
         self._change_cb = cb
 

@@ -95,6 +95,32 @@ def principal_cut_indices(phi_rad: np.ndarray) -> tuple:
     )
 
 
+def polar_cut(res, phi0_rad: float):
+    """(angles, values) for a full 0–2π polar cut at azimuth ``phi0``.
+
+    Full-sphere results stitch the REAL φ=phi0 and φ=phi0+180° columns —
+    mirroring the half-cut would fabricate a symmetric pattern the data
+    contradicts (a microstrip-fed patch's E-plane is genuinely
+    asymmetric). Two-cut results mirror the half-cut, the only data
+    available.
+    """
+    from ..viz.patterns import mirror_half_cut
+
+    phi = np.asarray(res.phi, float)
+    theta = np.asarray(res.theta, float)
+    grid = np.asarray(res.intensity, float)
+    if is_full_sphere(phi):
+        ph_w = (phi + 2 * np.pi) % (2 * np.pi)
+        i0 = int(np.argmin(np.abs(ph_w - (phi0_rad % (2 * np.pi)))))
+        i1 = int(np.argmin(np.abs(ph_w - ((phi0_rad + np.pi) % (2 * np.pi)))))
+        ang = np.concatenate([theta, (2 * np.pi - theta)[::-1]])
+        val = np.concatenate([grid[:, i0], grid[::-1, i1]])
+        return ang, val
+    idx = principal_cut_indices(phi)
+    col = idx[0] if abs(phi0_rad) < 1e-6 else idx[1]
+    return mirror_half_cut(theta, grid[:, col])
+
+
 def pattern_grid_for_plot(res):
     """(theta, phi_full, grid_db) for a 3D surface render.
 
@@ -287,6 +313,7 @@ def apply_instance_fields(scene, inst, values: dict) -> Optional[str]:
     from ..solvers.microstrip import FeedDirection
 
     try:
+        batch = {}
         for key, attr, scale in (
             ("x_mm", "center_x_m", 1e-3),
             ("y_mm", "center_y_m", 1e-3),
@@ -296,13 +323,14 @@ def apply_instance_fields(scene, inst, values: dict) -> Optional[str]:
             ("rot_z_deg", "rot_z_deg", 1.0),
         ):
             if key in values:
-                scene.update_field(inst, attr, float(values[key]) * scale)
+                batch[attr] = float(values[key]) * scale
         if "feed_direction" in values:
             if not hasattr(inst, "feed_direction"):
                 return "horns have no feed direction"
-            scene.update_field(
-                inst, "feed_direction", FeedDirection(str(values["feed_direction"]))
-            )
+            batch["feed_direction"] = FeedDirection(
+                str(values["feed_direction"]))
+        # one notification for the whole apply (one preview re-render)
+        scene.update_fields(inst, batch)
     except (TypeError, ValueError) as e:
         return f"bad instance value: {e}"
     return None
@@ -328,13 +356,18 @@ def open_scene_3d_view(scene, path: Optional[str] = None) -> str:
     """Write the interactive scene HTML and return its path (the GUI
     opens it in the default browser). Portable replacement for the
     reference's PyVista view (gui_app.py:1352-2480)."""
-    import os
     import tempfile
 
     from ..viz.scene3d import save_scene_html, scene_meshes
 
     if path is None:
-        path = os.path.join(tempfile.gettempdir(), "antenna_scene_3d.html")
+        # unique per call: a fixed name in the shared temp dir can be
+        # pre-owned (or symlinked) by another user and two GUI sessions
+        # would clobber each other's view
+        with tempfile.NamedTemporaryFile(
+            prefix="antenna_scene_3d_", suffix=".html", delete=False
+        ) as f:
+            path = f.name
     return save_scene_html(scene_meshes(scene), path)
 
 
@@ -488,9 +521,14 @@ def main() -> None:  # pragma: no cover — needs a display
         return scene.patches + scene.horns
 
     def refresh_instances():
+        # preserve the selection: every scene change rebuilds the list,
+        # and losing it forced a re-select after each "Apply placement"
+        sel = inst_list.curselection()
         inst_list.delete(0, "end")
         for inst in scene_instances():
             inst_list.insert("end", inst.name)
+        if sel and sel[0] < inst_list.size():
+            inst_list.selection_set(sel[0])
 
     scene_fig = plt.Figure(figsize=(6, 6))
     scene_canvas = FigureCanvasTkAgg(scene_fig, master=scene_frame)
@@ -705,24 +743,48 @@ def main() -> None:  # pragma: no cover — needs a display
                 theta_step_deg=theta_step, phi_step_deg=phi_step,
             )
             if not prep.ok:
-                result_q.put(("error", prep.message))
+                result_q.put(("error", prep.message, "single"))
                 return
             log.append("run: time-stepping…")
-            res = runner(prep, frequency_hz=params.frequency_hz, verbose=0)
-            result_q.put(("done", res))
+            # wire live progress + mid-flight abort when the runner
+            # supports them (single runs were uncancellable before)
+            import inspect
+
+            kw = {}
+            try:
+                sig = inspect.signature(runner)
+                if "progress_cb" in sig.parameters:
+                    kw["progress_cb"] = post_progress
+                if "abort_cb" in sig.parameters:
+                    kw["abort_cb"] = abort_event.is_set
+            except (TypeError, ValueError):
+                pass
+            res = runner(
+                prep, frequency_hz=params.frequency_hz, verbose=0, **kw
+            )
+            result_q.put(("done", res, "single"))
         except Exception as e:  # defensive: never kill the UI thread
-            result_q.put(("error", str(e)))
+            result_q.put(("error", str(e), "single"))
+
+    active_runs: set = set()
 
     def poll_results():
         try:
-            kind, payload = result_q.get_nowait()
+            kind, payload, tag = result_q.get_nowait()
         except queue.Empty:
+            refresh_log()  # live log during long runs (step coalescing)
             root.after(200, poll_results)
             return
-        run_btn.state(["!disabled"])
-        scene_run_btn.state(["!disabled"])
-        cancel_btn.state(["disabled"])
-        scene_progress.configure(value=0.0)
+        # reset only the finished run's controls: completing the single
+        # run must not re-enable / un-cancel a still-running scene run
+        active_runs.discard(tag)
+        if tag == "single":
+            run_btn.state(["!disabled"])
+        else:
+            scene_run_btn.state(["!disabled"])
+            scene_progress.configure(value=0.0)
+        if not active_runs:
+            cancel_btn.state(["disabled"])
         if kind == "error":
             status_var.set(f"failed: {payload}")
             log.append(f"ERROR: {payload}")
@@ -752,12 +814,12 @@ def main() -> None:  # pragma: no cover — needs a display
         show_fig("S11", build_s11)
 
         def build_cuts(fig):
-            cut_idx = principal_cut_indices(res.phi)
-            for i, (col, title) in enumerate(
-                (("#0b7285", "E-plane φ=0°"), ("#c2255c", "H-plane φ=90°"))
+            for i, (col, title, ph0) in enumerate(
+                (("#0b7285", "E-plane φ=0°", 0.0),
+                 ("#c2255c", "H-plane φ=90°", np.pi / 2))
             ):
                 ax = fig.add_subplot(1, 2, i + 1, projection="polar")
-                th, v = mirror_half_cut(res.theta, res.intensity[:, cut_idx[i]])
+                th, v = polar_cut(res, ph0)
                 ax.plot(th, v, color=col, lw=2)
                 ax.set_title(title)
                 ax.set_theta_zero_location("N")
@@ -797,7 +859,12 @@ def main() -> None:  # pragma: no cover — needs a display
         except ValueError as e:
             status_var.set(f"bad input: {e}")
             return
+        update_geometry()  # the Geometry tab must match what is run
         run_btn.state(["disabled"])
+        if not active_runs:
+            abort_event.clear()
+        active_runs.add("single")
+        cancel_btn.state(["!disabled"])
         status_var.set("running…")
         threading.Thread(
             target=worker,
@@ -816,11 +883,11 @@ def main() -> None:  # pragma: no cover — needs a display
                 abort_cb=abort_event.is_set,
             )
             if not res.ok:  # failed prepare, failed run, or user abort
-                result_q.put(("error", res.message))
+                result_q.put(("error", res.message, "scene"))
             else:
-                result_q.put(("done", res))
+                result_q.put(("done", res, "scene"))
         except Exception as e:  # defensive: never kill the UI thread
-            result_q.put(("error", str(e)))
+            result_q.put(("error", str(e), "scene"))
 
     def on_run_scene():
         if not scene_instances():
@@ -830,9 +897,10 @@ def main() -> None:  # pragma: no cover — needs a display
         if err:
             status_var.set(err)
             return
-        run_btn.state(["disabled"])
         scene_run_btn.state(["disabled"])
-        abort_event.clear()
+        if not active_runs:
+            abort_event.clear()
+        active_runs.add("scene")
         cancel_btn.state(["!disabled"])
         scene_progress.configure(value=0.0)
         status_var.set("running scene…")

@@ -139,34 +139,31 @@ def _patch_instance_meshes(inst, margin_mm: float = 30.0) -> List[SceneMesh]:
     """Oriented meshes for one PatchInstance: substrate slab, ground
     sheet, patch plate, feed-point marker (PyVista analog:
     gui_app.py:1806-1866)."""
-    from ..frontends.designer import _patch_dims_mm
-
-    W, L, h = _patch_dims_mm(inst.params)
     from ..models.scene import rotation_matrix
+    from ..solvers.multi_patch_3d import _instance_local_geometry
 
+    # the SOLVER's local boxes (substrate incl. feed-side extension,
+    # ground, patch, feed trace) — a hand-rebuilt symmetric footprint
+    # omitted the feed line and was 20 mm short on the fed side of what
+    # is actually simulated
+    boxes, port_line, dims = _instance_local_geometry(inst, 20.0)
+    h = dims["h"]
     R = rotation_matrix(inst.rot_x_deg, inst.rot_y_deg, inst.rot_z_deg)
     if np.allclose(R, np.eye(3), atol=1e-12):
         R = None
     T = np.array([inst.center_x_m, inst.center_y_m, inst.center_z_m]) * 1e3
 
-    sw, sl = W / 2 + margin_mm, L / 2 + margin_mm
     meshes = [
-        box_mesh((-sw, -sl, 0), (sw, sl, h), f"{inst.name}: substrate",
+        box_mesh(*boxes["substrate"], f"{inst.name}: substrate",
                  COL_SUBSTRATE, 0.45),
-        box_mesh((-sw, -sl, 0), (sw, sl, 0), f"{inst.name}: ground",
+        box_mesh(*boxes["ground"], f"{inst.name}: ground",
                  COL_GROUND, 0.8),
-        box_mesh((-W / 2, -L / 2, h), (W / 2, L / 2, h),
-                 f"{inst.name}: patch", COL_METAL, 1.0),
+        box_mesh(*boxes["patch"], f"{inst.name}: patch", COL_METAL, 1.0),
+        box_mesh(*boxes["feed"], f"{inst.name}: feed", COL_METAL, 1.0),
     ]
-    # feed-point marker on the fed edge (feed direction in the local frame)
-    fd = getattr(inst, "feed_direction", None)
-    fd = getattr(fd, "value", fd) or "-X"
-    feed_local = {
-        "+X": (W / 2, 0.0), "-X": (-W / 2, 0.0),
-        "+Y": (0.0, L / 2), "-Y": (0.0, -L / 2),
-    }[fd]
+    p0 = np.asarray(port_line[0], float)
     meshes.append(
-        marker_mesh((feed_local[0], feed_local[1], h / 2),
+        marker_mesh((p0[0], p0[1], h / 2),
                     size=max(1.5, h), name=f"{inst.name}: port")
     )
     return [m.transformed(R, T) for m in meshes]
@@ -383,7 +380,9 @@ def scene_html(meshes: Iterable[SceneMesh]) -> str:
     ]
     n_tris = sum(len(m.faces) for m in meshes)
     return _HTML_TEMPLATE.format(
-        mesh_json=json.dumps(payload),
+        # script-safe: a literal '</script>' inside a JSON string would
+        # terminate the script element and inject the rest as markup
+        mesh_json=json.dumps(payload).replace('</', '<\\/'),
         n_meshes=len(meshes),
         n_tris=n_tris,
     )

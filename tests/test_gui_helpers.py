@@ -310,3 +310,46 @@ def test_webapp_legacy_mode_dispatch():
     y2 = prep_2d.sim.grid.y
     y3 = prep_3d.sim.grid.y
     assert (y2.max() - y2.min()) < 0.7 * (y3.max() - y3.min())
+
+
+def test_polar_cut_full_sphere_uses_real_back_half():
+    """Regression: full-sphere results must stitch the REAL φ=0 and
+    φ=180° columns into the E-plane polar cut — mirroring fabricated a
+    symmetric pattern for genuinely asymmetric (fed) antennas."""
+    from types import SimpleNamespace
+
+    from fdtd_solver_antennas_tpu.frontends.gui_app import polar_cut
+
+    theta = np.linspace(0, np.pi, 7)
+    phi = np.linspace(0, 2 * np.pi, 13)[:-1]  # full sphere
+    grid = np.zeros((7, 12))
+    grid[:, 0] = 10.0   # φ=0 half
+    grid[:, 6] = -5.0   # φ=180° half: deliberately different
+    res = SimpleNamespace(theta=theta, phi=phi, intensity=grid)
+    ang, val = polar_cut(res, 0.0)
+    assert ang.shape == val.shape == (14,)
+    assert np.all(val[:7] == 10.0)
+    assert np.all(val[7:] == -5.0), "back half must come from φ=180° data"
+
+    # two-cut results still mirror (the only data available)
+    res2 = SimpleNamespace(
+        theta=theta, phi=np.array([0.0, np.pi / 2]),
+        intensity=np.stack([np.full(7, 3.0), np.full(7, 1.0)], axis=1),
+    )
+    ang2, val2 = polar_cut(res2, 0.0)
+    assert np.all(np.asarray(val2) == 3.0)
+
+
+def test_update_fields_notifies_once():
+    from fdtd_solver_antennas_tpu.frontends.designer import MultiPatchScene
+    from fdtd_solver_antennas_tpu.models.params import PatchAntennaParams
+
+    sc = MultiPatchScene()
+    inst = sc.add_patch(PatchAntennaParams.from_user_units(
+        frequency_ghz=2.45, er=4.3, h_mm=1.6))
+    calls = []
+    sc.set_change_callback(lambda: calls.append(1))
+    sc.update_fields(inst, {"center_x_m": 0.05, "rot_z_deg": 30.0,
+                            "center_y_m": 0.01})
+    assert len(calls) == 1
+    assert inst.center_x_m == 0.05 and inst.rot_z_deg == 30.0
