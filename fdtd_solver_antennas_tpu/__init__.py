@@ -84,6 +84,7 @@ from .solvers.horn import (
     run_prepared_horn,
     te10_guide_wavelength,
 )
+from .solvers.sparams import SMatrixResult, compute_s_matrix
 from .viz.plotting import (
     plot_cross_sections,
     plot_3d_pattern,
@@ -148,6 +149,9 @@ __all__ = [
     "prepare_horn",
     "run_prepared_horn",
     "te10_guide_wavelength",
+    # N-port S-matrix extraction (beyond-reference capability)
+    "SMatrixResult",
+    "compute_s_matrix",
     # Quasi-2D solver
     "Prepared2D",
     "OpenEMS2DPrepared",

@@ -164,6 +164,8 @@ class PortRuntime:
     # current probe: 4 static gather tuples + 2 dual lengths
     i_gather: List[Tuple]
     i_lengths: Tuple[float, float]
+    # excite=1 basis of src_col; set_port_excitation rescales from it
+    src_col_unit: Optional[np.ndarray] = None
 
 
 @dataclasses.dataclass
@@ -187,6 +189,8 @@ class MSLRuntime:
     v_pos_m: np.ndarray
     i_pos_m: np.ndarray
     z_ref: float
+    # excite=1 basis of src_col; set_port_excitation rescales from it
+    src_col_unit: Optional[np.ndarray] = None
 
     # each MSL port occupies this many probe rows in the uf/if_
     # accumulators: (V@m−1, I@m−½), (V@m, I@m+½), (V@m+1, —)
@@ -822,9 +826,13 @@ def build_simulation(
         coeffs_np["cb_" + comp] = cb.astype(np.float32)
 
     # --- MSL excitation patterns (need cb): uniform quasi-TEM profile ----
+    # ``src_col_unit`` is the excite=1 basis column; re-excitation
+    # (set_port_excitation, used by the S-matrix extractor) rescales
+    # src_col from it without re-voxelizing.
     for msl in msl_ports:
         cb_host = coeffs_np["cb_ez"]
-        msl.src_col = (cb_host[msl.sl] * msl.spec.excite).astype(np.float32)
+        msl.src_col_unit = cb_host[msl.sl].astype(np.float32)
+        msl.src_col = (msl.src_col_unit * msl.spec.excite).astype(np.float32)
 
     # --- port source columns (need cb) ------------------------------------
     for prt in ports:
@@ -835,8 +843,11 @@ def build_simulation(
         dd = [grid.dual_deltas_m("xyz"[a]) for a in range(3)]
         idx_probe = prt.i_gather[0]
         area = dd[t_axes[0]][idx_probe[t_axes[0]]] * dd[t_axes[1]][idx_probe[t_axes[1]]]
+        prt.src_col_unit = (
+            cb_col / (prt.spec.resistance * area)
+        ).astype(np.float32)
         prt.src_col = (
-            cb_col * prt.spec.excite / (prt.spec.resistance * area)
+            prt.src_col_unit * prt.spec.excite
         ).astype(np.float32)
 
     # --- zero padding for shard divisibility / lane alignment --------------
@@ -1145,6 +1156,37 @@ def rebuild_run_fn(sim: "PreparedSimulation") -> None:
     _run_raw = _make_run_fn(sim, inv_p, inv_d, mur_coef, pml)
     sim._run_fn = jax.jit(_run_raw)
     sim._host_run = _run_raw.host_run
+
+
+def set_port_excitation(sim: "PreparedSimulation", scales) -> None:
+    """Re-excite a prepared simulation without re-voxelizing.
+
+    ``scales`` gives the new excitation amplitude of every port (lumped
+    ports first, then MSL ports — the same order as the uf/if_ probe
+    rows' port grouping). The port *loads* are untouched: a lumped
+    port's resistance lives in the σ of its cells (folded in at
+    coefficient build), so a port re-excited to 0.0 remains a matched
+    resistive termination — exactly what S-parameter extraction needs.
+    Geometry, mesh, coefficients, NF2FF setup and probe layout are all
+    reused; only the source columns change and the run function is
+    re-jitted (the source stamps are traced constants, so a recompile
+    per excitation is the price — the solver-level S-matrix extractor
+    amortizes it over one run per port).
+
+    Reference analog: none. openEMS exposes per-port ``excite`` only at
+    scene-build time, and the reference never varies it
+    (``multi_3d.py:122-124`` drives every port identically).
+    """
+    n = len(sim.ports) + len(sim.msl_ports)
+    scales = list(np.asarray(scales, np.float64).ravel())
+    if len(scales) != n:
+        raise ValueError(f"expected {n} port scales, got {len(scales)}")
+    for p, s in zip(list(sim.ports) + list(sim.msl_ports), scales):
+        if p.src_col_unit is None:  # pre-rebuild sims (old checkpoints)
+            raise ValueError("simulation lacks src_col_unit basis columns")
+        p.src_col = (p.src_col_unit * np.float32(s)).astype(np.float32)
+    sim._resume_fn = None  # a cached resume closure would keep old sources
+    rebuild_run_fn(sim)
 
 
 def make_single_step(sim: "PreparedSimulation"):

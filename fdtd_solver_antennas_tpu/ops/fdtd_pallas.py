@@ -291,11 +291,13 @@ def stream_vmem_bytes(py: int, pz: int, n_src: int, block: int,
 
     Rows in the interleaved layout are ``py·128`` lanes; a block holds
     ``B = block·ceil(pz/128)`` of them. Calibrated against the XLA
-    allocator's report on v5e (215.93 MB at B=16, Py=201, n_src=1):
-    double-buffered (prev, cur, next) input blocks for the 12 field + 6
-    coefficient + n_src source (+ ``n_psi`` CPML ψ) arrays,
-    double-buffered outputs, and ~48 block-rows' worth of window
-    temporaries (~12 more per ψ family for the recursion intermediates).
+    allocator's scoped-vmem reports on v5e (most recently 113.44 MB
+    measured vs 113.6 MB estimated at B=8, Py=201, n_src=1, MUR, after
+    the per-step coefficient/source window slicing): double-buffered
+    (prev, cur, next) input blocks for the 12 field + 6 coefficient +
+    n_src source (+ ``n_psi`` CPML ψ) arrays, double-buffered outputs,
+    and ~48 block-rows' worth of window temporaries (~12 more per ψ
+    family for the recursion intermediates).
     """
     zt = -(-pz // 128)
     B = block * zt
@@ -721,11 +723,20 @@ def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef, shard=None,
             chx_w = jnp.concatenate([r[:] for r in pmlx_cols[3:6]], 0)
             bex_w = jnp.concatenate([r[:] for r in pmlx_cols[6:9]], 0)
             cex_w = jnp.concatenate([r[:] for r in pmlx_cols[9:12]], 0)
-        caw = [win3(coef_refs[c][:], coef_refs[6 + c][:],
-                    coef_refs[12 + c][:], 0, 3 * B) for c in range(6)]
-        srcw = [win3(src_refs[s][:], src_refs[n_src + s][:],
-                     src_refs[2 * n_src + s][:], 0, 3 * B)
-                for s in range(n_src)]
+        # Coefficient/source windows are sliced per step (win3 at
+        # [a_k, b_k)) instead of materializing the full [0, 3B) concat
+        # across all T steps: the full windows held 6+n_src arrays of 3B
+        # rows live through the whole unrolled loop (~17 MB at B=8,
+        # Py=201) and pushed the flagship z=152 scene 584 KB past the
+        # 127 MB scoped-VMEM limit; per-step slices are dead after each
+        # step, so the stack allocator reuses them.
+        def coef_at(c, lo_w, hi_w):
+            return win3(coef_refs[c][:], coef_refs[6 + c][:],
+                        coef_refs[12 + c][:], lo_w, hi_w)
+
+        def src_at(s, lo_w, hi_w):
+            return win3(src_refs[s][:], src_refs[n_src + s][:],
+                        src_refs[2 * n_src + s][:], lo_w, hi_w)
 
         def up_z(self_a, rowp_a):
             """z+1 neighbor: lane roll +1, with zl=127 lanes patched from
@@ -802,7 +813,7 @@ def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef, shard=None,
             Hx_zm, Hy_zm = Hxn[ZT - 1 : LH - 1], Hyn[ZT - 1 : LH - 1]
             ixd_k = ixd_w[a_k : b_k]
             izd_k = iz_at(izd_full, a_k, LEn)
-            ca = [c[a_k : b_k] for c in caw]
+            ca = [coef_at(c, a_k, b_k) for c in range(6)]
             if has_pml:
                 dHz_y = (HzT - dn(HzT, 1, 128)) * iyd
                 dHy_z = (HyT - dn_z(HyT, Hy_zm)) * izd_k
@@ -843,7 +854,7 @@ def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef, shard=None,
                 )
             s_val = wf_ref[0, k - 1]
             for s, comp in enumerate(src_comps):
-                mat = srcw[s][a_k : b_k] * s_val
+                mat = src_at(s, a_k, b_k) * s_val
                 if comp == "x":
                     Exn = Exn + mat
                 elif comp == "y":
