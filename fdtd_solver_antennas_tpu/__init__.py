@@ -85,6 +85,11 @@ from .solvers.horn import (
     te10_guide_wavelength,
 )
 from .solvers.sparams import SMatrixResult, compute_s_matrix
+from .solvers.array_synth import (
+    ArrayPattern,
+    EmbeddedPatternSet,
+    compute_embedded_patterns,
+)
 from .viz.plotting import (
     plot_cross_sections,
     plot_3d_pattern,
@@ -152,6 +157,10 @@ __all__ = [
     # N-port S-matrix extraction (beyond-reference capability)
     "SMatrixResult",
     "compute_s_matrix",
+    # Embedded element patterns + array synthesis (beyond-reference)
+    "ArrayPattern",
+    "EmbeddedPatternSet",
+    "compute_embedded_patterns",
     # Quasi-2D solver
     "Prepared2D",
     "OpenEMS2DPrepared",

@@ -89,6 +89,7 @@ def compute_s_matrix(
     *,
     restore: bool = True,
     progress_cb=None,
+    on_run=None,
 ) -> SMatrixResult:
     """Extract the (N, N, Nf) S-parameter matrix of a prepared scene.
 
@@ -103,6 +104,13 @@ def compute_s_matrix(
     need per-plane polarity bookkeeping); prepare the scene with lumped
     ports (the reference's own contract — it force-disables MSL,
     ``multi_3d.py:467``).
+
+    ``on_run(j, out, a_j)`` is called after each one-hot run with the
+    driven port index, the raw run output dict (including the NF2FF
+    surface accumulators), and the polarity-corrected incident-wave
+    spectrum ``a_j`` on ``sim.port_freqs_hz`` — the hook the embedded
+    element-pattern extractor (``solvers.array_synth``) uses to share
+    these N runs instead of re-running them.
     """
     sim = getattr(prep_or_sim, "sim", prep_or_sim)
     if sim is None:
@@ -139,6 +147,8 @@ def compute_s_matrix(
             b = 0.5 * (uf - z[:, None] * if_) / rz[:, None]
             with np.errstate(divide="ignore", invalid="ignore"):
                 S[:, j, :] = np.where(np.abs(a_j) > 0, b / a_j, np.nan + 0j)
+            if on_run is not None:
+                on_run(j, out, a_j)
             if progress_cb is not None:
                 try:
                     progress_cb(j + 1, n)
