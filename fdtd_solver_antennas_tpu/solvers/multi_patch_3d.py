@@ -86,18 +86,23 @@ def _patch_dims_mm(params: PatchAntennaParams) -> Tuple[float, float, float]:
     return W_m * 1e3, L_m * 1e3, params.h_m * 1e3
 
 
-def _instance_local_geometry(inst: PatchLike, feed_line_length_mm: float):
+def _instance_local_geometry(
+    inst: PatchLike, feed_line_length_mm: float, margin_mm: float = 30.0
+):
     """Local (unrotated) boxes + port line for one instance, in mm.
 
     Same per-instance geometry as the single microstrip solver: substrate
-    sized patch + 2×30 mm margin + feed length along the feed axis.
+    sized patch + 2×margin (reference-faithful 30 mm) + feed length along
+    the feed axis. Dense arrays (λ/2 pitch) must shrink ``margin_mm`` /
+    ``feed_line_length_mm`` or neighboring elements' metals overlap — see
+    the prepare-time overlap diagnostic.
     """
     fd = FeedDirection(inst.feed_direction)
     patch_W, patch_L, h = _patch_dims_mm(inst.params)
     fw = calculate_microstrip_width(
         inst.params.frequency_hz, inst.params.eps_r, inst.params.h_m
     ) * 1e3
-    margin, fl = 30.0, float(feed_line_length_mm)
+    margin, fl = float(margin_mm), float(feed_line_length_mm)
     if fd in (FeedDirection.POS_X, FeedDirection.NEG_X):
         sub_W, sub_L = patch_W + 2 * margin + fl, patch_L + 2 * margin
     else:
@@ -155,6 +160,7 @@ def prepare_multi_patch_3d(
     auto_margin_mm: Tuple[float, float, float] = (80.0, 80.0, 160.0),
     manual_size_mm: Optional[Tuple[float, float, float]] = None,
     feed_line_length_mm: float = 20.0,
+    element_margin_mm: float = 30.0,
     port_mode: str = "lumped",  # parity arg; MSL is force-disabled upstream too
     end_criteria_db: float = -25.0,
     work_dir: str = "",  # parity arg, ignored
@@ -200,9 +206,10 @@ def prepare_multi_patch_3d(
         mb = MeshBuilder()
         centers = []
         port_axes = []
+        top_metal_aabbs = []  # (instance, name, world lo, world hi)
         for idx, inst in enumerate(patches):
             boxes, port_line, dims = _instance_local_geometry(
-                inst, feed_line_length_mm
+                inst, feed_line_length_mm, element_margin_mm
             )
             R = rotation_matrix(inst.rot_x_deg, inst.rot_y_deg, inst.rot_z_deg)
             rotated = not np.allclose(R, np.eye(3), atol=1e-9)
@@ -221,8 +228,14 @@ def prepare_multi_patch_3d(
                 priority=0, **kw,
             )
             scene.add_metal_box(f"ground_{idx}", *boxes["ground"], priority=10, **kw)
-            scene.add_metal_box(f"patch_{idx}", *boxes["patch"], priority=10, **kw)
-            scene.add_metal_box(f"feed_{idx}", *boxes["feed"], priority=10, **kw)
+            b_patch = scene.add_metal_box(
+                f"patch_{idx}", *boxes["patch"], priority=10, **kw)
+            b_feed = scene.add_metal_box(
+                f"feed_{idx}", *boxes["feed"], priority=10, **kw)
+            for b in (b_patch, b_feed):
+                c = b.world_corners()
+                top_metal_aabbs.append(
+                    (idx, b.prop.name, c.min(axis=0), c.max(axis=0)))
 
             # port along the rotated substrate normal's dominant axis
             p0 = port_line[0] @ R.T + T
@@ -276,6 +289,26 @@ def prepare_multi_patch_3d(
                     rotation=R, translation=tuple(T),
                 )
                 _densify_rotated(mb, sub_box, mesh_res, axis, lo, hi)
+
+        # cross-instance top-metal overlap check: the reference-faithful
+        # per-element footprint (patch + 2×30 mm margin + feed line) is
+        # wider than a λ/2 array pitch, and overlapping patch/feed sheets
+        # are a galvanic short that reads as absurd S21 (≈ −1 dB), not a
+        # prepare failure — surface it loudly (AABB test: exact for
+        # unrotated instances, conservative for rotated ones)
+        for ii in range(len(top_metal_aabbs)):
+            for jj in range(ii + 1, len(top_metal_aabbs)):
+                ia, na, lo_a, hi_a = top_metal_aabbs[ii]
+                ib, nb, lo_b, hi_b = top_metal_aabbs[jj]
+                if ia == ib:
+                    continue
+                if np.all(hi_a >= lo_b - 1e-9) and np.all(hi_b >= lo_a - 1e-9):
+                    _log(
+                        f"WARNING: metal '{na}' (instance {ia}) overlaps "
+                        f"'{nb}' (instance {ib}) — the elements are "
+                        f"galvanically connected; increase spacing or "
+                        f"shrink element_margin_mm/feed_line_length_mm"
+                    )
 
         from .horn import horn_local_geometry
 
@@ -374,10 +407,18 @@ def prepare_multi_patch_3d(
         sim = build_simulation(
             scene, grid, f0=f0, fc=fc, cfg=cfg,
             # ascending by construction and covering every instance; the
-            # old max(1e9, ·) floor produced a DESCENDING sweep excluding
+            # old max(1e8, ·) floor produced a DESCENDING sweep excluding
             # the design frequency for sub-GHz antennas
             port_freqs_hz=np.linspace(
                 max(1e8, 0.7 * f_lo), 1.3 * f_hi, 201),
+            # NF2FF rows span the same band as the port sweep: the runner
+            # (and the embedded-pattern extractor) transform at the row
+            # nearest the MEASURED resonance, which for tutorial-faithful
+            # patch geometry sits well below f0 (design-W along the fed
+            # axis → the canonical scene resonates near 0.77·f0); the old
+            # build_simulation default (0.85–1.15·f0) clamped it to a
+            # band edge
+            nf_freqs_hz=np.linspace(max(1e8, 0.7 * f_lo), 1.3 * f_hi, 15),
         )
 
         t_step = max(0.5, float(theta_step_deg))
