@@ -153,103 +153,27 @@ def main() -> None:
     params = _params_from_args(args)
 
     if args.cmd == "array":
-        from .frontends.designer import PatchInstance
-        from .physics import C0
-        from .solvers.array_synth import compute_embedded_patterns
-        from .solvers.multi_patch_3d import prepare_multi_patch_3d
+        from .solvers.array_synth import array_run_summary, design_array
         from .viz.plotting import plot_3d_pattern_from_grid
 
-        d_mm = args.spacing_mm
-        if d_mm is None:
-            d_mm = C0 / params.frequency_hz / 2.0 * 1e3
-        patches = [
-            PatchInstance(
-                name=f"p{i}{j}",
-                params=params,
-                center_x_m=(i - (args.nx - 1) / 2.0) * d_mm * 1e-3,
-                center_y_m=(j - (args.ny - 1) / 2.0) * d_mm * 1e-3,
-            )
-            for i in range(args.nx)
-            for j in range(args.ny)
-        ]
-        # fit each element's substrate margin + feed-line stub to the
-        # pitch: the reference-faithful 30 mm margin + 20 mm feed only
-        # fits pitches > ~115 mm; tighter arrays would overlap neighbor
-        # metals (galvanic short — see the prepare-time warning)
-        from .solvers.multi_patch_3d import _patch_dims_mm
-
-        patch_W_mm, _, _ = _patch_dims_mm(params)
-        gap = d_mm - patch_W_mm if args.nx > 1 else np.inf
-        if gap <= 4.0:
-            raise SystemExit(
-                f"spacing {d_mm:.1f} mm leaves only {gap:.1f} mm between "
-                f"patch edges (patch is {patch_W_mm:.1f} mm wide) — "
-                f"increase --spacing-mm"
-            )
-        margin_mm = float(min(30.0, 0.35 * gap))
-        feed_mm = float(min(20.0, max(2.0, 0.7 * gap - margin_mm)))
-        if margin_mm < 30.0:
-            print(
-                f"pitch {d_mm:.1f} mm: element margin {margin_mm:.1f} mm, "
-                f"feed stub {feed_mm:.1f} mm (auto-shrunk to fit)"
-            )
-        prep = prepare_multi_patch_3d(
-            patches, mesh_quality=args.mesh_quality, verbose=1,
-            element_margin_mm=margin_mm, feed_line_length_mm=feed_mm,
+        design = design_array(
+            params, args.nx, args.ny, args.spacing_mm,
+            mesh_quality=args.mesh_quality,
+            theta_step_deg=args.theta_step, phi_step_deg=args.phi_step,
+            verbose=1,
+            progress_cb=lambda j, n, r: (
+                print(f"one-hot run {j}/{n} done") if j and r >= j / n
+                else None
+            ),
         )
-        if not prep.ok:
-            raise SystemExit(f"prepare failed: {prep.message}")
-        eps = compute_embedded_patterns(
-            prep,
-            theta_deg=np.arange(0.0, 181.0, args.theta_step),
-            phi_deg=np.arange(0.0, 360.0, args.phi_step),
-            progress_cb=lambda j, n: print(f"one-hot run {j}/{n} done"),
+        if not design.ok:
+            raise SystemExit(design.message)
+        summary, broadside, steered, _ = array_run_summary(
+            design, args.steer_theta, args.steer_phi, kind=args.steering
         )
-        if not eps.ok:
-            raise SystemExit(f"extraction failed: {eps.message}")
-        n = eps.n_ports
-        sm = eps.smatrix
-        # synthesize at the measured array resonance (mean active-port
-        # return dip), not blindly at the design frequency — coarse
-        # meshes shift the resonance and would under-report gain there.
-        # Reference resonance contract (microstrip.py:406-424): the dip
-        # must clear −10 dB, else fall back to the design frequency —
-        # without the gate, band-edge noise wins the argmin
-        diag_db = 20 * np.log10(np.maximum(
-            np.abs(np.einsum("iif->if", sm.s)), 1e-12))
-        mean_db = diag_db.mean(axis=0)
-        cand = np.where(mean_db < -10.0)[0]
-        f_res = (
-            float(sm.freq_hz[cand[np.argmin(mean_db[cand])]])
-            if cand.size else float(params.frequency_hz)
-        )
-        fi = int(np.argmin(np.abs(eps.freq_hz - f_res)))
-        broadside = eps.synthesize(np.ones(n, complex), fi=fi)
-        w_steer = eps.steering_weights(
-            args.steer_theta, args.steer_phi, fi=fi, kind=args.steering
-        )
-        steered = eps.synthesize(w_steer, fi=fi)
-        f_ghz = float(eps.freq_hz[fi]) / 1e9
-        fj = int(np.argmin(np.abs(sm.freq_hz - eps.freq_hz[fi])))
-        s_db = 20 * np.log10(np.maximum(np.abs(sm.s[:, :, fj]), 1e-12))
-        off_diag = s_db[~np.eye(n, dtype=bool)]
-        summary = {
-            "n_ports": n,
-            "design_freq_ghz": params.frequency_hz / 1e9,
-            "synth_freq_ghz": f_ghz,
-            "f_res_ghz": f_res / 1e9,
-            "spacing_mm": d_mm,
-            "s11_db": [float(s_db[k, k]) for k in range(n)],
-            "max_coupling_db": float(off_diag.max()) if n > 1 else None,
-            "broadside_gain_dbi": float(broadside.realized_gain_dbi().max()),
-            "broadside_peak_deg": broadside.peak_direction_deg(),
-            "steered_gain_dbi": float(steered.realized_gain_dbi().max()),
-            "steered_peak_deg": steered.peak_direction_deg(),
-            "steering_weights": [
-                [float(w.real), float(w.imag)] for w in w_steer
-            ],
-        }
+        summary = {"design_freq_ghz": params.frequency_hz / 1e9, **summary}
         print(json.dumps(summary, indent=2))
+        eps, sm = design.patterns, design.smatrix
         np.savez(
             outdir / "array_embedded.npz",
             freq_hz=eps.freq_hz, theta=eps.theta, phi=eps.phi,

@@ -219,6 +219,8 @@ def compute_embedded_patterns(
     center_m=None,
     restore: bool = True,
     progress_cb=None,
+    abort_cb=None,
+    step_progress_cb=None,
 ) -> EmbeddedPatternSet:
     """Extract embedded element patterns (and the S matrix) of a
     prepared multi-port scene from N one-hot FDTD runs.
@@ -274,7 +276,8 @@ def compute_embedded_patterns(
         fields[j] = (ff, a)
 
     sm = compute_s_matrix(
-        sim, restore=restore, progress_cb=progress_cb, on_run=on_run
+        sim, restore=restore, progress_cb=progress_cb, on_run=on_run,
+        abort_cb=abort_cb, step_progress_cb=step_progress_cb,
     )
     if not sm.ok:
         return EmbeddedPatternSet(False, sm.message)
@@ -314,4 +317,248 @@ def compute_embedded_patterns(
         port_centers_m=centers,
         smatrix=sm,
         wall_time_s=time.time() - t0,
+    )
+
+
+def pick_resonance(sm: SMatrixResult, f0_hz: float, gate_db: float = -10.0):
+    """Array synthesis frequency: the mean active-port return-loss dip.
+
+    Applies the reference's resonance contract (the dip must clear
+    −10 dB, ``solver_fdtd_openems_microstrip.py:406-424``) to the mean
+    of the S-matrix diagonal; without the gate, band-edge noise wins the
+    argmin on coarse meshes. Returns ``(f_hz, resonant)`` —
+    ``resonant=False`` means no dip cleared the gate and ``f0_hz`` (the
+    design frequency) is returned instead.
+    """
+    diag_db = 20.0 * np.log10(
+        np.maximum(np.abs(np.einsum("iif->if", sm.s)), 1e-12)
+    )
+    mean_db = diag_db.mean(axis=0)
+    cand = np.where(mean_db < gate_db)[0]
+    if cand.size == 0:
+        return float(f0_hz), False
+    return float(sm.freq_hz[cand[np.argmin(mean_db[cand])]]), True
+
+
+@dataclasses.dataclass
+class ArrayDesignResult:
+    """One-stop nx×ny patch-array characterization (``design_array``)."""
+
+    ok: bool
+    message: str
+    patterns: Optional[EmbeddedPatternSet] = None
+    prep: Optional[object] = None  # the multi-patch SolverPrepared
+    spacing_mm: float = 0.0
+    margin_mm: float = 0.0  # per-element substrate margin actually used
+    feed_mm: float = 0.0  # feed-line stub length actually used
+    f_synth_hz: float = 0.0  # synthesis frequency (resonance or design f0)
+    fi: int = 0  # row of patterns.freq_hz nearest f_synth_hz
+    resonant: bool = False  # True when a mean-S11 dip cleared −10 dB
+
+    @property
+    def smatrix(self) -> Optional[SMatrixResult]:
+        return None if self.patterns is None else self.patterns.smatrix
+
+    def synthesize(self, weights) -> ArrayPattern:
+        """Pattern of ``weights`` at the synthesis frequency row."""
+        return self.patterns.synthesize(weights, fi=self.fi)
+
+    def steer(self, theta_deg: float, phi_deg: float,
+              kind: str = "conjugate") -> ArrayPattern:
+        """Steered beam at the synthesis frequency row."""
+        w = self.patterns.steering_weights(
+            theta_deg, phi_deg, fi=self.fi, kind=kind
+        )
+        return self.patterns.synthesize(w, fi=self.fi)
+
+
+def array_run_summary(
+    design: "ArrayDesignResult",
+    steer_theta_deg: float,
+    steer_phi_deg: float,
+    kind: str = "conjugate",
+):
+    """Synthesize broadside + steered beams and collect headline numbers.
+
+    Shared by the CLI ``array`` command and the web UI Array tab.
+    Returns ``(summary_dict, broadside, steered, weights)``.
+    """
+    eps = design.patterns
+    n = eps.n_ports
+    broadside = design.synthesize(np.ones(n, complex))
+    w_steer = eps.steering_weights(
+        steer_theta_deg, steer_phi_deg, fi=design.fi, kind=kind
+    )
+    steered = eps.synthesize(w_steer, fi=design.fi)
+    sm = eps.smatrix
+    fj = int(np.argmin(np.abs(sm.freq_hz - eps.freq_hz[design.fi])))
+    s_db = 20.0 * np.log10(np.maximum(np.abs(sm.s[:, :, fj]), 1e-12))
+    off_diag = s_db[~np.eye(n, dtype=bool)]
+    summary = {
+        "n_ports": n,
+        "synth_freq_ghz": float(eps.freq_hz[design.fi]) / 1e9,
+        "f_res_ghz": design.f_synth_hz / 1e9,
+        "resonant": design.resonant,
+        "spacing_mm": design.spacing_mm,
+        "s11_db": [float(s_db[k, k]) for k in range(n)],
+        "max_coupling_db": float(off_diag.max()) if n > 1 else None,
+        "broadside_gain_dbi": float(broadside.realized_gain_dbi().max()),
+        "broadside_peak_deg": broadside.peak_direction_deg(),
+        "steered_gain_dbi": float(steered.realized_gain_dbi().max()),
+        "steered_peak_deg": steered.peak_direction_deg(),
+        "steering_weights": [[float(w.real), float(w.imag)] for w in w_steer],
+    }
+    return summary, broadside, steered, w_steer
+
+
+def design_array(
+    params,
+    nx: int = 2,
+    ny: int = 1,
+    spacing_mm: Optional[float] = None,
+    *,
+    mesh_quality: int = 3,
+    theta_step_deg: float = 5.0,
+    phi_step_deg: float = 5.0,
+    verbose: int = 0,
+    progress_cb=None,
+    abort_cb=None,
+    log_cb=None,
+) -> ArrayDesignResult:
+    """Prepare an nx×ny patch array and extract its embedded patterns.
+
+    The complete array workflow shared by the CLI ``array`` command and
+    the web UI's Array tab: place nx×ny copies of ``params`` on a
+    ``spacing_mm`` pitch (default free-space λ0/2), auto-fit each
+    element's substrate margin and feed stub to the pitch (the
+    reference-faithful 30 mm margin from
+    ``solver_fdtd_openems_microstrip.py:137`` only fits pitches
+    > ~115 mm), run one FDTD per port, and pick the synthesis frequency
+    by the measured mean-S11 resonance (``pick_resonance``).
+
+    ``progress_cb(done_runs, total_runs, ratio)`` reports overall
+    progress with sub-run resolution (ratio advances inside each run);
+    ``abort_cb() -> bool`` cancels mid-flight (checked at the engine's
+    superchunk boundaries).
+    """
+    # local imports: frontends.designer imports solvers — avoid a cycle
+    from ..frontends.designer import PatchInstance
+    from .multi_patch_3d import _patch_dims_mm, prepare_multi_patch_3d
+
+    def _log(msg: str) -> None:
+        if log_cb is not None:
+            log_cb(msg)
+        elif verbose:
+            print(msg)
+
+    if nx < 1 or ny < 1:
+        return ArrayDesignResult(False, "nx and ny must be >= 1")
+    d_mm = spacing_mm
+    if d_mm is None:
+        d_mm = C0 / float(params.frequency_hz) / 2.0 * 1e3
+    d_mm = float(d_mm)
+
+    patch_W_mm, patch_L_mm, _ = _patch_dims_mm(params)
+    # tightest inter-element gap along either populated axis (the patch
+    # is W wide along x and L long along y in local coordinates)
+    gaps = []
+    if nx > 1:
+        gaps.append(d_mm - patch_W_mm)
+    if ny > 1:
+        gaps.append(d_mm - patch_L_mm)
+    gap = min(gaps) if gaps else float("inf")
+    if gap <= 4.0:
+        return ArrayDesignResult(
+            False,
+            f"spacing {d_mm:.1f} mm leaves only {gap:.1f} mm between "
+            f"patch edges (patch is {patch_W_mm:.1f}×{patch_L_mm:.1f} mm)"
+            " — increase the pitch",
+            spacing_mm=d_mm,
+        )
+    margin_mm = float(min(30.0, 0.35 * gap))
+    feed_mm = float(min(20.0, max(2.0, 0.7 * gap - margin_mm)))
+    if margin_mm < 30.0:
+        _log(
+            f"pitch {d_mm:.1f} mm: element margin {margin_mm:.1f} mm, "
+            f"feed stub {feed_mm:.1f} mm (auto-shrunk to fit)"
+        )
+
+    patches = [
+        PatchInstance(
+            name=f"p{i}{j}",
+            params=params,
+            center_x_m=(i - (nx - 1) / 2.0) * d_mm * 1e-3,
+            center_y_m=(j - (ny - 1) / 2.0) * d_mm * 1e-3,
+        )
+        for i in range(nx)
+        for j in range(ny)
+    ]
+    prep = prepare_multi_patch_3d(
+        patches,
+        mesh_quality=mesh_quality,
+        verbose=verbose,
+        element_margin_mm=margin_mm,
+        feed_line_length_mm=feed_mm,
+        log_cb=log_cb,
+    )
+    if not prep.ok:
+        return ArrayDesignResult(
+            False, f"prepare failed: {prep.message}",
+            spacing_mm=d_mm, margin_mm=margin_mm, feed_mm=feed_mm,
+        )
+
+    n_total = nx * ny
+    run_state = {"done": 0}
+
+    def _run_progress(j, n):
+        run_state["done"] = int(j)
+        if progress_cb is not None:
+            try:
+                progress_cb(int(j), int(n), j / max(n, 1))
+            except Exception:
+                pass
+
+    def _step_progress(steps_done, n_steps_max, e_ratio):
+        if progress_cb is not None:
+            frac = min(steps_done / max(n_steps_max, 1), 1.0)
+            try:
+                progress_cb(
+                    run_state["done"], n_total,
+                    (run_state["done"] + frac) / n_total,
+                )
+            except Exception:
+                pass
+
+    eps = compute_embedded_patterns(
+        prep,
+        theta_deg=np.arange(0.0, 181.0, float(theta_step_deg)),
+        phi_deg=np.arange(0.0, 360.0, float(phi_step_deg)),
+        progress_cb=_run_progress,
+        abort_cb=abort_cb,
+        step_progress_cb=_step_progress,
+    )
+    if not eps.ok:
+        return ArrayDesignResult(
+            False, f"extraction failed: {eps.message}",
+            prep=prep, spacing_mm=d_mm, margin_mm=margin_mm, feed_mm=feed_mm,
+        )
+
+    f_res, resonant = pick_resonance(eps.smatrix, float(params.frequency_hz))
+    fi = int(np.argmin(np.abs(eps.freq_hz - f_res)))
+    if not resonant:
+        _log(
+            "no mean-S11 dip cleared -10 dB; synthesizing at the design "
+            f"frequency {params.frequency_hz / 1e9:.3f} GHz"
+        )
+    return ArrayDesignResult(
+        True,
+        f"array {nx}×{ny}: {eps.message}",
+        patterns=eps,
+        prep=prep,
+        spacing_mm=d_mm,
+        margin_mm=margin_mm,
+        feed_mm=feed_mm,
+        f_synth_hz=f_res,
+        fi=fi,
+        resonant=resonant,
     )

@@ -90,6 +90,8 @@ def compute_s_matrix(
     restore: bool = True,
     progress_cb=None,
     on_run=None,
+    abort_cb=None,
+    step_progress_cb=None,
 ) -> SMatrixResult:
     """Extract the (N, N, Nf) S-parameter matrix of a prepared scene.
 
@@ -111,6 +113,13 @@ def compute_s_matrix(
     spectrum ``a_j`` on ``sim.port_freqs_hz`` — the hook the embedded
     element-pattern extractor (``solvers.array_synth``) uses to share
     these N runs instead of re-running them.
+
+    ``abort_cb() -> bool`` is forwarded to every run (checked at the
+    engine's superchunk boundaries) and between runs; an abort returns
+    ``ok=False`` with the original excitations restored.
+    ``step_progress_cb(steps_done, n_steps_max, e_ratio)`` is forwarded
+    to each run for step-level progress within a one-hot run (frontends
+    combine it with ``progress_cb``'s run count for an overall bar).
     """
     sim = getattr(prep_or_sim, "sim", prep_or_sim)
     if sim is None:
@@ -135,10 +144,18 @@ def compute_s_matrix(
     t0 = time.time()
     try:
         for j in range(n):
+            if abort_cb is not None and abort_cb():
+                return SMatrixResult(
+                    False, f"aborted before one-hot run {j + 1}/{n}"
+                )
             one_hot = np.zeros(n)
             one_hot[j] = pol[j]
             set_port_excitation(sim, one_hot)
-            out = sim.run()
+            out = sim.run(progress_cb=step_progress_cb, abort_cb=abort_cb)
+            if out.get("aborted"):
+                return SMatrixResult(
+                    False, f"aborted during one-hot run {j + 1}/{n}"
+                )
             steps = max(steps, int(out["steps"]))
             # polarity-corrected spectra in each port's own reference
             uf = np.asarray(out["uf"])[:n] * pol[:, None]

@@ -209,3 +209,98 @@ def test_unknown_steering_kind_raises(extracted):
         eps.steering_weights(0.0, 0.0, kind="magic")
     with pytest.raises(ValueError):
         eps.synthesize([1.0, 2.0, 3.0])
+
+
+# ---------------------------------------------------------------------------
+# design_array / pick_resonance / array_run_summary (the shared workflow
+# behind the CLI `array` command and the web UI Array tab)
+# ---------------------------------------------------------------------------
+
+from fdtd_solver_antennas_tpu.solvers.array_synth import (  # noqa: E402
+    ArrayDesignResult,
+    array_run_summary,
+    design_array,
+    pick_resonance,
+)
+from fdtd_solver_antennas_tpu.solvers.sparams import (  # noqa: E402
+    SMatrixResult,
+    compute_s_matrix,
+)
+
+
+def _synthetic_smatrix(diag_db):
+    """Diagonal-only S matrix whose |S_ii| (dB) is `diag_db` (N, Nf)."""
+    diag = np.asarray(diag_db, float)
+    n, nf = diag.shape
+    s = np.zeros((n, n, nf), complex)
+    for i in range(n):
+        s[i, i] = 10.0 ** (diag[i] / 20.0)
+    return SMatrixResult(
+        True, "synthetic", freq_hz=np.linspace(2e9, 3e9, nf), s=s,
+        z_ref=np.full(n, 50.0),
+    )
+
+
+def test_pick_resonance_gated_dip():
+    # mean dip at index 3 clears the -10 dB gate -> that frequency wins
+    sm = _synthetic_smatrix([[-2, -6, -9, -18, -4], [-2, -6, -9, -16, -4]])
+    f, resonant = pick_resonance(sm, 9.9e9)
+    assert resonant and f == pytest.approx(sm.freq_hz[3])
+
+
+def test_pick_resonance_falls_back_to_design_frequency():
+    # the deepest mean dip (-9 dB) misses the gate -> design f0, flagged
+    sm = _synthetic_smatrix([[-2, -9, -4], [-2, -9, -4]])
+    f, resonant = pick_resonance(sm, 9.9e9)
+    assert not resonant and f == pytest.approx(9.9e9)
+    # band-edge noise below the gate must still win only at the argmin
+    sm2 = _synthetic_smatrix([[-12, -3, -30], [-12, -3, -28]])
+    f2, r2 = pick_resonance(sm2, 9.9e9)
+    assert r2 and f2 == pytest.approx(sm2.freq_hz[2])
+
+
+def test_design_array_rejects_tight_pitch_and_bad_counts():
+    from fdtd_solver_antennas_tpu.models.params import PatchAntennaParams
+
+    p = PatchAntennaParams.from_user_units(
+        frequency_ghz=10.0, er=2.2, h_mm=0.787, loss_tangent=0.0009
+    )
+    # default pitch is free-space lambda/2 = 15 mm; the 10 GHz patch is
+    # ~12 mm wide, so the <=4 mm gap guard must refuse before any FDTD
+    d = design_array(p, 2, 1)
+    assert not d.ok and "increase the pitch" in d.message
+    assert d.spacing_mm == pytest.approx(14.99, abs=0.05)
+    # the guard must consider the y pitch (patch L) for ny > 1 too
+    dy = design_array(p, 1, 2, spacing_mm=12.0)
+    assert not dy.ok and "increase the pitch" in dy.message
+    assert not design_array(p, 0, 1).ok
+    assert not design_array(p, 1, 0).ok
+
+
+def test_array_run_summary_shapes(extracted):
+    """array_run_summary on a hand-assembled design over the shared
+    extraction: headline keys present, broadside == uniform synthesis."""
+    _, eps, _ = extracted
+    design = ArrayDesignResult(
+        True, "test", patterns=eps, spacing_mm=26.0,
+        f_synth_hz=float(eps.freq_hz[0]), fi=0, resonant=False,
+    )
+    td, pd, _, _ = _element_peak_deg(eps)
+    summary, broadside, steered, w = array_run_summary(design, td, pd)
+    assert summary["n_ports"] == 2
+    assert summary["synth_freq_ghz"] == pytest.approx(NF_FREQ / 1e9)
+    assert len(summary["s11_db"]) == 2
+    assert summary["max_coupling_db"] is not None
+    assert len(summary["steering_weights"]) == 2 and len(w) == 2
+    ref = eps.synthesize(np.ones(2, complex), fi=0)
+    np.testing.assert_allclose(broadside.U, ref.U)
+    # design.steer must agree with the summary's steered beam
+    np.testing.assert_allclose(design.steer(td, pd).U, steered.U)
+
+
+def test_smatrix_abort_restores_excitation(extracted):
+    sim, _, _ = extracted
+    orig = [float(p.spec.excite) for p in sim.ports]
+    res = compute_s_matrix(sim, abort_cb=lambda: True)
+    assert not res.ok and "abort" in res.message
+    assert [float(p.spec.excite) for p in sim.ports] == orig
