@@ -18,7 +18,10 @@ Parity flows:
 - pattern-analysis tiles with the dynamic-range classification (:268-290);
 - E/H-cut → full-sphere interpolated 3D surface (:346-469);
 - an interactive 3D scene view (viz/scene3d.py) replacing the reference's
-  Windows-only PyVista embedding (gui_app.py:1352-2480).
+  Windows-only PyVista embedding (gui_app.py:1352-2480);
+- an Array tab (beyond the reference): nx×ny embedded-pattern extraction
+  with live progress + abort, S-matrix plot, and interactive beam steering
+  on the shared ``design_array``/``array_run_summary`` workflow.
 
 Unlike the reference's abort flag (which could only prevent a run from
 *starting*, :165-168), FDTD runs execute on a background thread
@@ -197,7 +200,7 @@ def main() -> None:  # pragma: no cover - exercised manually via streamlit
     st.title("Patch Antenna Simulator — TPU-native FDTD")
 
     for key in ("prepared_fixed", "prepared_legacy", "legacy_mode",
-                "fixed_run", "fixed_result"):
+                "fixed_run", "fixed_result", "array_run", "array_design"):
         if key not in st.session_state:
             st.session_state[key] = None
 
@@ -246,8 +249,8 @@ def main() -> None:  # pragma: no cover - exercised manually via streamlit
     ):
         col.metric(label, fmt.format(summary[key]))
 
-    tab_analytical, tab_fdtd, tab_legacy, tab_scene = st.tabs(
-        ["Analytical", "FDTD (TPU)", "Legacy / 2D", "Scene 3D"]
+    tab_analytical, tab_fdtd, tab_legacy, tab_array, tab_scene = st.tabs(
+        ["Analytical", "FDTD (TPU)", "Legacy / 2D", "Array", "Scene 3D"]
     )
 
     def analytical_compare_expander():
@@ -428,6 +431,143 @@ def main() -> None:  # pragma: no cover - exercised manually via streamlit
                 _show(fig)
                 result_tiles(result)
                 analytical_compare_expander()
+
+    with tab_array:
+        st.subheader("Phased array — embedded patterns + S-matrix")
+        st.caption(
+            "Places nx×ny copies of the sidebar patch, runs one FDTD per "
+            "port to extract the full S-matrix and embedded element "
+            "patterns, then synthesizes steered beams (beyond the "
+            "reference, which simulates one element at a time)."
+        )
+        c1, c2, c3, c4 = st.columns(4)
+        arr_nx = c1.number_input("nx", 1, 8, 2)
+        arr_ny = c2.number_input("ny", 1, 8, 1)
+        arr_pitch = c3.number_input(
+            "Pitch (mm, 0 = λ₀/2)", 0.0, 500.0, 0.0, step=5.0
+        )
+        arr_quality = c4.number_input("Mesh quality", 1, 5, 3)
+
+        arun = st.session_state.array_run
+        if st.button(
+            "Design array", disabled=arun is not None and arun.running
+        ):
+            from ..solvers.array_synth import design_array
+
+            st.session_state.array_design = None
+            st.session_state.array_run = BackgroundRun().start(
+                design_array,
+                params,
+                int(arr_nx),
+                int(arr_ny),
+                float(arr_pitch) or None,
+                mesh_quality=int(arr_quality),
+            )
+            st.rerun()
+
+        arun = st.session_state.array_run
+        if arun is not None:
+            if arun.running:
+                done, total, ratio = arun.progress
+                st.progress(
+                    min(max(ratio, 0.0), 1.0),
+                    text=f"One-hot FDTD runs: {done}/{total} complete",
+                )
+                if st.button("🛑 Stop array run", disabled=arun.aborting):
+                    arun.abort()
+                import time as _time
+
+                _time.sleep(0.4)
+                st.rerun()
+            else:
+                st.session_state.array_run = None
+                if arun.error is not None:
+                    st.session_state.array_error = (
+                        f"Array design failed: {arun.error}"
+                    )
+                else:
+                    st.session_state.array_error = None
+                    st.session_state.array_design = arun.result
+                st.rerun()
+
+        if st.session_state.get("array_error"):
+            st.error(st.session_state.array_error)
+        design = st.session_state.array_design
+        if design is not None and not design.ok:
+            st.error(design.message)
+        elif design is not None:
+            from ..solvers.array_synth import array_run_summary
+
+            st.success(design.message)
+            s1, s2, s3 = st.columns(3)
+            steer_theta = s1.slider("Steer θ (°)", 0.0, 60.0, 25.0, 5.0)
+            steer_phi = s2.slider("Steer φ (°)", 0.0, 360.0, 0.0, 15.0)
+            steer_kind = s3.selectbox(
+                "Steering weights", ["conjugate", "geometric"],
+                help="conjugate = embedded-pattern conjugate match; "
+                "geometric = ideal progressive phase",
+            )
+            summary, broadside, steered, _ = array_run_summary(
+                design, steer_theta, steer_phi, kind=steer_kind
+            )
+            m1, m2, m3, m4 = st.columns(4)
+            m1.metric("Synthesis f", f"{summary['synth_freq_ghz']:.3f} GHz")
+            m2.metric(
+                "Broadside gain", f"{summary['broadside_gain_dbi']:.1f} dBi"
+            )
+            m3.metric("Steered gain", f"{summary['steered_gain_dbi']:.1f} dBi")
+            m4.metric(
+                "Max coupling",
+                "—" if summary["max_coupling_db"] is None
+                else f"{summary['max_coupling_db']:.1f} dB",
+            )
+            if not design.resonant:
+                st.warning(
+                    "No mean-S11 dip cleared −10 dB in the simulated band; "
+                    "synthesizing at the design frequency instead."
+                )
+            pk = summary["steered_peak_deg"]
+            st.caption(
+                f"Steered beam peaks at θ={pk[0]:.0f}°, φ={pk[1]:.0f}° "
+                f"(commanded θ={steer_theta:.0f}°, φ={steer_phi:.0f}°)."
+            )
+
+            # per-port return loss + worst coupling vs frequency
+            sm = design.smatrix
+            s_db = 20 * np.log10(np.maximum(np.abs(sm.s), 1e-12))
+            fig, ax = plt.subplots(figsize=(8, 3))
+            n = s_db.shape[0]
+            for k in range(n):
+                ax.plot(sm.freq_hz / 1e9, s_db[k, k], label=f"S{k+1}{k+1}")
+            if n > 1:
+                mask = ~np.eye(n, dtype=bool)
+                ax.plot(
+                    sm.freq_hz / 1e9,
+                    s_db[mask].reshape(n * (n - 1), -1).max(axis=0),
+                    "k--", label="max |Sij|, i≠j",
+                )
+            ax.axhline(-10, ls=":", c="gray")
+            ax.axvline(summary["synth_freq_ghz"], ls=":", c="tab:red")
+            ax.set_xlabel("f (GHz)")
+            ax.set_ylabel("dB")
+            ax.legend(fontsize=8, ncol=min(n + 1, 5))
+            ax.grid(alpha=0.4)
+            _show(fig)
+
+            from ..viz.plotting import plot_3d_pattern_from_grid as _p3g
+
+            p1, p2 = st.columns(2)
+            for col, tag, pat in (
+                (p1, "Broadside", broadside), (p2, "Steered", steered)
+            ):
+                with col:
+                    st.write(f"**{tag}** — realized gain")
+                    _show(
+                        _p3g(
+                            pat.theta, pat.phi, pat.realized_gain,
+                            colors_db=pat.realized_gain_dbi(),
+                        )
+                    )
 
     with tab_scene:
         st.subheader("Interactive 3D scene")

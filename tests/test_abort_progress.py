@@ -164,3 +164,23 @@ def test_background_run_abort_and_error():
         time.sleep(0.01)
     assert run2.error == "boom"
     assert run2.result is None
+
+
+def test_background_run_drives_design_array():
+    """The webapp Array tab's exact call path: BackgroundRun injects
+    progress_cb/abort_cb kwargs into design_array — the signatures must
+    stay compatible. Uses the tight-pitch guard so no FDTD runs."""
+    import time
+
+    from fdtd_solver_antennas_tpu.models.params import PatchAntennaParams
+    from fdtd_solver_antennas_tpu.solvers.array_synth import design_array
+
+    p = PatchAntennaParams.from_user_units(
+        frequency_ghz=10.0, er=2.2, h_mm=0.787, loss_tangent=0.0009
+    )
+    run = BackgroundRun().start(design_array, p, 2, 1)
+    deadline = time.time() + 30.0
+    while run.running and time.time() < deadline:
+        time.sleep(0.01)
+    assert not run.running and run.error is None
+    assert not run.result.ok and "increase the pitch" in run.result.message
