@@ -113,6 +113,28 @@ def main() -> None:
     arr_p.add_argument("--theta-step", type=float, default=5.0)
     arr_p.add_argument("--phi-step", type=float, default=5.0)
 
+    inv_p = sub.add_parser(
+        "inverse",
+        help="adjoint topology optimization of the patch metallization "
+        "against the S11 band (optimize -> threshold -> validate)",
+    )
+    _add_common_antenna_args(inv_p)
+    inv_p.add_argument("--iters", type=int, default=40)
+    inv_p.add_argument("--lr", type=float, default=0.05)
+    inv_p.add_argument(
+        "--band-pct", type=float, default=10.0,
+        help="loss band half-width around f0 in percent",
+    )
+    inv_p.add_argument("--n-freqs", type=int, default=5)
+    inv_p.add_argument(
+        "--mesh-divisor", type=float, default=20.0,
+        help="design-region resolution: cells per wavelength",
+    )
+    inv_p.add_argument(
+        "--beta", type=float, default=4.0,
+        help="sigmoid sharpness pushing densities toward 0/1",
+    )
+
     args = parser.parse_args()
     outdir = Path(args.outdir)
     outdir.mkdir(parents=True, exist_ok=True)
@@ -191,6 +213,82 @@ def main() -> None:
                 outdir / f"array_{tag}.png", dpi=160, bbox_inches="tight"
             )
             print(f"Saved: {outdir / f'array_{tag}.png'}")
+        return
+
+    if args.cmd == "inverse":
+        from .solvers.inverse import prepare_patch_inverse
+
+        f0 = params.frequency_hz
+        half = args.band_pct / 100.0
+        freqs = np.linspace((1 - half) * f0, (1 + half) * f0, args.n_freqs)
+        print(f"Building differentiable problem (mesh λ/{args.mesh_divisor:g}) …")
+        prob = prepare_patch_inverse(
+            params, freqs_hz=freqs, mesh_divisor=args.mesh_divisor
+        )
+        ni, nj = prob.region.shape
+        print(
+            f"Design region {ni}×{nj} px over "
+            f"x∈[{prob.region.x_mm[0]:.1f},{prob.region.x_mm[1]:.1f}] "
+            f"y∈[{prob.region.y_mm[0]:.1f},{prob.region.y_mm[1]:.1f}] mm; "
+            f"{prob.n_steps} differentiable steps/iter"
+        )
+        res = prob.optimize(
+            n_iters=args.iters, lr=args.lr, beta_sharpen=args.beta,
+            callback=lambda it, v, _r: print(
+                f"  iter {it + 1}/{args.iters}  loss={v:.5f}"
+            ),
+        )
+        val = prob.validate(res.rho)
+        spec = val["spectra"]
+        summary = {
+            "loss_initial": res.history[0],
+            "loss_final": res.history[-1],
+            "soft_s11_db_band": [float(v) for v in res.s11_db()],
+            "validated_f_res_ghz": (
+                val["f_res_hz"] / 1e9 if val["f_res_hz"] else None
+            ),
+            "validated_s11_min_db": (
+                float(np.min(20 * np.log10(np.maximum(np.abs(spec.s11), 1e-12))))
+                if spec is not None else None
+            ),
+            "validated_steps": val["steps"],
+            "optimize_wall_s": res.wall_s,
+        }
+        print(json.dumps(summary, indent=2))
+        np.savez(
+            outdir / "inverse_design.npz",
+            rho=res.rho, rho_binary=val["rho_binary"],
+            loss_history=np.asarray(res.history),
+            freqs_hz=res.freqs_hz, s11=res.s11,
+            validated_freq_hz=spec.freq_hz, validated_s11=spec.s11,
+            region_x_mm=np.asarray(prob.region.x_mm),
+            region_y_mm=np.asarray(prob.region.y_mm),
+        )
+        print(f"Saved: {outdir / 'inverse_design.npz'}")
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, (ax0, ax1) = plt.subplots(1, 2, figsize=(10, 4))
+        ax0.imshow(
+            res.rho.T, origin="lower", cmap="gray_r", vmin=0, vmax=1,
+            extent=[*prob.region.x_mm, *prob.region.y_mm], aspect="equal",
+        )
+        ax0.set_title("metallization density ρ")
+        ax0.set_xlabel("x (mm)")
+        ax0.set_ylabel("y (mm)")
+        val_db = 20 * np.log10(np.maximum(np.abs(spec.s11), 1e-12))
+        ax1.plot(spec.freq_hz / 1e9, val_db, label="validated (binary)")
+        ax1.plot(res.freqs_hz / 1e9, res.s11_db(), "o", label="soft model")
+        ax1.axhline(-10, color="k", lw=0.5, ls="--")
+        ax1.set_xlabel("f (GHz)")
+        ax1.set_ylabel("S11 (dB)")
+        ax1.legend()
+        ax1.grid(alpha=0.3)
+        fig.savefig(outdir / "inverse_design.png", dpi=160,
+                    bbox_inches="tight")
+        print(f"Saved: {outdir / 'inverse_design.png'}")
         return
 
     if args.cmd == "simulate":
