@@ -351,7 +351,7 @@ def pick_shard_stream_params(n, decim, py, pz, n_src, mur, has_pml=False):
 
 
 def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef, shard=None,
-                                pml=None):
+                                pml=None, interpret=None):
     """HBM-streaming trapezoidal T-step kernel for large grids (any z).
 
     The VMEM-resident chunk kernel requires the whole working set in VMEM
@@ -994,7 +994,8 @@ def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef, shard=None,
     col_c = pl.BlockSpec((B, 1), lambda j: (j, 0), memory_space=pltpu.VMEM)
     col_n = pl.BlockSpec((B, 1), next_i, memory_space=pltpu.VMEM)
 
-    interpret = jax.default_backend() not in ("tpu", "axon")
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
     out6 = jax.ShapeDtypeStruct((R, C), jnp.float32)
 
     mask_specs = (
@@ -1542,7 +1543,7 @@ def shard_vmem_bytes(n_local: int, halo: int, py: int, n_src: int,
 
 
 def build_pallas_shard_stepper(sim, inv_p, inv_d, mur_coef, pml, n_dev,
-                               k_steps=None):
+                               k_steps=None, interpret=None):
     """K-step field advancer for one x-shard of the explicit shard_map path.
 
     Each device owns ``n = Px // n_dev`` rows plus a ``W = K`` row halo on
@@ -1836,7 +1837,8 @@ def build_pallas_shard_stepper(sim, inv_p, inv_d, mur_coef, pml, n_dev,
     out_shape = tuple(
         jax.ShapeDtypeStruct((m, C), jnp.float32) for _ in range(6 + n_psi)
     )
-    interpret = jax.default_backend() not in ("tpu", "axon")
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
 
     call = pl.pallas_call(
         kernel,

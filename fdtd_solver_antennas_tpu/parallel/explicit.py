@@ -189,9 +189,15 @@ def build_explicit_run(sim, mesh: Mesh, axis_name: str | None = None,
         else pick_shard_stream_params(n, _decim, Py, Pz, _n_src, _is_mur,
                                       _has_pml)
     )
+    # Gate on the MESH devices' platform, not the process default backend:
+    # the axon plugin can keep ``jax.default_backend()`` reporting "tpu"
+    # even when this mesh was built from virtual CPU devices (the driver's
+    # multi-chip dryrun) — a real kernel would then fail to lower on CPU.
+    _mesh_plat = str(mesh.devices.flat[0].platform).lower()
+    _mesh_is_tpu = _mesh_plat in ("tpu", "axon")
     if use_kernel is None:
         use_kernel = (_kernel_fits or _stream_params is not None) and \
-            _jax.default_backend() in ("tpu", "axon")
+            _mesh_is_tpu
     elif use_kernel and not (_kernel_fits or _stream_params is not None):
         raise ValueError(
             f"no shard kernel fits: Pz={Pz} (VMEM kernel needs ≤{LANE}), "
@@ -214,14 +220,15 @@ def build_explicit_run(sim, mesh: Mesh, axis_name: str | None = None,
     stream_kern = None
     if use_kernel:
         shard_kern = build_pallas_shard_stepper(
-            sim, inv_p, inv_d, mur_coef, pml, n_dev, k_steps=_K
+            sim, inv_p, inv_d, mur_coef, pml, n_dev, k_steps=_K,
+            interpret=not _mesh_is_tpu,
         )
     elif use_stream:
         _Bx, _T, _rem = _stream_params
         stream_kern = build_pallas_stream_stepper(
             sim, inv_p, inv_d, mur_coef,
             shard=dict(n_dev=n_dev, n=n, Bx=_Bx, T=_T, rem=_rem),
-            pml=pml,
+            pml=pml, interpret=not _mesh_is_tpu,
         )
     n_ports = n_probe_rows(sim)
     n_src_steps = sim.n_source_steps
