@@ -285,39 +285,105 @@ def build_pallas_stepper(sim, inv_p, inv_d, mur_coef, alias: bool = False):
 # ---------------------------------------------------------------------------
 
 def stream_vmem_bytes(py: int, pz: int, n_src: int, block: int,
-                      n_psi: int = 0) -> int:
+                      n_psi: int = 0, T: int = None,
+                      lo_rows: int = 0) -> int:
     """Estimated peak VMEM of one streaming-kernel grid step at ``block``
     x-planes per block.
 
     Rows in the interleaved layout are ``py·128`` lanes; a block holds
-    ``B = block·ceil(pz/128)`` of them. Calibrated against the XLA
-    allocator's scoped-vmem reports on v5e (most recently 113.44 MB
-    measured vs 113.6 MB estimated at B=8, Py=201, n_src=1, MUR, after
-    the per-step coefficient/source window slicing): double-buffered
-    (prev, cur, next) input blocks for the 12 field + 6 coefficient +
-    n_src source (+ ``n_psi`` CPML ψ) arrays, double-buffered outputs,
-    and ~48 block-rows' worth of window temporaries (~12 more per ψ
-    family for the recursion intermediates).
+    ``B = block·ceil(pz/128)`` of them.
+
+    Two accounting modes:
+
+    - ``T=None`` — the sharded-variant layout (everything triplicated
+      prev/cur/next): double-buffered input blocks for the 12 field +
+      6 coefficient + n_src source (+ ``n_psi`` CPML ψ) arrays,
+      double-buffered outputs, and ~48 block-rows of window
+      temporaries. Calibrated on v5e at 113.44 MB measured vs 113.6 MB
+      estimated (B=8, Py=201, n_src=1, MUR).
+    - ``T`` given — the round-4 single-chip layout, where the read-only
+      coefficient/source arrays stream as ONE halo-extended window of
+      ``Bw = B + 2·T·ZT + lo`` rows per block instead of three full
+      blocks: fields (+ψ) stay triplicated (they are state), outputs
+      double-buffered, plus window temporaries that scale with the
+      trapezoid (the E/H window concats live across the unrolled T-step
+      loop). Calibrated on v5e: flagship z=152 Bx=4/T=2 measured
+      104.2 MB vs 105.9 estimated; tall z=160 Bx=8/T=3 measured
+      146.95 MB vs 147.2 estimated (see BASELINE.md roofline section).
     """
     zt = -(-pz // 128)
     B = block * zt
     row_bytes = py * 128 * 4
-    rows = (2 * (12 + n_psi + n_src) * 3 * B
-            + 2 * (6 + n_psi) * B
-            + (48 + n_psi) * B)
+    if T is None:
+        rows = (2 * (12 + n_psi + n_src) * 3 * B
+                + 2 * (6 + n_psi) * B
+                + (48 + n_psi) * B)
+        return rows * row_bytes
+    # the halo-extended coeff/src window the kernel actually fetches
+    # (exact: E-update rows of steps 1..T), Mosaic-rounded to 8 sublanes
+    bw = -(-(B + 2 * (T - 1) * zt + lo_rows) // 8) * 8
+    # the E/H window concats (live across the unrolled T-step loop)
+    win = B + 2 * T * zt + lo_rows
+    rows = (
+        2 * (6 + n_psi) * 3 * B        # field/ψ inputs (p/c/n), dbuf
+        + 2 * (6 + n_psi) * B          # outputs, dbuf
+        + 2 * (6 + n_src) * bw         # coeff/src halo windows, dbuf
+        # temporaries: calibrated at 21·win against the trip-layout
+        # measurement (113.44 MB at B=8/Py=201/T=2 → 382 temp rows over
+        # an 18-row window); ψ recursion intermediates add ~2 rows/ψ
+        + (21 + 2 * n_psi) * win
+    )
     return rows * row_bytes
-
-
-# (Single-chip stream-block selection lives in ops.fdtd._stream_prepass —
-# it needs build-time context this module doesn't have: the cfg/boundary
-# and the pre-padding grid shape.)
 
 
 # Peak VMEM allowed for one streaming-kernel invocation (as estimated by
 # stream_vmem_bytes, calibrated against the XLA allocator's OOM reports).
 # The v5e exposes 128 MB of VMEM; the kernel sets a 127 MB limit, and the
-# flagship z=152 scene at B=8 rows estimates ~114 MB.
+# flagship z=152 scene at B=8 rows estimates ~106 MB.
 STREAM_VMEM_BUDGET = 120 * 1024 * 1024
+
+
+def pick_stream_params(py, pz, n_src, qx, mur, n_psi=0, decim=None):
+    """Jointly choose (Bx, T) for the single-chip streaming kernel.
+
+    Minimizes amortized HBM traffic per leapfrog step: one invocation
+    moves ``(6+nψ)·3B`` field rows in, ``(6+nψ)·B`` out, and
+    ``(6+n_src)·Bw`` halo-extended coefficient/source rows, and advances
+    ``T`` steps over ``Bx`` x-planes — deeper trapezoids amortize every
+    fetch but grow the VMEM windows and the redundant-compute cone, so
+    the best point is the largest T whose block still fits the VMEM
+    budget (for a fixed block, traffic is strictly decreasing in T).
+    Round 3 hard-coded T ≤ 4 and picked the block first (the flagship
+    resolved Bx=4/T=2); this joint pick lets small-row scenes take
+    Bx=8/T≥3 (VERDICT r3 next #3).
+
+    Legality: ``B = Bx·ZT ≡ 0 (mod 8)`` (Mosaic sublane tiling),
+    ``T ≤ (B − lo)/ZT − 1`` (the trapezoid must fit the halo the
+    neighbor block provides, ``lo`` = ZT when the MUR top x-face sits on
+    a block boundary), and ``T ≤ decim`` when given (probe cadence).
+
+    Returns ``(Bx, T)`` or ``(0, 0)`` when nothing fits.
+    """
+    zt = -(-pz // 128)
+    best = None  # (traffic_per_cell_step, Bx, T)
+    for b in (16, 12, 8, 6, 4, 3):
+        B = b * zt
+        if B % 8:
+            continue
+        lo = zt if (mur and ((qx - 1) * zt) % B == 0) else 0
+        t_hi = (B - lo) // zt - 1
+        if decim is not None:
+            t_hi = min(t_hi, decim)
+        for t in range(min(t_hi, 8), 0, -1):
+            if stream_vmem_bytes(py, pz, n_src, b, n_psi, T=t,
+                                 lo_rows=lo) > STREAM_VMEM_BUDGET:
+                continue
+            bw = B + 2 * t * zt + lo
+            traffic = ((6 + n_psi) * 4 * B + (6 + n_src) * bw) / (t * b)
+            if best is None or traffic < best[0] - 1e-9:
+                best = (traffic, b, t)
+            break  # larger t is strictly better at fixed b
+    return (best[1], best[2]) if best else (0, 0)
 
 
 def pick_shard_stream_params(n, decim, py, pz, n_src, mur, has_pml=False):
@@ -619,8 +685,34 @@ def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef, shard=None,
     def dn(a, axis, n):
         return pltpu.roll(a, n, axis)
 
-    n_coef = 6 * 3
-    n_srcw = n_src * 3
+    # Single-chip (round 4): the read-only coefficient/source arrays
+    # stream as ONE halo-extended window per block — rows
+    # [j·B − Hlo, (j+1)·B + Hhi) materialized per block on the host/at
+    # build — instead of three full (prev, cur, next) blocks. The
+    # E-update at step k touches rows [B−(T−k)·ZT−lo, 2B+(T−k)·ZT+hi),
+    # so Hlo/Hhi = (T−1)·ZT + lo/hi cover every step exactly. This cuts
+    # the kernel's HBM traffic ~12% on the flagship (coeff+src fetches
+    # drop from 21·B to 7·Bw rows per invocation) and shrinks the VMEM
+    # window enough for deeper trapezoids on smaller-row scenes.
+    # The sharded variant keeps the triplicated layout (its per-device
+    # local arrays already carry halos).
+    import os as _os
+
+    halo_coefs = shard is None and _os.environ.get(
+        "FDTD_STREAM_COEF_MODE", "halo") != "trip"
+    if halo_coefs:
+        Hlo = (T - 1) * ZT + lo
+        Hhi = (T - 1) * ZT + hi
+        # Mosaic requires the block's sublane extent divisible by 8;
+        # round the window up with never-read trailing rows
+        BW = -(-(B + Hlo + Hhi) // 8) * 8
+        Hhi = BW - B - Hlo
+        woff = B - Hlo  # window coord of halo-ext ref row 0
+        n_coef = 6
+        n_srcw = n_src
+    else:
+        n_coef = 6 * 3
+        n_srcw = n_src * 3
 
     def kernel(*refs):
         wf_ref = refs[0]
@@ -730,13 +822,22 @@ def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef, shard=None,
         # Py=201) and pushed the flagship z=152 scene 584 KB past the
         # 127 MB scoped-VMEM limit; per-step slices are dead after each
         # step, so the stack allocator reuses them.
-        def coef_at(c, lo_w, hi_w):
-            return win3(coef_refs[c][:], coef_refs[6 + c][:],
-                        coef_refs[12 + c][:], lo_w, hi_w)
+        if halo_coefs:
+            # halo-extended single-window refs: window coords map to ref
+            # rows by a fixed offset (ref row 0 = window coord B − Hlo)
+            def coef_at(c, lo_w, hi_w):
+                return coef_refs[c][lo_w - woff : hi_w - woff]
 
-        def src_at(s, lo_w, hi_w):
-            return win3(src_refs[s][:], src_refs[n_src + s][:],
-                        src_refs[2 * n_src + s][:], lo_w, hi_w)
+            def src_at(s, lo_w, hi_w):
+                return src_refs[s][lo_w - woff : hi_w - woff]
+        else:
+            def coef_at(c, lo_w, hi_w):
+                return win3(coef_refs[c][:], coef_refs[6 + c][:],
+                            coef_refs[12 + c][:], lo_w, hi_w)
+
+            def src_at(s, lo_w, hi_w):
+                return win3(src_refs[s][:], src_refs[n_src + s][:],
+                            src_refs[2 * n_src + s][:], lo_w, hi_w)
 
         def up_z(self_a, rowp_a):
             """z+1 neighbor: lane roll +1, with zl=127 lanes patched from
@@ -1007,6 +1108,16 @@ def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef, shard=None,
     psi_specs = (
         [blk_p] * n_psi + [blk] * n_psi + [blk_n] * n_psi
     )
+    if halo_coefs:
+        # halo-extended single-window specs for the read-only arrays
+        blk_w = pl.BlockSpec((BW, C), lambda j: (j, 0),
+                             memory_space=pltpu.VMEM)
+        coefsrc_specs = [blk_w] * (6 + n_src)
+    else:
+        coefsrc_specs = (
+            [blk_p] * 6 + [blk] * 6 + [blk_n] * 6
+            + [blk_p] * n_src + [blk] * n_src + [blk_n] * n_src
+        )
     call = pl.pallas_call(
         kernel,
         grid=(nb,),
@@ -1019,8 +1130,7 @@ def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef, shard=None,
             + [col_p, col_c, col_n, col_p, col_c, col_n]      # ixp3, ixd3
             + mask_specs                                      # m0/mt p/c/n
             + pml_col_specs                                   # bh/ch/be/ce_x p/c/n
-            + [blk_p] * 6 + [blk] * 6 + [blk_n] * 6           # coeffs p/c/n
-            + [blk_p] * n_src + [blk] * n_src + [blk_n] * n_src
+            + coefsrc_specs                                   # coeffs + src
             + [blk_p] * 6 + [blk] * 6 + [blk_n] * 6           # fields p/c/n
             + psi_specs                                       # ψ p/c/n
         ),
@@ -1078,30 +1188,66 @@ def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef, shard=None,
             own0=own0, n_rows=sh_n * ZT, halo_rows=Hx * ZT,
         )
 
+    # host-side halo-extension: (R_g + pads, C) flat → (nb·BW, C) with
+    # block j's rows = global [j·B − Hlo, (j+1)·B + Hhi), zero beyond
+    # the domain (zero coefficients are exactly the out-of-domain value)
+    if halo_coefs:
+        _ext_idx = (
+            np.arange(nb)[:, None] * B + np.arange(BW)[None, :]
+        ).reshape(-1)
+
+        def _halo_ext_np(flat2d: np.ndarray) -> np.ndarray:
+            padded = np.pad(np.asarray(flat2d, np.float32),
+                            ((Hlo, Hhi), (0, 0)))
+            return np.ascontiguousarray(padded[_ext_idx])
+
+        def _halo_ext(flat2d: jnp.ndarray) -> jnp.ndarray:
+            padded = jnp.pad(flat2d, ((Hlo, Hhi), (0, 0)))
+            return padded[_ext_idx]
+
+        def _src_to_op_np(a3: np.ndarray) -> np.ndarray:
+            return _halo_ext_np(_to_flat_np(a3))
+
+        coef_statics = [_halo_ext(coeffs_flat[k]) for k in
+                        ("ca_ex", "cb_ex", "ca_ey", "cb_ey",
+                         "ca_ez", "cb_ez")]
+        _src_rep = 1
+    else:
+        _src_to_op_np = _to_flat_np
+        coef_statics = [coeffs_flat[k] for k in
+                        ("ca_ex", "cb_ex", "ca_ey", "cb_ey",
+                         "ca_ez", "cb_ez")] * 3
+        _src_rep = 3
+
     statics = tuple(
         lane_statics
         + [jnp.asarray(ix_p)] * 3 + [jnp.asarray(ix_d)] * 3
         + ([a for v in pml_xcols for a in [jnp.asarray(v)] * 3]
            if has_pml else [])
-        + [coeffs_flat[k] for k in
-           ("ca_ex", "cb_ex", "ca_ey", "cb_ey", "ca_ez", "cb_ez")] * 3
-        + [jnp.asarray(v) for v in src_inputs] * 3
+        + coef_statics
     )
 
-    def step_fn(statics_in, fields_flat, psi_flat, wf_t):
+    def step_fn(statics_in, src_ops, fields_flat, psi_flat, wf_t):
         """Advance T steps. ``statics_in`` must be passed through the
         enclosing jit as an *argument* (closure capture would embed
         ~200 MB of coefficient arrays as HLO constants, which made the
         remote-compile payload enormous and compile times explode).
-        ``psi_flat`` is the 12-tuple of CPML ψ arrays (pe6 then ph6, flat
-        layout) or () for MUR/PEC; returns (fields6, psi)."""
+        ``src_ops`` is the tuple of per-component source matrices in the
+        layout ``step_fn.src_to_flat_np`` produces (sorted-component
+        order) — a runtime operand so re-excitation (S-matrix one-hot
+        runs) re-uses the compiled program. ``psi_flat`` is the 12-tuple
+        of CPML ψ arrays (pe6 then ph6, flat layout) or () for MUR/PEC;
+        returns (fields6, psi)."""
         wf2 = jnp.asarray(wf_t, jnp.float32).reshape(1, T)
         fields = tuple(fields_flat)
         psi = tuple(psi_flat)
-        out = call(wf2, *statics_in, *fields, *fields, *fields,
+        src = tuple(src_ops) * _src_rep
+        out = call(wf2, *statics_in, *src, *fields, *fields, *fields,
                    *psi, *psi, *psi)
         return tuple(out[:6]), tuple(out[6:])
 
+    step_fn.src_to_flat_np = _src_to_op_np
+    step_fn.src_comps = src_comps
     return step_fn, statics, to_flat, from_flat, (R, C), T
 
 
@@ -1196,14 +1342,14 @@ def build_pallas_chunk_stepper(sim, inv_p, inv_d, mur_coef, pml=None):
     mz1[(zz == Qz - 1) & (yy < Qy)] = 1.0
     z_masks = [mz0.reshape(1, C), mz1.reshape(1, C)]
 
-    src_mats = build_src_mats(sim, Px, Py, Pz)
-    src_comps = sorted(src_mats)
+    # source-component key set (static); the matrices themselves enter
+    # chunk_fn as runtime operands so re-excitation never re-traces
+    src_comps = sorted(build_src_mats(sim, Px, Py, Pz))
+    n_src = len(src_comps)
+
     def _to_flat_np(a3):
         a3 = np.pad(a3, ((0, 0), (0, 0), (0, LANE - Pz)))
         return np.ascontiguousarray(a3.reshape(R, C))
-
-    src_inputs = [_to_flat_np(src_mats[c]) for c in src_comps]
-    n_src = len(src_comps)
 
     # --- CPML b/c profiles as broadcast vectors ----------------------------
     # ψ_h uses half-position profiles, ψ_e node-position; y/z-graded ones
@@ -1458,7 +1604,6 @@ def build_pallas_chunk_stepper(sim, inv_p, inv_d, mur_coef, pml=None):
         + [jnp.asarray(v) for v in z_masks]
         + [jnp.asarray(S_lo), jnp.asarray(S_hi)]
         + [jnp.asarray(v) for v in pml_vecs]
-        + [jnp.asarray(v) for v in src_inputs]
     )
 
     const = lambda shape: pl.BlockSpec(
@@ -1469,13 +1614,19 @@ def build_pallas_chunk_stepper(sim, inv_p, inv_d, mur_coef, pml=None):
         memory_space=pltpu.VMEM,
     )
 
+    # SMEM probe buffers sized from the sim's probe-row count (≥ 8 keeps
+    # the historical shape for small scenes; larger arrays — e.g. a 3×3
+    # patch array's 9 ports — stay on this fast path instead of silently
+    # demoting to stream/XLA, VERDICT r3 weak #5)
+    n_prows = max(8, len(ports_meta))
     in_specs = (
         [pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [const(a.shape) for a in static_inputs]
+        + [const((R, C))] * n_src
         + [const((R, C))] * (6 + n_psi)
     )
     smem_full = pl.BlockSpec(
-        (n_sub, 8), lambda j: (0, 0), memory_space=pltpu.SMEM
+        (n_sub, n_prows), lambda j: (0, 0), memory_space=pltpu.SMEM
     )
     out_specs = (
         tuple([const((R, C))] * (6 + n_psi))
@@ -1488,8 +1639,8 @@ def build_pallas_chunk_stepper(sim, inv_p, inv_d, mur_coef, pml=None):
         tuple(jax.ShapeDtypeStruct((R, C), jnp.float32)
               for _ in range(6 + n_psi))
         + (
-            jax.ShapeDtypeStruct((n_sub, 8), jnp.float32),
-            jax.ShapeDtypeStruct((n_sub, 8), jnp.float32),
+            jax.ShapeDtypeStruct((n_sub, n_prows), jnp.float32),
+            jax.ShapeDtypeStruct((n_sub, n_prows), jnp.float32),
             jax.ShapeDtypeStruct((n_sub, 2, 4, C), jnp.float32),
             jax.ShapeDtypeStruct((n_sub, 2, 4, R, LANE), jnp.float32),
             jax.ShapeDtypeStruct((n_sub, 2, 4, R, Py), jnp.float32),
@@ -1510,14 +1661,21 @@ def build_pallas_chunk_stepper(sim, inv_p, inv_d, mur_coef, pml=None):
         interpret=interpret,
     )
 
-    def chunk_fn(fields_flat, psi_e, psi_h, wf_chunk):
+    def chunk_fn(fields_flat, psi_e, psi_h, wf_chunk, src_flat):
+        """``src_flat``: per-component source matrices in the kernel's
+        flat (R, C) layout, sorted-component order — a *runtime operand*,
+        so re-exciting the ports (S-matrix one-hot runs) never re-traces
+        this call (VERDICT r3 next #1)."""
         wf2 = wf_chunk.reshape(1, n_sub * D)
-        out = call(wf2, *static_inputs, *fields_flat, *psi_e, *psi_h)
+        out = call(wf2, *static_inputs, *src_flat, *fields_flat,
+                   *psi_e, *psi_h)
         k = 6 + n_psi
         psi_out = out[6:k]
         return (tuple(out[:6]), tuple(psi_out[:6]), tuple(psi_out[6:]),
                 out[k], out[k + 1], out[k + 2], out[k + 3], out[k + 4])
 
+    chunk_fn.src_to_flat_np = _to_flat_np
+    chunk_fn.src_comps = src_comps
     return chunk_fn, to_flat, from_flat, n_sub
 
 

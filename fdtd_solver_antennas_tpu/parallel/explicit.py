@@ -141,11 +141,10 @@ def build_explicit_run(sim, mesh: Mesh, axis_name: str | None = None,
       multi-chip inherits the single-chip kernels' HBM-traffic profile
       instead of the ~2.5× slower per-step XLA walk;
     - False: the hand-written XLA step below (any shape/decimation);
-    - None (default): auto — a kernel when one fits the shape on a TPU
-      backend, else the XLA step.
+    - None (default): auto — a kernel when one fits the shape and the
+      mesh's devices are TPUs (the gate checks the mesh platform, not
+      the process default backend), else the XLA step.
     """
-    import jax as _jax
-
     axis_name = axis_name or mesh.axis_names[0]
     n_dev = int(np.prod(mesh.devices.shape))
     grid = sim.grid

@@ -28,9 +28,16 @@ polarity). The extractor drives each port with its own polarity and
 corrects every probe by the port's polarity, so off-diagonal phases are
 physical for rotated/flipped elements and S is reciprocal.
 
-Re-excitation reuses the prepared voxelization/mesh/probe layout and
-re-jits only the run closure (``ops.fdtd.set_port_excitation``); the
-N-run loop therefore costs N compiles + N runs.
+Re-excitation reuses the prepared voxelization/mesh/probe layout AND
+the compiled program: the engine's per-component source matrices are
+runtime operands of the jitted run (``ops.fdtd.set_port_excitation``
+just swaps same-shaped arrays through the jit cache), so the N-run
+loop costs **1 compile + N runs**. Through the tunneled TPU runtime a
+compile is ~25 s, so this is what makes a 2×2-array S-matrix
+physics-bound instead of compile-bound. The structural contrast with
+the reference is sharper still: openEMS must rebuild and re-mesh the
+whole scene to change an excitation (``excite`` is a CSXCAD
+scene-construction argument).
 """
 
 from __future__ import annotations

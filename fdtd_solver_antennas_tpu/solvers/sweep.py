@@ -75,7 +75,15 @@ def _make_vmapped_run(base) -> object:
     geometry to the whole batch on TPU.
     """
     run_raw = _make_run_fn(base, *base._aux, force_xla=True)
-    return jax.jit(jax.vmap(run_raw, in_axes=(0, None, None, None)))
+    jitted = jax.jit(jax.vmap(run_raw, in_axes=(0, None, None, None, None)))
+    # sweep variants share the base sim's (fixed) excitation: bind the
+    # source operands once, broadcast across the batch (in_axes=None)
+    src_ops = run_raw.build_src_ops()
+
+    def vrun(coeffs, waveform, w_port, w_nf):
+        return jitted(coeffs, waveform, w_port, w_nf, src_ops)
+
+    return vrun
 
 
 def _patch_dims_mm(p: PatchAntennaParams):

@@ -101,6 +101,8 @@ def test_msl_port_s11_matches_lumped(port_runs):
     assert db_msl < -10.0  # clean matched dip through the deembedding
 
 
+@pytest.mark.slow  # shares the expensive module fixture (56 s of CPU
+# FDTD); keeping it out of the fast tier keeps that tier < 6 min
 def test_msl_deembedded_line_impedance(port_runs):
     """The measured Z_L from the 3-probe derivatives must recover the
     Wheeler-synthesized 50 Ω line within 10% (band average)."""

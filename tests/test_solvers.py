@@ -197,6 +197,8 @@ def test_mixed_patch_horn_scene(params):
     assert len(res.diagnostics["s11_all_ports"]) == 2
 
 
+@pytest.mark.slow  # PML-8 build + 91×181 full-sphere transform ≈ 29 s;
+# the fixed/2D/multi protocol tests keep fast-tier protocol coverage
 def test_legacy_solver_protocol(params):
     prep = prepare_patch_legacy(params, n_steps_max=1200)
     assert prep.ok, prep.message

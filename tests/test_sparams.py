@@ -136,3 +136,63 @@ def test_set_port_excitation_validates_length():
     sim = _scene_one_patch()
     with pytest.raises(ValueError):
         set_port_excitation(sim, [1.0, 0.0])
+
+
+def test_s_matrix_is_one_compile(caplog):
+    """Re-excitation must NOT re-trace or re-compile: the source
+    matrices are runtime operands of the jitted run (VERDICT r3 #1 —
+    this is what makes the array workflow physics-bound instead of
+    compile-bound: ~25 s per avoided compile through the TPU tunnel)."""
+    import logging
+
+    import jax
+
+    sim = _scene_two_patches()
+    # identity check: re-excitation keeps the very same jitted objects
+    run_fn0, host0, resume0 = sim._run_fn, sim._host_run, sim._resume_fn
+    sim.run()  # cold run: traces + compiles the program
+    set_port_excitation(sim, [1.0, 0.0])
+    assert sim._run_fn is run_fn0 and sim._host_run is host0
+    # compile-log check: every subsequent one-hot run hits the jit cache
+    jax.config.update("jax_log_compiles", True)
+    try:
+        with caplog.at_level(logging.WARNING, logger="jax"):
+            set_port_excitation(sim, [1.0, 0.0])
+            out_a = sim.run()
+            set_port_excitation(sim, [0.0, 1.0])
+            out_b = sim.run()
+        compiles = [
+            r for r in caplog.records
+            if "compil" in r.getMessage().lower()
+        ]
+        assert not compiles, [r.getMessage() for r in compiles]
+    finally:
+        jax.config.update("jax_log_compiles", False)
+    # and the runs really did use different excitations
+    assert not np.allclose(np.asarray(out_a["uf"]), np.asarray(out_b["uf"]))
+
+
+def test_s_matrix_matches_rebuild_path():
+    """The operand-swap re-excitation is numerically identical to a full
+    run-fn rebuild (the pre-round-4 path)."""
+    from fdtd_solver_antennas_tpu.ops.fdtd import rebuild_run_fn
+
+    sim = _scene_two_patches()
+    res = compute_s_matrix(sim)
+    assert res.ok, res.message
+
+    cols = []
+    for j, one_hot in enumerate(([1.0, 0.0], [0.0, 1.0])):
+        set_port_excitation(sim, one_hot)
+        sim._resume_fn = None
+        rebuild_run_fn(sim)  # force a fresh trace with the new sources
+        out = sim.run()
+        cols.append((np.asarray(out["uf"])[:2], np.asarray(out["if_"])[:2]))
+
+    z = 50.0
+    for j, (uf, if_) in enumerate(cols):
+        a_j = 0.5 * (uf[j] + z * if_[j]) / np.sqrt(z)
+        b = 0.5 * (uf - z * if_) / np.sqrt(z)
+        np.testing.assert_allclose(
+            res.s[:, j, :], b / a_j, rtol=1e-5, atol=1e-8
+        )
