@@ -285,14 +285,16 @@ def test_explicit_stream_kernel_pml():
     def build():
         mb = MeshBuilder()
         mb.add_line("x", np.linspace(0, 23, 24))
-        mb.add_line("y", np.linspace(0, 7, 8))
+        # y needs 2*npml+4 = 12 lines for the PML profile build plus a
+        # non-degenerate NF2FF face inside the 4-cell PML + 2-cell margin.
+        mb.add_line("y", np.linspace(0, 15, 16))
         mb.add_line("z", np.linspace(0, 130, 131))
         grid = mb.build(1.0)
         scene = Scene()
-        scene.add_material_box("sub", 4.3, 0.005, [6, 1, 60], [18, 7, 64], 0)
-        scene.add_metal_box("patch", [8, 2, 64], [16, 6, 64], priority=10)
-        scene.add_metal_box("gnd", [6, 1, 60], [18, 7, 60], priority=10)
-        scene.add_lumped_port(1, 50.0, [12, 4, 60], [12, 4, 64],
+        scene.add_material_box("sub", 4.3, 0.005, [6, 5, 60], [18, 11, 64], 0)
+        scene.add_metal_box("patch", [8, 6, 64], [16, 10, 64], priority=10)
+        scene.add_metal_box("gnd", [6, 5, 60], [18, 11, 60], priority=10)
+        scene.add_lumped_port(1, 50.0, [12, 8, 60], [12, 8, 64],
                               direction="z")
         cfg = FDTDConfig(
             n_steps_max=40, check_every=40, end_criteria=1e-30,
