@@ -147,6 +147,12 @@ class FDTDConfig:
     # Trapezoid depth of the streaming kernel (leapfrog steps per block
     # fetch). None → auto (largest of 4/3/2 that fits the block halo).
     stream_T: int | None = None
+    # Streaming-kernel lane orientation: the flat layout pads whichever
+    # transverse axis rides the 128-lane tiles up to ceil(L/128)·128, so
+    # the kernel runs a y↔z-reflected scene when y pads less than z
+    # (pick_stream_layout). None → auto; True/False force the
+    # orientation (False reproduces the round-3 z-on-lanes layout).
+    stream_swap: bool | None = None
 
     def pml_cells(self) -> int:
         """0 when not a PML boundary, else the slab thickness in cells."""
@@ -411,6 +417,7 @@ class PreparedSimulation:
     pallas_mode_reason: str = ""
     stream_block: int = 0  # x-block height of the streaming kernel
     stream_T: int = 1  # leapfrog steps per streaming-kernel invocation
+    stream_swap: bool = False  # resolved lane orientation (y↔z reflected)
     field_sharding: object = None  # optional jax.sharding.NamedSharding
     _run_fn: object = None
     _host_run: object = None  # host-driven chunk pipeline (XLA/stream)
@@ -880,7 +887,8 @@ def build_simulation(
     # so over-padding when the mode ultimately resolves differently is
     # harmless. The authoritative mode resolution happens after the sim is
     # constructed (_resolve_pallas_mode).
-    stream_block = _stream_prepass(cfg, grid.shape, padded_shape, scene)
+    stream_block, stream_swap = _stream_prepass(
+        cfg, grid.shape, padded_shape, scene)
     if stream_block:
         px = int(-(-padded_shape[0] // stream_block) * stream_block)
         padded_shape = (px, padded_shape[1], padded_shape[2])
@@ -972,7 +980,7 @@ def build_simulation(
         _coeffs_np=coeffs_np,
     )
     sim._aux = (inv_p, inv_d, mur_coef, pml)
-    _resolve_pallas_mode(sim, stream_block)
+    _resolve_pallas_mode(sim, stream_block, stream_swap)
     _run_raw = _make_run_fn(sim, inv_p, inv_d, mur_coef, pml)
     sim._run_fn = jax.jit(_run_raw)
     sim._host_run = _run_raw.host_run
@@ -992,8 +1000,9 @@ def _pallas_wanted(cfg: FDTDConfig) -> bool:
     return backend in ("tpu", "axon")
 
 
-def _stream_prepass(cfg, grid_shape, padded_shape, scene) -> int:
-    """Pick the stream-kernel x-block height (0 → no extra x padding).
+def _stream_prepass(cfg, grid_shape, padded_shape, scene):
+    """Pick the stream-kernel ``(x-block height, lane swap)``
+    (``(0, False)`` → no extra x padding, kernel won't engage).
 
     Mirrors the eligibility conditions of :func:`_resolve_pallas_mode`
     cheaply, before coefficient padding, so x can be padded to a block
@@ -1002,7 +1011,7 @@ def _stream_prepass(cfg, grid_shape, padded_shape, scene) -> int:
     from .fdtd_pallas import STREAM_VMEM_BUDGET, stream_vmem_bytes
 
     if cfg.pallas_mode == "chunk" or not _pallas_wanted(cfg):
-        return 0
+        return 0, False
     has_pml = cfg.pml_cells() > 0
     n_psi = 12 if has_pml else 0
     n_src = len(
@@ -1027,22 +1036,24 @@ def _stream_prepass(cfg, grid_shape, padded_shape, scene) -> int:
             and (cfg.use_pallas is True or resident <= budget)
         )
         if chunk_takes_it:
-            return 0
-    from .fdtd_pallas import pick_stream_params
+            return 0, False
+    from .fdtd_pallas import pick_stream_layout
 
     qx = grid_shape[0]
     mur_b = cfg.boundary.upper().startswith("MUR")
-    # joint (block, trapezoid-depth) choice minimizing amortized HBM
-    # traffic under the VMEM budget; only the block matters here (it
-    # fixes the x padding), the resolver re-derives T with the probe
-    # decimation known
-    bx, _t = pick_stream_params(
-        padded_shape[1], padded_shape[2], n_src, qx, mur_b, n_psi
+    # joint (lane orientation, block, trapezoid depth) choice minimizing
+    # amortized HBM traffic under the VMEM budget; only (swap, block)
+    # matter here (they fix the x padding), the resolver re-derives T
+    # with the probe decimation known
+    swap, bx, _t = pick_stream_layout(
+        padded_shape[1], padded_shape[2], n_src, qx, mur_b, n_psi,
+        force=cfg.stream_swap,
     )
-    return bx
+    return bx, swap
 
 
-def _resolve_pallas_mode(sim: "PreparedSimulation", stream_block: int) -> None:
+def _resolve_pallas_mode(sim: "PreparedSimulation", stream_block: int,
+                         stream_swap: bool = False) -> None:
     """Resolve which Pallas kernel (if any) the run fn uses.
 
     Sets ``sim.pallas_mode`` ("chunk" | "stream" | None), ``sim.use_pallas``
@@ -1070,6 +1081,7 @@ def _resolve_pallas_mode(sim: "PreparedSimulation", stream_block: int) -> None:
     ):
         sim.pallas_mode = "stream"
         sim.stream_block = stream_block
+        sim.stream_swap = bool(stream_swap)
         sim.use_pallas = True
         sim.pallas_mode_reason = (
             f"stream kernel engaged (HBM-streaming; {chunk_reason})"
@@ -1086,6 +1098,8 @@ def _resolve_pallas_mode(sim: "PreparedSimulation", stream_block: int) -> None:
         from .fdtd_pallas import STREAM_VMEM_BUDGET, stream_vmem_bytes
 
         ppy, ppz = sim.padded_shape[1], sim.padded_shape[2]
+        if sim.stream_swap:
+            ppy, ppz = ppz, ppy
         zt = -(-ppz // 128)
         B = stream_block * zt
         qx = sim.grid.shape[0]
@@ -1125,7 +1139,8 @@ def _resolve_pallas_mode(sim: "PreparedSimulation", stream_block: int) -> None:
                 break
         sim.stream_T = T
         sim.probe_decim = max(T, (sim.probe_decim // T) * T)
-        sim.pallas_mode_reason += f" [Bx={stream_block}, T={T}]"
+        sw = ", lanes=y (y↔z swapped)" if sim.stream_swap else ""
+        sim.pallas_mode_reason += f" [Bx={stream_block}, T={T}{sw}]"
         return
     if forced in ("chunk", "stream") and _pallas_wanted(cfg):
         # a forced kernel that cannot engage must fail loudly: falling
@@ -1303,7 +1318,8 @@ def make_single_step(sim: "PreparedSimulation"):
 
 
 def build_probe_gathers(sim: "PreparedSimulation", Px: int, Py: int,
-                        Pz_stride: int, zt_interleave: int = 1):
+                        Pz_stride: int, zt_interleave: int = 1,
+                        swap_yz: bool = False):
     """Flat gather indices + weights for every probe quantity.
 
     Indices address the flattened stack of the six field arrays (E then
@@ -1321,8 +1337,23 @@ def build_probe_gathers(sim: "PreparedSimulation", Px: int, Py: int,
     n_ports = n_probe_rows(sim)
     S, zt = Pz_stride, zt_interleave
 
-    def _flat_idx(comp, i, j, k):
-        return (((comp * Px + i) * zt + k // S) * Py + j) * S + k % S
+    if not swap_yz:
+        def _flat_idx(comp, i, j, k):
+            return (((comp * Px + i) * zt + k // S) * Py + j) * S + k % S
+    else:
+        # The streaming kernel's carry holds the y↔z-REFLECTED world
+        # (build_pallas_stream_stepper swap_yz): lanes carry y, rows
+        # carry x·ZT + y-tile, and components are primed —
+        # E' = (Ex, Ez, Ey), H' = (−Hx, −Hz, −Hy). A probe of original
+        # (comp, i, j, k) therefore reads primed component PERM[comp] at
+        # (i, k, j); the H sign is folded into the gather weights by the
+        # caller below (every H-gather list is pure-H).
+        _PERM = (0, 2, 1, 3, 5, 4)
+        _pyk = (sim.padded_shape or sim.grid.shape)[2]  # swapped y extent
+
+        def _flat_idx(comp, i, j, k):
+            cp = _PERM[int(comp)]
+            return (((cp * Px + i) * zt + j // S) * _pyk + k) * S + j % S
 
     e_idx, e_w, h_idx, h_w = [], [], [], []
     layout = []
@@ -1381,6 +1412,11 @@ def build_probe_gathers(sim: "PreparedSimulation", Px: int, Py: int,
 
     pv_idx, pv_w = _pack_sources(v_lists)
     pi_idx, pi_w = _pack_sources(i_lists)
+    if swap_yz:
+        # the carry's H components are the primed −(Hx, Hz, Hy); every
+        # H-gather list is pure-H, so the sign folds into the weights
+        pg_h_w = -pg_h_w
+        pi_w = -pi_w
     return (pg_e_idx, pg_e_w, pg_h_idx, pg_h_w, layout, T_faces,
             pv_idx, pv_w, pi_idx, pi_w)
 
@@ -1462,7 +1498,8 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None,
             (stream_step, _stream_statics, _pl_to_flat, _pl_from_flat,
              _flat_shape, _stream_T) = (
                 build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef,
-                                            pml=pml)
+                                            pml=pml,
+                                            swap_yz=sim.stream_swap)
             )
             _flat_zt = _flat_shape[0] // Px
             pallas_step = True  # flat-field carry mode marker
@@ -1647,9 +1684,32 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None,
     flat_fields = pallas_step is not None
     Pz_stride = 128 if flat_fields else Pz
 
+    _swap = bool(stream_step is not None and sim.stream_swap)
     (pg_e_idx, pg_e_w, pg_h_idx, pg_h_w, face_layout, T_faces,
      pv_idx, pv_w, pi_idx, pi_w) = build_probe_gathers(
-         sim, Px, Py, Pz_stride, zt_interleave=_flat_zt)
+         sim, Px, Py, Pz_stride, zt_interleave=_flat_zt, swap_yz=_swap)
+
+    # Canonical ↔ primed-carry mapping when the stream kernel runs the
+    # y↔z-reflected world: fields permute (E polar, H axial ⇒ H negates),
+    # ψ keys permute (comp, axis) jointly with ψ_e negating (it rides the
+    # H-curl terms of the E update). All three maps are involutions.
+    _F_PERM = (0, 2, 1, 3, 5, 4)
+    _F_SIGN = (1.0, 1.0, 1.0, -1.0, -1.0, -1.0)
+    _PSI_PERM = (1, 0, 5, 4, 3, 2)  # over PSI_KEYS = xy xz yz yx zx zy
+
+    def _prime_fields(fs):
+        """Original 6-tuple ↔ primed 6-tuple (self-inverse)."""
+        if not _swap:
+            return tuple(fs)
+        return tuple(_F_SIGN[c] * fs[_F_PERM[c]] for c in range(6))
+
+    def _prime_psi(d, sign):
+        """ψ dict keyed by PSI_KEYS ↔ primed dict (self-inverse);
+        ``sign`` −1 for ψ_e, +1 for ψ_h."""
+        if not _swap or not d:
+            return d
+        from .fdtd_pallas import PSI_KEYS as _PK
+        return {_PK[i]: sign * d[_PK[_PSI_PERM[i]]] for i in range(6)}
 
     pg_e_idx = jnp.asarray(pg_e_idx, jnp.int32)
     pg_e_w = jnp.asarray(pg_e_w)
@@ -1795,13 +1855,15 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None,
         if flat_fields and resume_state["fields"][0].ndim == 3:
             resume_state = dict(resume_state)
             resume_state["fields"] = tuple(
-                _pl_to_flat(f) for f in resume_state["fields"]
+                _pl_to_flat(f)
+                for f in _prime_fields(resume_state["fields"])
             )
-            for grp in ("psi_e", "psi_h"):
+            for grp, sgn in (("psi_e", -1.0), ("psi_h", 1.0)):
                 if resume_state.get(grp):
                     resume_state[grp] = {
                         k: _pl_to_flat(v)
-                        for k, v in resume_state[grp].items()
+                        for k, v in _prime_psi(
+                            resume_state[grp], sgn).items()
                     }
         return resume_state
 
@@ -1813,17 +1875,18 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None,
         probe decimation rescale the DFT sums)."""
         out_fields = carry["fields"]
         if flat_fields:
-            out_fields = tuple(_pl_from_flat(f) for f in out_fields)
+            out_fields = _prime_fields(
+                tuple(_pl_from_flat(f) for f in out_fields))
         state_keys = ("psi_e", "psi_h", "uf", "if_", "nf_e",
                       "nf_h", "n", "e_max", "e_ratio")
         state = {k: carry[k] for k in state_keys}
         state["decim"] = np.int32(decim)
         if flat_fields:
-            for grp in ("psi_e", "psi_h"):
+            for grp, sgn in (("psi_e", -1.0), ("psi_h", 1.0)):
                 if carry[grp]:
-                    state[grp] = {
-                        k: _pl_from_flat(v) for k, v in carry[grp].items()
-                    }
+                    state[grp] = _prime_psi(
+                        {k: _pl_from_flat(v)
+                         for k, v in carry[grp].items()}, sgn)
         state["fields"] = out_fields
 
         def split_faces(acc):

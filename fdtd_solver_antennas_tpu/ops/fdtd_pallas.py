@@ -343,6 +343,32 @@ def stream_vmem_bytes(py: int, pz: int, n_src: int, block: int,
 STREAM_VMEM_BUDGET = 120 * 1024 * 1024
 
 
+def _pick_stream_bt(py, pz, n_src, qx, mur, n_psi=0, decim=None):
+    """Best (traffic_rows_per_plane_step, Bx, T) for one lane layout, or
+    None when nothing fits. Shared core of :func:`pick_stream_params`
+    and :func:`pick_stream_layout`."""
+    zt = -(-pz // 128)
+    best = None  # (traffic_per_plane_step, Bx, T)
+    for b in (16, 12, 8, 6, 4, 3):
+        B = b * zt
+        if B % 8:
+            continue
+        lo = zt if (mur and ((qx - 1) * zt) % B == 0) else 0
+        t_hi = (B - lo) // zt - 1
+        if decim is not None:
+            t_hi = min(t_hi, decim)
+        for t in range(min(t_hi, 8), 0, -1):
+            if stream_vmem_bytes(py, pz, n_src, b, n_psi, T=t,
+                                 lo_rows=lo) > STREAM_VMEM_BUDGET:
+                continue
+            bw = B + 2 * t * zt + lo
+            traffic = ((6 + n_psi) * 4 * B + (6 + n_src) * bw) / (t * b)
+            if best is None or traffic < best[0] - 1e-9:
+                best = (traffic, b, t)
+            break  # larger t is strictly better at fixed b
+    return best
+
+
 def pick_stream_params(py, pz, n_src, qx, mur, n_psi=0, decim=None):
     """Jointly choose (Bx, T) for the single-chip streaming kernel.
 
@@ -364,26 +390,44 @@ def pick_stream_params(py, pz, n_src, qx, mur, n_psi=0, decim=None):
 
     Returns ``(Bx, T)`` or ``(0, 0)`` when nothing fits.
     """
-    zt = -(-pz // 128)
-    best = None  # (traffic_per_cell_step, Bx, T)
-    for b in (16, 12, 8, 6, 4, 3):
-        B = b * zt
-        if B % 8:
-            continue
-        lo = zt if (mur and ((qx - 1) * zt) % B == 0) else 0
-        t_hi = (B - lo) // zt - 1
-        if decim is not None:
-            t_hi = min(t_hi, decim)
-        for t in range(min(t_hi, 8), 0, -1):
-            if stream_vmem_bytes(py, pz, n_src, b, n_psi, T=t,
-                                 lo_rows=lo) > STREAM_VMEM_BUDGET:
-                continue
-            bw = B + 2 * t * zt + lo
-            traffic = ((6 + n_psi) * 4 * B + (6 + n_src) * bw) / (t * b)
-            if best is None or traffic < best[0] - 1e-9:
-                best = (traffic, b, t)
-            break  # larger t is strictly better at fixed b
+    best = _pick_stream_bt(py, pz, n_src, qx, mur, n_psi, decim)
     return (best[1], best[2]) if best else (0, 0)
+
+
+def pick_stream_layout(py, pz, n_src, qx, mur, n_psi=0, decim=None,
+                       force=None):
+    """Choose which transverse axis rides the 128-lane tiles:
+    ``(swap_yz, Bx, T)``.
+
+    The interleaved flat layout pads its lane axis to ``ZT·128`` lanes,
+    so every HBM row-move pays the inflation ``ceil(L/128)·128/L`` of
+    whichever axis sits on lanes. The round-3/early-round-4 kernel
+    always put z there — the flagship z=152 scene paid 256/152 = 1.68×
+    on every byte while y=201 would pay only 1.27×, and the tall-patch
+    z=160 paid 1.60× while y=121 pays 1.06× (and drops to ZT=1, which
+    unlocks deeper trapezoids). Swapping y↔z is a reflection, handled
+    entirely at the layout boundary (see build_pallas_stream_stepper's
+    ``swap_yz``), so this picker scores both orientations with the same
+    amortized-traffic model (× the layout's true row width, which folds
+    the padding inflation in) and returns the cheaper one.
+
+    ``force``: None → auto; True/False pin the orientation (config
+    escape hatch / tests).
+    """
+    cands = []
+    for swap in (False, True):
+        if force is not None and swap != bool(force):
+            continue
+        lpy, lpz = (pz, py) if swap else (py, pz)
+        best = _pick_stream_bt(lpy, lpz, n_src, qx, mur, n_psi, decim)
+        if best is not None:
+            # traffic is rows per x-plane-step; a row is lpy·128 lanes,
+            # so × lpy compares true bytes per (valid) cell-step
+            cands.append((best[0] * lpy, swap, best[1], best[2]))
+    if not cands:
+        return False, 0, 0
+    _, swap, bx, t = min(cands)
+    return swap, bx, t
 
 
 def pick_shard_stream_params(n, decim, py, pz, n_src, mur, has_pml=False):
@@ -417,7 +461,7 @@ def pick_shard_stream_params(n, decim, py, pz, n_src, mur, has_pml=False):
 
 
 def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef, shard=None,
-                                pml=None, interpret=None):
+                                pml=None, interpret=None, swap_yz=False):
     """HBM-streaming trapezoidal T-step kernel for large grids (any z).
 
     The VMEM-resident chunk kernel requires the whole working set in VMEM
@@ -504,6 +548,29 @@ def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef, shard=None,
     distributed execution (SURVEY §2.3).
     """
     Px, Py, Pz = sim.padded_shape or sim.grid.shape
+    # ---- optional y↔z lane swap (single-chip; see pick_stream_layout) --
+    # The swap is a REFLECTION of the scene: coordinates (x, y, z) →
+    # (x, z, y) with E a polar vector (E'=(Ex, Ez, Ey)) and H an axial
+    # one (H'=(−Hx, −Hz, −Hy)). The kernel body below is untouched — it
+    # simply runs on the primed world: every per-axis static (spacings,
+    # MUR coefficients, CPML profiles), every coefficient array, and
+    # every source stamp is swapped/transposed here, while the component
+    # permutation + H sign and the probe-gather index remap live at the
+    # flat-layout boundary in ops/fdtd.py (_lift_resume_layout /
+    # _assemble_output / build_probe_gathers). Yee staggering maps
+    # exactly under the transpose (E'y sits at (i, j'+½, k') etc.), so
+    # the primed run is bit-for-bit a valid FDTD of the same physics —
+    # asserted against the XLA path by tests/test_stream_kernel.py.
+    if swap_yz:
+        if shard is not None:
+            raise ValueError("swap_yz supports the single-chip path only")
+        Px, Py, Pz = Px, Pz, Py
+        inv_p = (inv_p[0], inv_p[2], inv_p[1])
+        inv_d = (inv_d[0], inv_d[2], inv_d[1])
+        mur_coef = {(a if a == 0 else 3 - a, s): v
+                    for (a, s), v in mur_coef.items()}
+        if pml is not None:
+            pml = {0: pml[0], 1: pml[2], 2: pml[1]}
     ZT = -(-Pz // 128)
     Z = 128 * ZT
     C = Py * 128
@@ -514,6 +581,8 @@ def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef, shard=None,
     has_pml = pml is not None
     n_psi = 12 if has_pml else 0
     Qx, Qy, Qz = sim.grid.shape
+    if swap_yz:
+        Qy, Qz = Qz, Qy
     if shard is None:
         R = Px * ZT
         Bx = int(sim.stream_block)      # x-planes per block
@@ -570,16 +639,25 @@ def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef, shard=None,
     R_g = Px * ZT                       # global row count
 
     def to_flat(a3):
+        """Padded-3D (ORIGINAL orientation) → kernel flat layout."""
+        if swap_yz:
+            a3 = jnp.transpose(a3, (0, 2, 1))
         a3 = jnp.pad(a3, ((0, 0), (0, 0), (0, Z - Pz)))
         return a3.reshape(Px, Py, ZT, 128).transpose(0, 2, 1, 3).reshape(
             R_g, C)
 
     def from_flat(a2):
         a3 = a2.reshape(Px, ZT, Py, 128).transpose(0, 2, 1, 3)
-        return a3.reshape(Px, Py, Z)[:, :, :Pz]
+        a3 = a3.reshape(Px, Py, Z)[:, :, :Pz]
+        return jnp.transpose(a3, (0, 2, 1)) if swap_yz else a3
 
+    # component-key swap for the E-update coefficient arrays: the primed
+    # E'y is the original Ez, so ca'_ey(i,j',k') = ca_ez(i,k',j')
+    _CK = ("ca_ex", "cb_ex", "ca_ey", "cb_ey", "ca_ez", "cb_ez")
+    _CKMAP = {"ca_ey": "ca_ez", "cb_ey": "cb_ez",
+              "ca_ez": "ca_ey", "cb_ez": "cb_ey"} if swap_yz else {}
     if shard is None:
-        coeffs_flat = {k: to_flat(v) for k, v in sim.coeffs.items()}
+        coeffs_flat = {k: to_flat(sim.coeffs[_CKMAP.get(k, k)]) for k in _CK}
     else:
         def ext(ga2):
             """Global (R_g, k) rows → per-device (n_dev, R, k) local
@@ -654,16 +732,29 @@ def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef, shard=None,
     ml127 = (zl == 127).astype(np.float32).reshape(1, C)
     ml0 = (zl == 0).astype(np.float32).reshape(1, C)
 
-    src_mats = build_src_mats(sim, Px, Py, Pz)
-    src_comps = sorted(src_mats)
+    # Source stamps are built in ORIGINAL orientation (port slices are
+    # original-space), then swapped: E is polar, so a z-directed port
+    # becomes a y-directed primed source with NO sign. The kernel's
+    # per-position component letters follow the ORIGINAL sorted order
+    # (mapped, not re-sorted) so the caller's runtime src operands —
+    # ordered by original sorted components in _make_run_fn — stay
+    # positionally aligned.
+    src_mats = build_src_mats(sim, *(sim.padded_shape or sim.grid.shape))
+    _SWL = {"x": "x", "y": "z", "z": "y"}
+    _orig_comps = sorted(src_mats)
+    src_comps = [_SWL[c] for c in _orig_comps] if swap_yz else _orig_comps
 
     def _to_flat_np(a3):
-        """Interleaved (x·ZT, y·128) relayout, host-side (no device trip)."""
+        """Interleaved (x·ZT, y·128) relayout, host-side (no device trip).
+        Like ``to_flat``, takes ORIGINAL-orientation arrays."""
+        a3 = np.asarray(a3, np.float32)
+        if swap_yz:
+            a3 = a3.transpose(0, 2, 1)
         a3 = np.pad(a3, ((0, 0), (0, 0), (0, Z - Pz)))
         a3 = a3.reshape(Px, Py, ZT, 128).transpose(0, 2, 1, 3)
         return np.ascontiguousarray(a3.reshape(R_g, C))
 
-    src_inputs = [_to_flat_np(src_mats[c]) for c in src_comps]
+    src_inputs = [_to_flat_np(src_mats[c]) for c in _orig_comps]
     n_src = len(src_comps)
     cxs = {k: np.float32(v) for k, v in mur_coef.items()}
     if shard is not None:

@@ -184,3 +184,111 @@ def test_tall_grid_auto_resolves_stream():
     assert sim2.pallas_mode == "stream"
     assert sim2.stream_block > 0
     assert sim2.padded_shape[0] % sim2.stream_block == 0
+
+
+def test_stream_layout_pick():
+    """pick_stream_layout puts whichever transverse axis pads LESS onto
+    the 128-lane tiles. The flagship 4.2M-cell scene (Py=201, Pz=152)
+    paid 256/152 = 1.68× HBM inflation with z on lanes; y on lanes pays
+    only 256/201 = 1.27× (measured on chip: 4.01 → 6.21 Gcell/s, and
+    3.90 → 5.51 on the z=160/y=121 tall patch where the swap also drops
+    to ZT=1 and unlocks deeper trapezoids)."""
+    from fdtd_solver_antennas_tpu.ops.fdtd_pallas import pick_stream_layout
+
+    # flagship shape: y=201 wastes less on lanes than z=152 → swap
+    swap, bx, t = pick_stream_layout(201, 152, 1, 141, True)
+    assert swap and bx > 0 and t >= 1
+
+    # tall-patch shape: y=121 → ZT=1 on lanes (6% pad) beats z=160 (60%)
+    swap, bx, t = pick_stream_layout(121, 160, 1, 161, True)
+    assert swap and bx > 0
+
+    # small-y scene: y=20 on lanes would waste 128/20 = 6.4× — keep z
+    swap, bx, t = pick_stream_layout(20, 131, 1, 33, True)
+    assert not swap and bx > 0
+
+    # force overrides the auto pick in both directions
+    swap, _, _ = pick_stream_layout(201, 152, 1, 141, True, force=False)
+    assert not swap
+    swap, bx, _ = pick_stream_layout(20, 131, 1, 33, True, force=True)
+    assert swap and bx > 0
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("boundary", ["MUR", "PML_4"])
+def test_stream_swap_matches_xla(boundary):
+    """The y↔z-swapped stream layout must reproduce the XLA path exactly:
+    the swap is a reflection (E'=(Ex,Ez,Ey), H'=(−Hx,−Hz,−Hy)) handled at
+    the flat-layout boundary, so fields, port spectra, and NF2FF face
+    DFTs — fetched through the swapped gather indices with sign-folded
+    H weights — must match. PML_4 additionally pins the ψ permutation
+    (ψ'_e = −permuted ψ_e, ψ'_h = +permuted) through a checkpoint-resume
+    crossing from an XLA checkpoint into the swapped kernel."""
+    def build(mode, swap=None, n=80):
+        mb = MeshBuilder()
+        span = 52 if boundary.startswith("PML") else 40
+        mb.add_line("x", [-span, span, 0.0, -6.0])
+        mb.add_line("y", [-span * 0.75, span * 0.75, 0.0])
+        mb.add_line("z", np.linspace(-20, 30, 131))
+        grid = mb.build(4.0 if boundary.startswith("PML") else 5.0)
+        scene = Scene()
+        scene.add_material_box(
+            "sub", 4.3, 0.005, [-20, -20, 0], [20, 20, 1.6], 0)
+        scene.add_metal_box(
+            "patch", [-15, -12, 1.6], [15, 12, 1.6], priority=10)
+        scene.add_metal_box("gnd", [-20, -20, 0], [20, 20, 0], priority=10)
+        scene.add_lumped_port(
+            1, 50.0, [-6, 0, 0], [-6, 0, 1.6], direction="z")
+        cfg = FDTDConfig(
+            n_steps_max=n, check_every=40, end_criteria=1e-30,
+            boundary=boundary, probe_decimation=4,
+            use_pallas=mode is not None, pallas_mode=mode,
+            stream_swap=swap,
+        )
+        return build_simulation(
+            scene, grid, f0=2.45e9, fc=1.225e9, cfg=cfg,
+            port_freqs_hz=np.linspace(2e9, 3e9, 7),
+            nf_freqs_hz=np.array([2.45e9]), nf_margin_cells=2,
+        )
+
+    ref = build(None).run()
+    st = build("stream", swap=True)
+    assert st.pallas_mode == "stream" and st.stream_swap
+    assert "y↔z swapped" in st.pallas_mode_reason
+    out = st.run()
+    assert int(out["steps"]) == int(ref["steps"])
+    Qx, Qy, Qz = st.grid.shape
+    for name, fr, fs in zip(
+        ("Ex", "Ey", "Ez", "Hx", "Hy", "Hz"),
+        ref["fields"], out["fields"],
+    ):
+        a = np.asarray(fr)[:Qx, :Qy, :Qz]
+        b = np.asarray(fs)[:Qx, :Qy, :Qz]
+        scale = max(np.abs(a).max(), 1e-20)
+        np.testing.assert_allclose(
+            b, a, atol=5e-5 * scale, rtol=5e-4,
+            err_msg=f"{name} swapped-stream vs XLA ({boundary})",
+        )
+    np.testing.assert_allclose(
+        np.asarray(out["uf"]), np.asarray(ref["uf"]), rtol=5e-4, atol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(out["if_"]), np.asarray(ref["if_"]), rtol=5e-4,
+        atol=1e-12)
+    for grp in ("nf_e", "nf_h"):
+        for a, b in zip(out[grp], ref[grp]):
+            a, b = np.asarray(a), np.asarray(b)
+            np.testing.assert_allclose(
+                a, b, rtol=5e-4, atol=5e-5 * max(np.abs(b).max(), 1e-30))
+
+    # checkpoint written by the XLA path, resumed on the swapped kernel
+    part = build(None, n=40).run()
+    out2 = build("stream", swap=True, n=80).run(resume_state=part["state"])
+    assert int(out2["steps"]) == 80
+    for fr, fs in zip(out["fields"], out2["fields"]):
+        a = np.asarray(fr)[:Qx, :Qy, :Qz]
+        b = np.asarray(fs)[:Qx, :Qy, :Qz]
+        scale = max(np.abs(a).max(), 1e-20)
+        np.testing.assert_allclose(b, a, atol=5e-5 * scale, rtol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(out2["uf"]), np.asarray(out["uf"]), rtol=5e-4,
+        atol=1e-10)
