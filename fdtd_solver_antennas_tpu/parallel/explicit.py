@@ -55,9 +55,11 @@ Three per-shard compute paths (``use_kernel``):
   through the trapezoidal streaming kernel
   (:func:`ops.fdtd_pallas.build_pallas_stream_stepper` with ``shard=``) —
   T fused steps per ``pallas_call``, ONE ppermute halo restock per call.
-  This brings the streaming kernel's rate (4.0 Gcell/s single-chip on the
-  4.2M-cell z=152 scene) to sharded large grids, which previously fell
-  back to the per-step XLA walk.
+  This brings the streaming kernel's rate to sharded large grids, which
+  previously fell back to the per-step XLA walk. (The sharded variant
+  keeps the z-on-lanes orientation: the single-chip lane-axis auto-pick
+  — 6.2 Gcell/s on the 4.2M-cell z=152 scene, see BASELINE.md — is a
+  future extension here.)
 """
 
 from __future__ import annotations

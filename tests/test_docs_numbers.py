@@ -18,6 +18,12 @@ import pytest
 
 ROOT = pathlib.Path(__file__).resolve().parent.parent
 TOLERANCE = 0.10
+# Per-metric overrides: the 1-device shard metric is dominated by tunnel
+# dispatch latency (~1.5 s wall over hundreds of small pallas_call +
+# ppermute dispatches) and shows ~±15% session-to-session jitter that the
+# longer-wall metrics don't (three solo runs in round 4: 1.06/0.87/0.89);
+# BASELINE quotes the mean with a correspondingly wider band.
+TOLERANCE_BY_METRIC = {"yee_cell_updates_shard_kernel_1dev": 0.20}
 
 
 def _newest_bench_values() -> dict:
@@ -74,7 +80,8 @@ def test_baseline_tracked_metrics_match_latest_bench():
         if metric not in recorded:
             continue  # metric added this round; recorded next driver run
         r = recorded[metric]
-        if r > 0 and abs(q - r) / r > TOLERANCE:
+        tol = TOLERANCE_BY_METRIC.get(metric, TOLERANCE)
+        if r > 0 and abs(q - r) / r > tol:
             drifted.append(f"{metric}: BASELINE quotes {q}, recorded {r}")
     assert not drifted, (
         "BASELINE.md tracked metrics drifted >10% from the newest bench "
