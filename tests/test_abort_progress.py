@@ -20,7 +20,7 @@ from fdtd_solver_antennas_tpu.ops.fdtd import FDTDConfig, build_simulation
 from fdtd_solver_antennas_tpu.ops.mesh import MeshBuilder
 
 
-def _build(n_steps, check_every=100):
+def _build(n_steps, check_every=48):
     """Tiny patch scene on the host-driven (XLA) pipeline."""
     mb = MeshBuilder()
     mb.add_line("x", [-40, 40, 0.0, -6.0])
@@ -45,16 +45,17 @@ def _build(n_steps, check_every=100):
 
 
 def test_progress_ticks_monotone_and_complete():
-    # 6800 steps / chunk 100 / K_sub 32 → 3 superchunks → ≥3 ticks
-    sim = _build(6800)
+    # 3456 steps / chunk 48 (check_every 48, decim 4) / K_sub 32
+    # → 2.25 → 3 superchunks → ≥3 ticks
+    sim = _build(3456)
     ticks = []
     out = sim.run(progress_cb=lambda n, total, r: ticks.append((n, total, r)))
-    assert int(out["steps"]) == 6800
+    assert int(out["steps"]) == 3456
     assert out["aborted"] is False
     assert len(ticks) >= 3
     steps_seen = [t[0] for t in ticks]
     assert steps_seen == sorted(steps_seen)
-    assert steps_seen[-1] == 6800
+    assert steps_seen[-1] == 3456
     # energy ratios are finite and in (0, 1]
     for _, _, r in ticks:
         assert np.isfinite(r) and 0.0 < r <= 1.0
@@ -64,30 +65,30 @@ def test_progress_ticks_monotone_and_complete():
 
 
 def test_broken_progress_cb_does_not_kill_run():
-    sim = _build(400)
+    sim = _build(384)  # 8 exact chunks of 48
 
     def bad_cb(*a):
         raise RuntimeError("UI went away")
 
     out = sim.run(progress_cb=bad_cb)
-    assert int(out["steps"]) == 400
+    assert int(out["steps"]) == 384
     assert out["aborted"] is False
 
 
 def test_abort_stops_within_one_superchunk():
-    sim = _build(6800)
+    sim = _build(3456)
     out = sim.run(abort_cb=lambda: True)
     assert out["aborted"] is True
     steps = int(out["steps"])
-    # stopped after the first superchunk (K_sub=32 chunks of 100 steps),
-    # far short of the 6800-step budget
-    assert 0 < steps <= 3200 < 6800
+    # stopped after the first superchunk (K_sub=32 chunks of 48 steps),
+    # far short of the 3456-step budget
+    assert 0 < steps <= 1536 < 3456
 
 
 def test_aborted_state_is_a_valid_resume_checkpoint():
-    ref = _build(6800).run()
+    ref = _build(3456).run()
 
-    sim_a = _build(6800)
+    sim_a = _build(3456)
     ticks = []
 
     def abort_after_first_tick():
@@ -98,11 +99,11 @@ def test_aborted_state_is_a_valid_resume_checkpoint():
         abort_cb=abort_after_first_tick,
     )
     assert out_a["aborted"] is True
-    assert 0 < int(out_a["steps"]) < 6800
+    assert 0 < int(out_a["steps"]) < 3456
 
-    sim_b = _build(6800)
+    sim_b = _build(3456)
     out_b = sim_b.run(resume_state=out_a["state"])
-    assert int(out_b["steps"]) == 6800
+    assert int(out_b["steps"]) == 3456
     assert out_b["aborted"] is False
     np.testing.assert_allclose(
         np.asarray(out_b["uf"]), np.asarray(ref["uf"]), rtol=1e-5, atol=1e-12

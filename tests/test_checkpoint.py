@@ -87,6 +87,8 @@ def _build_pallas_opt(n_steps, use_pallas):
     )
 
 
+@pytest.mark.slow  # four interpret-mode/XLA runs; the cheaper
+# test_resume_matches_straight_run keeps resume coverage in the fast tier
 def test_checkpoint_crosses_run_paths(tmp_path):
     """State fields are stored in the canonical 3D layout regardless of
     which path produced them: a checkpoint written by the Pallas chunk

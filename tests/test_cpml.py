@@ -48,6 +48,7 @@ def test_pml_absorbs_better_than_mur():
     assert e_pml < 1e-6 * e_pec
 
 
+@pytest.mark.slow  # long-horizon stability: 4k + 16k step runs
 def test_pml_no_late_time_growth():
     """CPML recursion must not exhibit late-time growth (classic failure
     mode): energy at 16k steps ≤ energy at 4k steps; fields finite."""
@@ -59,6 +60,7 @@ def test_pml_no_late_time_growth():
         assert np.isfinite(np.asarray(f)).all()
 
 
+@pytest.mark.slow  # long-horizon stability: 4k + 16k step runs
 def test_mur_no_late_time_growth():
     e_short = _e_energy(_radiator("MUR", 4000).run())
     e_long = _e_energy(_radiator("MUR", 16000).run())
