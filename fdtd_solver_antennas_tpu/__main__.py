@@ -204,6 +204,13 @@ def main() -> None:
             port_centers_m=eps.port_centers_m,
         )
         print(f"Saved: {outdir / 'array_embedded.npz'}")
+        from .post.touchstone import write_touchstone
+
+        ts = write_touchstone(
+            outdir / "array", sm.freq_hz, sm.s, z_ref=sm.z_ref,
+            comments=[f"{args.nx}x{args.ny} patch array, full S matrix"],
+        )
+        print(f"Saved: {ts}")
         for tag, pat in (("broadside", broadside), ("steered", steered)):
             fig = plot_3d_pattern_from_grid(
                 pat.theta, pat.phi, pat.realized_gain,
@@ -357,6 +364,13 @@ def main() -> None:
         outdir / "s11.npz", freq_hz=result.freq, s11=result.s11, z_in=result.z_in
     )
     print(f"Saved: {outdir / 's11.npz'}")
+    from .post.touchstone import write_touchstone
+
+    ts = write_touchstone(
+        outdir / "s11", result.freq, result.s11, z_ref=50.0,
+        comments=[f"{args.solver} patch, f0={params.frequency_hz/1e9:g} GHz"],
+    )
+    print(f"Saved: {ts}")
 
     if args.cmd == "fdtd":
         from .viz.plotting import plot_3d_pattern_from_grid

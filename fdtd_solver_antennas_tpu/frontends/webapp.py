@@ -50,6 +50,15 @@ import numpy as np
 LEGACY_MODES = ("2D (fast)", "3D legacy (full)")
 
 
+def touchstone_bytes(freq_hz, s, z_ref=50.0) -> bytes:
+    """Touchstone v1 text for a download button (1-port or N-port).
+    The reference webapp has no data export of any kind."""
+    from ..post.touchstone import format_touchstone
+
+    text, _ = format_touchstone(freq_hz, s, z_ref=z_ref)
+    return text.encode()
+
+
 def _show(fig) -> None:
     """st.pyplot + close: the polling background-run loop reruns the
     script ~2.5×/s, and figures left in matplotlib's global registry
@@ -356,6 +365,12 @@ def main() -> None:  # pragma: no cover - exercised manually via streamlit
                 ax.set_ylabel("|S11| (dB)")
                 ax.grid(alpha=0.4)
                 _show(fig)
+                st.download_button(
+                    "Download S11 (Touchstone .s1p)",
+                    touchstone_bytes(result.freq, result.s11),
+                    file_name="patch_s11.s1p",
+                    mime="text/plain",
+                )
 
                 # pattern tiles (reference :268-290)
                 result_tiles(result)
@@ -553,6 +568,12 @@ def main() -> None:  # pragma: no cover - exercised manually via streamlit
             ax.legend(fontsize=8, ncol=min(n + 1, 5))
             ax.grid(alpha=0.4)
             _show(fig)
+            st.download_button(
+                f"Download S-matrix (Touchstone .s{n}p)",
+                touchstone_bytes(sm.freq_hz, sm.s, z_ref=sm.z_ref),
+                file_name=f"array.s{n}p",
+                mime="text/plain",
+            )
 
             from ..viz.plotting import plot_3d_pattern_from_grid as _p3g
 
