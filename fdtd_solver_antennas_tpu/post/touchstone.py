@@ -119,11 +119,31 @@ def format_touchstone(
         raise ValueError(f"freq_unit must be one of {sorted(_UNIT_HZ)}")
     z_ref = np.broadcast_to(np.asarray(z_ref, dtype=float), (n,)).copy()
 
+    # Drop non-finite frequency points instead of writing literal 'nan'
+    # tokens (which ADS/scikit-rf/QUCS reject). The S-matrix extractor
+    # sets S[:, j] = nan+0j at frequencies where port j received no
+    # incident energy (solvers/sparams.py), so these are expected inputs.
+    finite = np.isfinite(s).all(axis=(0, 1))
+    n_dropped = int((~finite).sum())
+    if n_dropped == s.shape[2]:
+        raise ValueError(
+            "all frequency points contain non-finite S values; nothing "
+            "to write (check the excitation/incident-energy floor)"
+        )
+    if n_dropped:
+        s = s[:, :, finite]
+        freq_hz = freq_hz[finite]
+
     lines = [
         f"! {n}-port S-parameters — fdtd_solver_antennas_tpu "
         f"({datetime.date.today().isoformat()})",
     ]
     lines += [f"! {c}" for c in comments]
+    if n_dropped:
+        lines.append(
+            f"! {n_dropped} frequency point(s) with non-finite S values "
+            "omitted (no incident energy at those frequencies)"
+        )
     r_write = float(z_ref[0])
     if not np.allclose(z_ref, r_write):
         lines.append(
@@ -184,11 +204,13 @@ def read_touchstone(
     frequency units are handled. Used by the round-trip tests and as a
     general import utility (e.g. comparing against a VNA measurement).
     """
+    import re
+
     path = Path(path)
-    suffix = path.suffix.lower()
-    if not (suffix.startswith(".s") and suffix.endswith("p")):
+    m = re.fullmatch(r"\.s(\d+)p", path.suffix.lower())
+    if m is None:  # near-misses like '.sp' or '.step' get the real message
         raise ValueError(f"not a Touchstone .sNp file: {path.name}")
-    n = int(suffix[2:-1])
+    n = int(m.group(1))
 
     unit_scale, fmt, r = 1e9, "MA", 50.0  # spec defaults: GHZ S MA R 50
     tokens: list[float] = []
@@ -207,6 +229,16 @@ def read_touchstone(
                 elif opts[i] == "R" and i + 1 < len(opts):
                     r = float(opts[i + 1])
                     i += 1
+                elif opts[i] in ("S", "Y", "Z", "H", "G"):
+                    # parameter-type token: only S-parameters are supported
+                    # (a Z/Y/H/G file silently parsed as S would corrupt
+                    # every downstream number)
+                    if opts[i] != "S":
+                        raise ValueError(
+                            f"{path.name} declares {opts[i]}-parameters on "
+                            "its option line; only S-parameter Touchstone "
+                            "files are supported"
+                        )
                 i += 1
             continue
         tokens.extend(float(t) for t in line.split())

@@ -117,3 +117,42 @@ def test_bad_inputs(tmp_path):
     bad.write_text("# HZ S RI R 50\n1e9 0 0 0 0\n")  # 2-port needs 8 vals
     with pytest.raises(ValueError, match="token count"):
         read_touchstone(bad)
+
+
+def test_nonfinite_points_dropped_on_write(tmp_path):
+    """NaN S entries (port columns with no incident energy) must not
+    reach the file as literal 'nan' tokens — the points are dropped and
+    noted in a comment (ADVICE r4)."""
+    freq = np.linspace(1e9, 2e9, 5)
+    s = _rand_s(2, 5, 3)
+    s[:, :, 2] = np.nan + 0j
+    p = write_touchstone(tmp_path / "gappy", freq, s)
+    text = p.read_text()
+    assert "nan" not in text.lower().replace("non-finite", "")
+    assert "omitted" in text
+    f2, s2, _ = read_touchstone(p)
+    assert len(f2) == 4
+    np.testing.assert_allclose(f2, np.delete(freq, 2))
+    np.testing.assert_allclose(s2, np.delete(s, 2, axis=2), rtol=1e-6)
+
+    s[:] = np.nan
+    with pytest.raises(ValueError, match="non-finite"):
+        write_touchstone(tmp_path / "allnan", freq, s)
+
+
+def test_non_s_parameter_file_rejected(tmp_path):
+    """A Z/Y/H-parameter option line must raise, not silently parse as S."""
+    zfile = tmp_path / "imp.s1p"
+    zfile.write_text("# HZ Z RI R 50\n1e9 0.1 0.0\n")
+    with pytest.raises(ValueError, match="Z-parameters"):
+        read_touchstone(zfile)
+
+
+def test_near_miss_suffix_message(tmp_path):
+    """'.sp' / '.step' suffixes get the descriptive error, not a bare
+    int() ValueError."""
+    for name in ("x.sp", "x.step", "x.s2x"):
+        f = tmp_path / name
+        f.write_text("# HZ S RI R 50\n")
+        with pytest.raises(ValueError, match="not a Touchstone"):
+            read_touchstone(f)
