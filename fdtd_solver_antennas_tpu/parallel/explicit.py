@@ -779,15 +779,9 @@ def build_explicit_run(sim, mesh: Mesh, axis_name: str | None = None,
 
     psi_keys = ("xy", "xz", "yz", "yx", "zx", "zy")
 
-    def run(resume_state=None):
-        """Execute (or resume) the sharded run.
-
-        ``resume_state`` is the canonical ``out["state"]`` pytree of any
-        previous run — single-chip or sharded, any kernel path, any
-        padding (``sim._adapt_resume_arrays`` re-pads) — and the output
-        carries a ``state`` entry in the same canonical 3D layout, so
-        checkpoints are portable across all run paths (SURVEY §5
-        checkpoint/resume, extended to multi-chip)."""
+    def _build_args(resume_state=None):
+        """Operand tuple for ``run_jit`` plus the resumed DFT totals
+        (None for a fresh start) — shared by ``run`` and ``lowered``."""
         if resume_state is not None:
             rs = sim._adapt_resume_arrays(dict(resume_state))
             r_fields = [np.asarray(f, np.float32) for f in rs["fields"]]
@@ -832,6 +826,21 @@ def build_explicit_run(sim, mesh: Mesh, axis_name: str | None = None,
             _dedup_asarray(r_psi),
             jnp.asarray(r_n), jnp.asarray(r_emax),
         )
+        resumed = (
+            (r_uf, r_if, r_nfe, r_nfh) if resume_state is not None else None
+        )
+        return args, resumed
+
+    def run(resume_state=None):
+        """Execute (or resume) the sharded run.
+
+        ``resume_state`` is the canonical ``out["state"]`` pytree of any
+        previous run — single-chip or sharded, any kernel path, any
+        padding (``sim._adapt_resume_arrays`` re-pads) — and the output
+        carries a ``state`` entry in the same canonical 3D layout, so
+        checkpoints are portable across all run paths (SURVEY §5
+        checkpoint/resume, extended to multi-chip)."""
+        args, resumed = _build_args(resume_state)
         (fields, psi_state, uf, if_, nf_e, nf_h, steps, e_max,
          e_ratio) = run_jit(*args)
         jax.block_until_ready(steps)
@@ -841,7 +850,8 @@ def build_explicit_run(sim, mesh: Mesh, axis_name: str | None = None,
         if_s = np.asarray(if_)
         nfe_s = np.asarray(nf_e)
         nfh_s = np.asarray(nf_h)
-        if resume_state is not None:
+        if resumed is not None:
+            r_uf, r_if, r_nfe, r_nfh = resumed
             uf_s = uf_s + r_uf
             if_s = if_s + r_if
             nfe_s = nfe_s + r_nfe
@@ -876,4 +886,21 @@ def build_explicit_run(sim, mesh: Mesh, axis_name: str | None = None,
             state=state,
         )
 
+    def lowered(resume_state=None):
+        """Lower (without executing) the jitted sharded run — lets tests
+        compile the program and inspect its HLO, e.g. the
+        collective-count guard in tests/test_sharding.py that pins the
+        one-ppermute-per-fused-window structure the kernel paths'
+        2K×-fewer-collectives claim rests on (VERDICT r4 next #8)."""
+        args, _ = _build_args(resume_state)
+        return run_jit.lower(*args)
+
+    run.lowered = lowered
+    # expose the resolved per-window step counts so tests can pin the
+    # collective amortization factor itself (K fused steps per ppermute)
+    run.kernel_window = (
+        shard_kern["K"] if shard_kern is not None
+        else stream_kern["T"] if stream_kern is not None
+        else None
+    )
     return run

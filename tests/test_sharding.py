@@ -474,3 +474,91 @@ def test_explicit_resume_vmem_shard_kernel():
     _close_explicit(out_b["uf"], ref["uf"])
     for fa, fb in zip(out_b["fields"], ref["fields"]):
         _close_explicit(fa, fb)
+
+
+# ---------------------------------------------------------------------------
+# HLO collective-count guard (VERDICT r4 next #8)
+# ---------------------------------------------------------------------------
+
+def _collective_counts(run):
+    """(collective-permute sites, all-reduce sites) in the compiled HLO."""
+    import re
+
+    txt = run.lowered().compile().as_text()
+    return (
+        len(re.findall(r"collective-permute", txt)),
+        len(re.findall(r"all-reduce", txt)),
+    )
+
+
+def test_hlo_collective_counts_pin_halo_structure():
+    """Structural guard on the explicit paths' collective schedule: the
+    2K×-fewer-collectives claim (BASELINE.md halo roofline) rests on the
+    kernel paths exchanging halos ONCE per fused K/T-step window — a
+    regression that re-introduced per-step exchanges would pass every
+    numeric equality test (they don't measure traffic) and only show up
+    on real hardware. Counting collective ops in the compiled module
+    pins it on CPU:
+
+    - XLA step path: one ppermute per half-step (+1 when the top MUR
+      face straddles a shard boundary) — all inside the once-traced step
+      body, so 2–3 static sites;
+    - kernel paths: one halo restock = 2 ppermutes (left+right sends) at
+      exactly 3 sites — the initial resume restock, the fused-window loop
+      body, and the remainder-window variant (absent when the window
+      divides the probe decimation). A per-step exchange inside the
+      fused window would add sites; moving the restock into the sample
+      loop would too.
+
+    all-reduce sites are pinned at 7 (1 per-chunk energy psum + 4 final
+    DFT psums + 2 jax replication checks): a per-sample psum of the
+    DFT accumulators — the regression the 'one final psum' claim guards
+    against — would add sites.
+    """
+    from fdtd_solver_antennas_tpu.parallel.explicit import build_explicit_run
+
+    mesh = make_device_mesh((8,), ("x",))
+
+    # --- XLA step path ---------------------------------------------------
+    sim = _build(pad_x=8)
+    Px = sim.padded_shape[0]
+    n = Px // 8
+    straddle = (sim.grid.shape[0] - 1) % n == 0
+    run = build_explicit_run(sim, mesh, use_kernel=False)
+    cp, ar = _collective_counts(run)
+    assert cp == 2 + (1 if straddle else 0), (
+        f"XLA step path: {cp} collective-permute sites (straddle={straddle})"
+    )
+    assert ar == 7, f"XLA step path: {ar} all-reduce sites"
+
+    # --- VMEM shard kernel -------------------------------------------------
+    sim = _build(pad_x=8)
+    run = build_explicit_run(sim, mesh, use_kernel=True)
+    K = run.kernel_window
+    assert K and K >= 2, f"fused window degenerated to K={K}"
+    n_sites = 2 + (1 if sim.probe_decim % K else 0)  # init + body (+ rem)
+    cp, ar = _collective_counts(run)
+    assert cp == 2 * n_sites, (
+        f"VMEM shard kernel: {cp} collective-permute sites, expected "
+        f"{2 * n_sites} (one restock per {K}-step window)"
+    )
+    assert ar == 7, f"VMEM shard kernel: {ar} all-reduce sites"
+
+
+def test_hlo_collective_counts_stream_kernel():
+    """Same structural pin for the sharded HBM-streaming kernel (z > 128):
+    one halo restock per T-step trapezoid call (+ remainder variant)."""
+    from fdtd_solver_antennas_tpu.parallel.explicit import build_explicit_run
+
+    mesh = make_device_mesh((8,), ("x",))
+    sim = _build_tall()
+    run = build_explicit_run(sim, mesh, use_kernel=True)
+    T = run.kernel_window
+    assert T and T >= 2, f"trapezoid degenerated to T={T}"
+    n_sites = 2 + (1 if sim.probe_decim % T else 0)
+    cp, ar = _collective_counts(run)
+    assert cp == 2 * n_sites, (
+        f"stream kernel: {cp} collective-permute sites, expected "
+        f"{2 * n_sites} (one restock per {T}-step trapezoid)"
+    )
+    assert ar == 7, f"stream kernel: {ar} all-reduce sites"
