@@ -75,6 +75,21 @@ def get_voxelize_lib() -> Optional[ctypes.CDLL]:
         lib.box_contains_or.restype = None
         lib.paint_materials.argtypes = [dp, i64, dp, dp, i64, dp, dp]
         lib.paint_materials.restype = None
+        fp = ctypes.POINTER(ctypes.c_float)
+        try:
+            lib.cell_edge_avg_f32.argtypes = [
+                fp, i64, i64, i64, ctypes.c_int, fp
+            ]
+            lib.cell_edge_avg_f32.restype = None
+            lib.cell_edge_avg_f64.argtypes = [
+                dp, i64, i64, i64, ctypes.c_int, dp
+            ]
+            lib.cell_edge_avg_f64.restype = None
+        except AttributeError:
+            # a stale .so predating the fused edge-average (mtime can lie
+            # after a git checkout): keep the voxelize entry points, let
+            # callers hasattr-gate onto the NumPy fallback for the rest
+            pass
         _LIB = lib
         return _LIB
 

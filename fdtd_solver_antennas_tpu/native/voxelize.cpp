@@ -98,3 +98,83 @@ void paint_materials(const double* pts, int64_t n_pts,
 }
 
 }  // extern "C"
+
+// Fused cell→edge material average. ``cell`` is the (nx, ny, nz)
+// cell-centered array; ``out`` the (nx+1, ny+1, nz+1) padded edge
+// array for E-component ``axis`` (0=ex, 1=ey, 2=ez). The component's
+// own axis replicates the clamped cell value; the two transverse axes
+// take the standard staggered-grid node average of the adjacent cells
+// (clamped at the walls). The rounding ORDER reproduces the NumPy
+// fallback bit-for-bit: the fallback nests two avg_along passes —
+// 0.5*(0.5*(A+B) + 0.5*(C+D)) with the inner pair along the LOWER
+// transverse axis — and downstream validation (the CPML DC-residual
+// floor) sits close enough to its asserted band that a one-ULP
+// reassociation (e.g. a flat 0.25*(A+B+C+D)) measurably moved it.
+// Replaces a 12-pass NumPy pad/add pipeline (the single biggest
+// prepare cost on the 4.2M-cell scene) with one read + one write per
+// element. Templated on the element type: the engine assembles Ca/Cb
+// in float64 (an all-f32 pipeline shifted the same floor), with the
+// f32 entry kept for callers that average already-f32 data.
+template <typename T>
+static void cell_edge_avg_impl(const T* cell, int64_t nx, int64_t ny,
+                               int64_t nz, int axis, T* out) {
+    const int64_t Py = ny + 1, Pz = nz + 1;
+    const int64_t sx = ny * nz, sy = nz;
+    const T H = T(0.5);
+    for (int64_t i = 0; i < nx + 1; ++i) {
+        int64_t i0, i1;
+        if (axis == 0) { i0 = i1 = (i < nx ? i : nx - 1); }
+        else { i0 = i > 0 ? i - 1 : 0; i1 = i < nx ? i : nx - 1; }
+        for (int64_t j = 0; j < Py; ++j) {
+            int64_t j0, j1;
+            if (axis == 1) { j0 = j1 = (j < ny ? j : ny - 1); }
+            else { j0 = j > 0 ? j - 1 : 0; j1 = j < ny ? j : ny - 1; }
+            const T* r00 = cell + i0 * sx + j0 * sy;
+            const T* r01 = cell + i0 * sx + j1 * sy;
+            const T* r10 = cell + i1 * sx + j0 * sy;
+            const T* r11 = cell + i1 * sx + j1 * sy;
+            T* o = out + (i * Py + j) * Pz;
+            if (axis == 2) {
+                // ez: inner pair along x, outer along y (NumPy
+                // avg_along(avg_along(cell, 0), 1)).
+                for (int64_t k = 0; k < Pz; ++k) {
+                    const int64_t kc = k < nz ? k : nz - 1;
+                    o[k] = H * (H * (r00[kc] + r10[kc])
+                                + H * (r01[kc] + r11[kc]));
+                }
+            } else if (axis == 1) {
+                // ey: inner pair along x, outer along z
+                // (avg_along(avg_along(cell, 0), 2)); j0 == j1.
+                for (int64_t k = 0; k < Pz; ++k) {
+                    const int64_t k0 = k > 0 ? k - 1 : 0;
+                    const int64_t k1 = k < nz ? k : nz - 1;
+                    o[k] = H * (H * (r00[k0] + r10[k0])
+                                + H * (r00[k1] + r10[k1]));
+                }
+            } else {
+                // ex: inner pair along y, outer along z
+                // (avg_along(avg_along(cell, 1), 2)); i0 == i1.
+                for (int64_t k = 0; k < Pz; ++k) {
+                    const int64_t k0 = k > 0 ? k - 1 : 0;
+                    const int64_t k1 = k < nz ? k : nz - 1;
+                    o[k] = H * (H * (r00[k0] + r01[k0])
+                                + H * (r00[k1] + r01[k1]));
+                }
+            }
+        }
+    }
+}
+
+extern "C" {
+
+void cell_edge_avg_f32(const float* cell, int64_t nx, int64_t ny,
+                       int64_t nz, int axis, float* out) {
+    cell_edge_avg_impl<float>(cell, nx, ny, nz, axis, out);
+}
+
+void cell_edge_avg_f64(const double* cell, int64_t nx, int64_t ny,
+                       int64_t nz, int axis, double* out) {
+    cell_edge_avg_impl<double>(cell, nx, ny, nz, axis, out);
+}
+
+}  // extern "C"

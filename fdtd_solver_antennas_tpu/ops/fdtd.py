@@ -46,6 +46,13 @@ _AXIS_OF = {"x": 0, "y": 1, "z": 2}
 # loop-iteration overhead ~2% while bounding the number of pallas_call
 # instances in the trace (compile time through the tunnel).
 _STEP_UNROLL = 8
+# The traced (vmappable) run's stream branch — the geometry-sweep fast
+# path — uses a shallower unroll: sweep bases resolve deep trapezoids
+# (T≈8) on small grids, so the fori trip count is already low and the
+# measured rate is identical at unroll 2 (7.51 vs 7.48 Gcell/s on the
+# 8-variant canonical sweep) while Mosaic compile time through the
+# tunnel drops 3.6× (151 s vs 540 s).
+_STEP_UNROLL_TRACED = 2
 
 # Probe-row ceiling for the VMEM chunk kernel. The SMEM probe buffers
 # size themselves from the sim (the old hard 8 silently demoted e.g. a
@@ -145,7 +152,8 @@ class FDTDConfig:
     # None → auto: chunk when it fits, else stream, else the XLA path.
     pallas_mode: str | None = None
     # Trapezoid depth of the streaming kernel (leapfrog steps per block
-    # fetch). None → auto (largest of 4/3/2 that fits the block halo).
+    # fetch). None → auto (largest T ≤ 8 that fits the block halo, the
+    # VMEM budget, and the probe decimation).
     stream_T: int | None = None
     # Streaming-kernel lane orientation: the flat layout pads whichever
     # transverse axis rides the 128-lane tiles up to ceil(L/128)·128, so
@@ -153,6 +161,10 @@ class FDTDConfig:
     # (pick_stream_layout). None → auto; True/False force the
     # orientation (False reproduces the round-3 z-on-lanes layout).
     stream_swap: bool | None = None
+    # Streaming-kernel x-block height (Bx planes per fetch). None → auto
+    # (the traffic-model pick); an int pins it — the tuning escape hatch
+    # the (Bx, T) operating-point sweeps use (examples/stream_tune.py).
+    stream_bx: int | None = None
 
     def pml_cells(self) -> int:
         """0 when not a PML boundary, else the slab thickness in cells."""
@@ -847,8 +859,8 @@ def build_simulation(
         # PEC objects win last
         ca[pec[comp]] = 0.0
         cb[pec[comp]] = 0.0
-        coeffs_np["ca_" + comp] = ca.astype(np.float32)
-        coeffs_np["cb_" + comp] = cb.astype(np.float32)
+        coeffs_np["ca_" + comp] = ca.astype(np.float32, copy=False)
+        coeffs_np["cb_" + comp] = cb.astype(np.float32, copy=False)
 
     # --- MSL excitation patterns (need cb): uniform quasi-TEM profile ----
     # ``src_col_unit`` is the excite=1 basis column; re-excitation
@@ -1047,7 +1059,7 @@ def _stream_prepass(cfg, grid_shape, padded_shape, scene):
     # with the probe decimation known
     swap, bx, _t = pick_stream_layout(
         padded_shape[1], padded_shape[2], n_src, qx, mur_b, n_psi,
-        force=cfg.stream_swap,
+        force=cfg.stream_swap, force_bx=cfg.stream_bx,
     )
     return bx, swap
 
@@ -1503,6 +1515,7 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None,
             )
             _flat_zt = _flat_shape[0] // Px
             pallas_step = True  # flat-field carry mode marker
+            _stream_coef_jit = jax.jit(stream_step.coef_ops_from)
         else:
             from .fdtd_pallas import build_pallas_chunk_stepper
 
@@ -1911,6 +1924,22 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None,
     def run(coeffs, waveform, w_port, w_nf, src_ops, resume_state=None):
         n_port_freqs = w_port.shape[0]
         n_nf_freqs = w_nf.shape[0]
+        # chunk-kernel path: the ca/cb arrays are RUNTIME OPERANDS of the
+        # pallas_call (relayout here is a cheap pad+reshape, hoisted out
+        # of the while_loop as a loop constant) — geometry swaps reuse
+        # the compiled program, and jax.vmap batches the kernel over
+        # design sweeps (VERDICT r4 next #1)
+        coef_flat = (
+            tuple(_pl_to_flat(coeffs[k]) for k in pallas_chunk.coef_keys)
+            if pallas_chunk is not None else ()
+        )
+        # stream-kernel path (vmapped sweeps whose union grid exceeds the
+        # chunk kernel's VMEM budget): the coefficient windows are
+        # likewise rebuilt from the coeffs argument inside this trace
+        stream_statics_full = (
+            _stream_statics + tuple(stream_step.coef_ops_from(coeffs))
+            if stream_step is not None else ()
+        )
         # Pad the waveform with trailing zeros out to a whole number of
         # chunks: the final chunk may overrun n_steps_max, and both the
         # XLA path's waveform[n] (clamp-to-last) and the Pallas path's
@@ -1937,16 +1966,20 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None,
             )
 
             if stream_step is not None:
-                # NOTE: closure-captures the kernel statics — this traced
-                # path is never taken in stream mode (PreparedSimulation
-                # routes stream/XLA runs to host_run, which passes the
-                # statics as jit arguments); kept only for API symmetry.
+                # This traced path carries VMAPPED geometry sweeps in
+                # stream mode (solvers/sweep.py): the coefficient
+                # windows in stream_statics_full come from the coeffs
+                # ARGUMENT, so under vmap every variant streams its own
+                # geometry through the kernel (the batch rides as an
+                # outer parallel grid dim). Plain single-variant
+                # stream/XLA runs still route to host_run (the
+                # superchunk pipeline amortizes tunnel dispatch).
                 def step_only(_, c):
                     wf_t = jax.lax.dynamic_slice(
                         waveform, (c["n"],), (_stream_T,)
                     )
                     f2, psi2 = stream_step(
-                        _stream_statics, src_ops, c["fields"],
+                        stream_statics_full, src_ops, c["fields"],
                         _psi_pack(c), wf_t
                     )
                     return _psi_unpack(
@@ -1968,7 +2001,7 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None,
                 if stream_step is not None:
                     c = jax.lax.fori_loop(
                         0, decim // _stream_T, step_only, c,
-                        unroll=_STEP_UNROLL,
+                        unroll=_STEP_UNROLL_TRACED,
                     )
                 else:
                     c = jax.lax.fori_loop(0, decim, step_only, c)
@@ -1998,7 +2031,7 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None,
                 ) if pml is not None else ()
                 fields, psi_e_out, psi_h_out, pv, pi_, xf, yf, zf = (
                     pallas_chunk(carry["fields"], psi_e_in, psi_h_in,
-                                 wf_chunk, src_ops)
+                                 wf_chunk, src_ops, coef_flat)
                 )
                 carry = dict(carry, fields=fields, n=n0 + chunk)
                 if pml is not None:
@@ -2196,6 +2229,12 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None,
                 [waveform,
                  jnp.zeros((wf_len - waveform.shape[0],), waveform.dtype)]
             )
+        # one jitted dispatch rebuilds the stream coefficient windows
+        # from the run's coeffs (runtime operands; see coef_ops_from)
+        pl_statics = (
+            _stream_statics + tuple(_stream_coef_jit(coeffs))
+            if stream_step is not None else ()
+        )
         carry = init_carry(coeffs, n_nf_freqs, n_port_freqs)
         n_cur = 0
         if resume_state is not None:
@@ -2222,7 +2261,7 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None,
         for _ in range(-(-n_remaining // K_sub)):
             carry = _get_superchunk(K_sub)(
                 carry, coeffs, waveform, w_port, w_nf, src_ops,
-                _stream_statics if stream_step is not None else (),
+                pl_statics,
             )
             # one small blocking read per superchunk (~K chunks): stops
             # dispatching once converged

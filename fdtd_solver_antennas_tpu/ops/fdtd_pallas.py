@@ -343,13 +343,17 @@ def stream_vmem_bytes(py: int, pz: int, n_src: int, block: int,
 STREAM_VMEM_BUDGET = 120 * 1024 * 1024
 
 
-def _pick_stream_bt(py, pz, n_src, qx, mur, n_psi=0, decim=None):
+def _pick_stream_bt(py, pz, n_src, qx, mur, n_psi=0, decim=None,
+                    force_b=None):
     """Best (traffic_rows_per_plane_step, Bx, T) for one lane layout, or
     None when nothing fits. Shared core of :func:`pick_stream_params`
-    and :func:`pick_stream_layout`."""
+    and :func:`pick_stream_layout`. ``force_b`` restricts the block
+    candidates to one value (the ``stream_bx`` tuning escape hatch)."""
     zt = -(-pz // 128)
     best = None  # (traffic_per_plane_step, Bx, T)
     for b in (16, 12, 8, 6, 4, 3):
+        if force_b is not None and b != force_b:
+            continue
         B = b * zt
         if B % 8:
             continue
@@ -395,7 +399,7 @@ def pick_stream_params(py, pz, n_src, qx, mur, n_psi=0, decim=None):
 
 
 def pick_stream_layout(py, pz, n_src, qx, mur, n_psi=0, decim=None,
-                       force=None):
+                       force=None, force_bx=None):
     """Choose which transverse axis rides the 128-lane tiles:
     ``(swap_yz, Bx, T)``.
 
@@ -419,7 +423,8 @@ def pick_stream_layout(py, pz, n_src, qx, mur, n_psi=0, decim=None,
         if force is not None and swap != bool(force):
             continue
         lpy, lpz = (pz, py) if swap else (py, pz)
-        best = _pick_stream_bt(lpy, lpz, n_src, qx, mur, n_psi, decim)
+        best = _pick_stream_bt(lpy, lpz, n_src, qx, mur, n_psi, decim,
+                               force_b=force_bx)
         if best is not None:
             # traffic is rows per x-plane-step; a row is lpy·128 lanes,
             # so × lpy compares true bytes per (valid) cell-step
@@ -656,9 +661,7 @@ def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef, shard=None,
     _CK = ("ca_ex", "cb_ex", "ca_ey", "cb_ey", "ca_ez", "cb_ez")
     _CKMAP = {"ca_ey": "ca_ez", "cb_ey": "cb_ez",
               "ca_ez": "ca_ey", "cb_ez": "cb_ey"} if swap_yz else {}
-    if shard is None:
-        coeffs_flat = {k: to_flat(sim.coeffs[_CKMAP.get(k, k)]) for k in _CK}
-    else:
+    if shard is not None:
         def ext(ga2):
             """Global (R_g, k) rows → per-device (n_dev, R, k) local
             arrays. Only the halo+owned span is filled; the dead blocks
@@ -1299,36 +1302,50 @@ def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef, shard=None,
         def _src_to_op_np(a3: np.ndarray) -> np.ndarray:
             return _halo_ext_np(_to_flat_np(a3))
 
-        coef_statics = [_halo_ext(coeffs_flat[k]) for k in
-                        ("ca_ex", "cb_ex", "ca_ey", "cb_ey",
-                         "ca_ez", "cb_ez")]
         _src_rep = 1
+        _coef_rep = 1
     else:
         _src_to_op_np = _to_flat_np
-        coef_statics = [coeffs_flat[k] for k in
-                        ("ca_ex", "cb_ex", "ca_ey", "cb_ey",
-                         "ca_ez", "cb_ez")] * 3
+        _halo_ext = lambda flat2d: flat2d  # trip mode: full blocks
         _src_rep = 3
+        _coef_rep = 3
+
+    # The six ca/cb windows are RUNTIME OPERANDS (round 5; same treatment
+    # the chunk kernel's coefficients and the port sources got): the
+    # traced converter below rebuilds them from a padded-3D coefficient
+    # dict inside any trace, so geometry swaps reuse the compiled kernel
+    # and jax.vmap batches the stream kernel over design sweeps whose
+    # union grid exceeds the chunk kernel's VMEM budget
+    # (VERDICT r4 next #1).
+    def coef_ops_from(coeffs3d: dict):
+        """Padded-3D coefficient dict → the kernel's coefficient window
+        operands (traced jnp ops; vmap-compatible). Handles the y↔z lane
+        swap's component-key remap and the halo-window extension."""
+        return tuple(
+            _halo_ext(to_flat(coeffs3d[_CKMAP.get(k, k)])) for k in _CK
+        ) * _coef_rep
 
     statics = tuple(
         lane_statics
         + [jnp.asarray(ix_p)] * 3 + [jnp.asarray(ix_d)] * 3
         + ([a for v in pml_xcols for a in [jnp.asarray(v)] * 3]
            if has_pml else [])
-        + coef_statics
     )
 
     def step_fn(statics_in, src_ops, fields_flat, psi_flat, wf_t):
-        """Advance T steps. ``statics_in`` must be passed through the
-        enclosing jit as an *argument* (closure capture would embed
+        """Advance T steps. ``statics_in`` is the returned ``statics``
+        prefix (lane/column vectors) WITH the six coefficient windows
+        from ``step_fn.coef_ops_from(coeffs)`` appended — passed through
+        the enclosing jit as *arguments* (closure capture would embed
         ~200 MB of coefficient arrays as HLO constants, which made the
-        remote-compile payload enormous and compile times explode).
-        ``src_ops`` is the tuple of per-component source matrices in the
-        layout ``step_fn.src_to_flat_np`` produces (sorted-component
-        order) — a runtime operand so re-excitation (S-matrix one-hot
-        runs) re-uses the compiled program. ``psi_flat`` is the 12-tuple
-        of CPML ψ arrays (pe6 then ph6, flat layout) or () for MUR/PEC;
-        returns (fields6, psi)."""
+        remote-compile payload enormous and compile times explode; as
+        traced operands they are also vmap-batchable for geometry
+        sweeps). ``src_ops`` is the tuple of per-component source
+        matrices in the layout ``step_fn.src_to_flat_np`` produces
+        (sorted-component order) — a runtime operand so re-excitation
+        (S-matrix one-hot runs) re-uses the compiled program.
+        ``psi_flat`` is the 12-tuple of CPML ψ arrays (pe6 then ph6,
+        flat layout) or () for MUR/PEC; returns (fields6, psi)."""
         wf2 = jnp.asarray(wf_t, jnp.float32).reshape(1, T)
         fields = tuple(fields_flat)
         psi = tuple(psi_flat)
@@ -1339,11 +1356,16 @@ def build_pallas_stream_stepper(sim, inv_p, inv_d, mur_coef, shard=None,
 
     step_fn.src_to_flat_np = _src_to_op_np
     step_fn.src_comps = src_comps
+    step_fn.coef_ops_from = coef_ops_from
     return step_fn, statics, to_flat, from_flat, (R, C), T
 
 
 # ψ key order shared between the chunk kernel and the XLA carry dicts
 PSI_KEYS = ("xy", "xz", "yz", "yx", "zx", "zy")
+
+# coefficient-operand order of the chunk kernel (matches the kernel's
+# positional unpack refs[1:7])
+COEF_KEYS = ("ca_ex", "cb_ex", "ca_ey", "cb_ey", "ca_ez", "cb_ez")
 
 
 def build_pallas_chunk_stepper(sim, inv_p, inv_d, mur_coef, pml=None):
@@ -1400,8 +1422,6 @@ def build_pallas_chunk_stepper(sim, inv_p, inv_d, mur_coef, pml=None):
 
     def from_flat(a2):
         return a2.reshape(R, Py, LANE)[:, :, :Pz]
-
-    coeffs_flat = {k: to_flat(v) for k, v in sim.coeffs.items()}
 
     yy = np.repeat(np.arange(Py), LANE)
     zz = np.tile(np.arange(LANE), Py)
@@ -1687,10 +1707,13 @@ def build_pallas_chunk_stepper(sim, inv_p, inv_d, mur_coef, pml=None):
             zf_o[0, side, 2, :, :] = 0.25 * (hx_s + up(hx_s, 0, 1))
             zf_o[0, side, 3, :, :] = 0.25 * (hy_s + up(hy_s, 1, 1))
 
+    # NOTE: the six ca/cb coefficient arrays are NOT baked here — they
+    # enter chunk_fn as runtime operands (same treatment round 4 gave the
+    # port source matrices), so geometry changes reuse the compiled
+    # kernel AND jax.vmap can batch them for geometry sweeps (the Mosaic
+    # batching rule prepends a parallel grid dim; VERDICT r4 next #1).
     static_inputs = (
-        [coeffs_flat[k] for k in
-         ("ca_ex", "cb_ex", "ca_ey", "cb_ey", "ca_ez", "cb_ez")]
-        + [jnp.asarray(v) for v in lane_vecs]
+        [jnp.asarray(v) for v in lane_vecs]
         + [jnp.asarray(v) for v in col_vecs]
         + [jnp.asarray(v) for v in z_masks]
         + [jnp.asarray(S_lo), jnp.asarray(S_hi)]
@@ -1712,6 +1735,7 @@ def build_pallas_chunk_stepper(sim, inv_p, inv_d, mur_coef, pml=None):
     n_prows = max(8, len(ports_meta))
     in_specs = (
         [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [const((R, C))] * 6              # ca/cb runtime operands
         + [const(a.shape) for a in static_inputs]
         + [const((R, C))] * n_src
         + [const((R, C))] * (6 + n_psi)
@@ -1752,14 +1776,18 @@ def build_pallas_chunk_stepper(sim, inv_p, inv_d, mur_coef, pml=None):
         interpret=interpret,
     )
 
-    def chunk_fn(fields_flat, psi_e, psi_h, wf_chunk, src_flat):
+    def chunk_fn(fields_flat, psi_e, psi_h, wf_chunk, src_flat, coef_flat):
         """``src_flat``: per-component source matrices in the kernel's
         flat (R, C) layout, sorted-component order — a *runtime operand*,
         so re-exciting the ports (S-matrix one-hot runs) never re-traces
-        this call (VERDICT r3 next #1)."""
+        this call (VERDICT r3 next #1). ``coef_flat``: the six ca/cb
+        arrays (COEF_KEYS order) in the same flat layout — also runtime
+        operands, so geometry is swappable through the jit cache and
+        ``jax.vmap`` batches the kernel over design sweeps
+        (VERDICT r4 next #1)."""
         wf2 = wf_chunk.reshape(1, n_sub * D)
-        out = call(wf2, *static_inputs, *src_flat, *fields_flat,
-                   *psi_e, *psi_h)
+        out = call(wf2, *coef_flat, *static_inputs, *src_flat,
+                   *fields_flat, *psi_e, *psi_h)
         k = 6 + n_psi
         psi_out = out[6:k]
         return (tuple(out[:6]), tuple(psi_out[:6]), tuple(psi_out[6:]),
@@ -1767,6 +1795,7 @@ def build_pallas_chunk_stepper(sim, inv_p, inv_d, mur_coef, pml=None):
 
     chunk_fn.src_to_flat_np = _to_flat_np
     chunk_fn.src_comps = src_comps
+    chunk_fn.coef_keys = COEF_KEYS
     return chunk_fn, to_flat, from_flat, n_sub
 
 

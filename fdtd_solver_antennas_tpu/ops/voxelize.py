@@ -400,6 +400,11 @@ def voxelize(scene: Scene, grid: YeeGrid, background_eps: float = 1.0) -> Voxeli
                 claimed[sl][m] = True
             sheets[comp] = add if add.any() else None
 
+    # Materials stay float64 end-to-end: the Ca/Cb assembly rounds to
+    # float32 only at the very end (ops/fdtd.py), and an all-f32
+    # pipeline measurably shifted the CPML DC-residual floor
+    # (tests/test_cpml.py). The prepare win comes from the fused
+    # single-pass native edge average, not from narrowing the dtype.
     return VoxelizedScene(
         eps_r=eps,
         sigma=sigma,
@@ -419,8 +424,39 @@ def cell_to_edge_average(cell: np.ndarray, component: str) -> np.ndarray:
     (i, j−1..j, k−1..k); the standard material average for the staggered
     grid. Output has the full padded shape (Px, Py, Pz) with trailing
     invalid slots filled by replication (masked out later).
+
+    Runs through the fused native kernel when available
+    (``native/voxelize.cpp::cell_edge_avg_f64/f32`` — one read + one
+    write per element vs the 12-pass NumPy pad/add pipeline below,
+    which was the single biggest prepare cost on the 4.2M-cell mixed
+    scene; VERDICT r4 next #4). The dtype follows the input (the
+    engine's material pipeline is float64 until the final Ca/Cb
+    rounding — see voxelize()'s return note).
     """
+    from ..native import get_voxelize_lib
+
+    if cell.dtype == np.float32:
+        dtype, fname = np.float32, "cell_edge_avg_f32"
+    else:
+        dtype, fname = np.float64, "cell_edge_avg_f64"
+    cell = np.ascontiguousarray(cell, dtype)
     nx, ny, nz = cell.shape
+    lib = get_voxelize_lib()
+    if lib is not None and hasattr(lib, fname):
+        import ctypes
+
+        axis = {"ex": 0, "ey": 1, "ez": 2}[component]
+        out = np.empty((nx + 1, ny + 1, nz + 1), dtype)
+        ptr = ctypes.POINTER(
+            ctypes.c_float if dtype == np.float32 else ctypes.c_double
+        )
+        getattr(lib, fname)(
+            cell.ctypes.data_as(ptr),
+            ctypes.c_int64(nx), ctypes.c_int64(ny), ctypes.c_int64(nz),
+            ctypes.c_int(axis),
+            out.ctypes.data_as(ptr),
+        )
+        return out
 
     def avg_along(a: np.ndarray, axis: int) -> np.ndarray:
         # node values = mean of adjacent cells; ends replicate.
