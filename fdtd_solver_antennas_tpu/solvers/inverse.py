@@ -64,7 +64,8 @@ from ..ops.fdtd import (
     build_simulation,
 )
 from ..ops.mesh import MeshBuilder
-from ..physics import C0, design_patch_for_frequency, substrate_conductivity
+from ..physics import C0, ETA0, design_patch_for_frequency, \
+    substrate_conductivity
 from ..post.ports import find_resonance, port_spectra
 
 
@@ -121,6 +122,101 @@ def _cell_to_ex_ey(rho: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return mex, mey
 
 
+def _pattern_consts(faces, theta_deg, phi_deg, f0_hz: float) -> dict:
+    """Host-side constants for the differentiable far-field evaluation.
+
+    Reuses the engine transform's geometry/angle assembly
+    (``post/nf2ff.py::_face_geometry`` / ``_angles``) so the traced
+    re-implementation below cannot drift from the validated NumPy path.
+    """
+    from ..post.nf2ff import _angles, _face_geometry
+
+    pts, w, u_hat, v_hat, normals, slices = _face_geometry(faces)
+    theta, phi, rhat, trig = _angles(theta_deg, phi_deg)
+    return dict(
+        pts=np.asarray(pts, np.float32),
+        w=np.asarray(w, np.float32),
+        u_hat=np.asarray(u_hat, np.float32),
+        v_hat=np.asarray(v_hat, np.float32),
+        normals=np.asarray(normals, np.float32),
+        slices=slices,
+        rhat=np.asarray(rhat, np.float32),
+        trig=tuple(np.asarray(t, np.float32) for t in trig),
+        k0=np.float32(2.0 * np.pi * f0_hz / C0),
+        theta=theta,
+        phi=phi,
+    )
+
+
+def _directivity_ri(consts: dict, face_e, face_h):
+    """Traced single-frequency far-field directivity from face DFTs.
+
+    The differentiable (real-pair) twin of the engine transform chain
+    ``post/nf2ff.py::_surface_currents → _radiation_integrals →
+    _assemble_far_field`` at ONE frequency: ``face_e[i]``/``face_h[i]``
+    are the (2 re/im, 2 u/v, nu, nv) float32 DFT accumulators of Huygens
+    face ``i``. Returns ``(D (A,), P_rad)`` — directivity at the
+    ``consts`` angle grid plus the Poynting-flux radiated power. The
+    Fourier dt factor is deliberately NOT applied (same float32 rationale
+    as the S11 path): U ∝ dt² and P_rad ∝ dt², so it cancels in D —
+    only ``P_rad`` is returned in these scaled units and is used solely
+    as the normalizer. Pinned against the NumPy transform by
+    ``tests/test_inverse.py::test_directivity_ri_matches_nf2ff``.
+    """
+    u_hat = consts["u_hat"]
+    v_hat = consts["v_hat"]
+    normals = consts["normals"]
+    w = consts["w"]
+    E_parts, H_parts = [], []
+    for sl, fe, fh in zip(consts["slices"], face_e, face_h):
+        # (2 re/im, n) tangential components → (2, n, 3) vectors
+        eu = fe[:, 0].reshape(2, -1)
+        ev = fe[:, 1].reshape(2, -1)
+        hu = fh[:, 0].reshape(2, -1)
+        hv = fh[:, 1].reshape(2, -1)
+        E_parts.append(eu[..., None] * u_hat[sl] + ev[..., None] * v_hat[sl])
+        H_parts.append(hu[..., None] * u_hat[sl] + hv[..., None] * v_hat[sl])
+    E = jnp.concatenate(E_parts, axis=1)  # (2, P, 3)
+    H = jnp.concatenate(H_parts, axis=1)
+    J = jnp.cross(normals[None], H)  # n̂ × H  (linear: same map re/im)
+    M = -jnp.cross(normals[None], E)  # −n̂ × E
+    # ½ Re(E × H*) = ½ (E_re × H_re + E_im × H_im)
+    S = 0.5 * (jnp.cross(E[0], H[0]) + jnp.cross(E[1], H[1]))
+    P_rad = jnp.einsum("pc,pc,p->", S, normals, w)
+
+    k0 = consts["k0"]
+    ph = k0 * (consts["pts"] @ consts["rhat"].T)  # (P, A)
+    c, s = jnp.cos(ph), jnp.sin(ph)
+
+    def integrals(X):
+        xw_re = (X[0] * w[:, None]).T  # (3, P)
+        xw_im = (X[1] * w[:, None]).T
+        return xw_re @ c - xw_im @ s, xw_re @ s + xw_im @ c  # (3, A) ×2
+
+    N_re, N_im = integrals(J)
+    L_re, L_im = integrals(M)
+    ct, st, cp, sp = consts["trig"]
+
+    def to_theta_phi(re_, im_):
+        th = (re_[0] * ct * cp + re_[1] * ct * sp - re_[2] * st,
+              im_[0] * ct * cp + im_[1] * ct * sp - im_[2] * st)
+        phc = (-re_[0] * sp + re_[1] * cp, -im_[0] * sp + im_[1] * cp)
+        return th, phc
+
+    (N_th_re, N_th_im), (N_ph_re, N_ph_im) = to_theta_phi(N_re, N_im)
+    (L_th_re, L_th_im), (L_ph_re, L_ph_im) = to_theta_phi(L_re, L_im)
+    eta = np.float32(ETA0)
+    pref = k0 / np.float32(4.0 * np.pi)
+    # E_θ = −j·pref·(L_φ + η0 N_θ);  E_φ = +j·pref·(L_θ − η0 N_φ)
+    x_re, x_im = L_ph_re + eta * N_th_re, L_ph_im + eta * N_th_im
+    y_re, y_im = L_th_re - eta * N_ph_re, L_th_im - eta * N_ph_im
+    e_th_re, e_th_im = pref * x_im, -pref * x_re
+    e_ph_re, e_ph_im = -pref * y_im, pref * y_re
+    U = (e_th_re**2 + e_th_im**2 + e_ph_re**2 + e_ph_im**2) / (2.0 * eta)
+    D = 4.0 * np.pi * U / jnp.maximum(P_rad, np.float32(1e-20))
+    return D, P_rad
+
+
 @dataclass
 class InverseDesignProblem:
     """A differentiable patch-design problem over a prepared base scene."""
@@ -131,8 +227,9 @@ class InverseDesignProblem:
     n_steps: int
     f0: float
     remat_chunk: int = 50
-    _loss_grad: Callable = field(default=None, repr=False)
+    _loss_grad: Dict = field(default=None, repr=False)
     _s11_fn: Callable = field(default=None, repr=False)
+    _pattern_fns: Dict = field(default=None, repr=False)
 
     # -- differentiable forward --------------------------------------------
 
@@ -152,7 +249,14 @@ class InverseDesignProblem:
                 coeffs[name] = a.at[i0:i1, j0:j1, r.k].set(patch)
         return coeffs
 
-    def _build_s11_fn(self) -> Callable:
+    def _build_forward_fn(self, pattern: Optional[dict] = None) -> Callable:
+        """The differentiable forward: ``rho → S11 (2, n_f)``, or — with
+        ``pattern`` constants from :func:`_pattern_consts` — ``rho →
+        (S11, D (A,))`` where D also DFT-accumulates the Huygens-face
+        tangential fields at f0 inside the loop and routes them through
+        the traced NF2FF twin (:func:`_directivity_ri`). With
+        ``pattern=None`` the trace is exactly the original S11-only
+        forward."""
         sim = self.sim
         # the same exposed step the driver's compile gate uses
         # (make_single_step), but with the carry initializer too
@@ -179,16 +283,28 @@ class InverseDesignProblem:
         n_f = len(self.freqs_hz)
         n_pf = len(sim.port_freqs_hz)
         n_nf = len(sim.nf_freqs_hz)
+        w0 = None if pattern is None else np.float32(
+            2.0 * np.pi * self.f0
+        )
+        face_shapes = [
+            (f.u1 - f.u0, f.v1 - f.v0) for f in sim.faces
+        ]
 
-        def s11_of(rho):
+        def forward(rho):
             coeffs = self.overlay_coeffs(rho)
             carry0 = init_carry(coeffs, n_nf, n_pf)
             # (engine accumulators in carry0 stay zero — this path keeps
             # its own undecimated port DFTs at the loss frequencies)
             acc0 = jnp.zeros((4, n_f), jnp.float32)  # uf re/im, if re/im
+            faces0 = ()
+            if pattern is not None:
+                faces0 = tuple(
+                    jnp.zeros((2, 2, nu, nv), jnp.float32)
+                    for _ in range(2) for (nu, nv) in face_shapes
+                )  # e-faces then h-faces
 
             def one_step(state, n):
-                carry, acc = state
+                carry, acc, faces_acc = state
                 carry, probes = field_step(carry, n, coeffs, waveform)
                 # E-grid sample time after step n is (n+1)·dt; H half a
                 # step earlier — the engine's _flush_and_check contract
@@ -204,7 +320,18 @@ class InverseDesignProblem:
                         -i * jnp.sin(w * t_h),
                     ]
                 )
-                return (carry, acc), None
+                if pattern is not None:
+                    nfc = len(face_shapes)
+                    ce, se = jnp.cos(w0 * t_e), jnp.sin(w0 * t_e)
+                    ch, sh = jnp.cos(w0 * t_h), jnp.sin(w0 * t_h)
+                    faces_acc = tuple(
+                        a + jnp.stack([fe * ce, -fe * se])
+                        for a, fe in zip(faces_acc[:nfc], probes["faces_e"])
+                    ) + tuple(
+                        a + jnp.stack([fh * ch, -fh * sh])
+                        for a, fh in zip(faces_acc[nfc:], probes["faces_h"])
+                    )
+                return (carry, acc, faces_acc), None
 
             @jax.checkpoint
             def chunk_body(state, ns):
@@ -214,7 +341,9 @@ class InverseDesignProblem:
             steps = jnp.arange(n_total, dtype=jnp.int32).reshape(
                 n_chunks, chunk
             )
-            (carry, acc), _ = jax.lax.scan(chunk_body, (carry0, acc0), steps)
+            (carry, acc, faces_acc), _ = jax.lax.scan(
+                chunk_body, (carry0, acc0, faces0), steps
+            )
             # real-pair arithmetic throughout: complex64 stays off the jit
             # boundary (tunneled PJRT backends cannot transfer complex
             # buffers — same rule as the engine's DFT accumulators).
@@ -232,9 +361,17 @@ class InverseDesignProblem:
             den = inc_re * inc_re + inc_im * inc_im
             s_re = (ref_re * inc_re + ref_im * inc_im) / den
             s_im = (ref_im * inc_re - ref_re * inc_im) / den
-            return jnp.stack([s_re, s_im])  # (2, n_f)
+            s11 = jnp.stack([s_re, s_im])  # (2, n_f)
+            if pattern is None:
+                return s11
+            nfc = len(face_shapes)
+            D, _ = _directivity_ri(pattern, faces_acc[:nfc], faces_acc[nfc:])
+            return s11, D
 
-        return s11_of
+        return forward
+
+    def _build_s11_fn(self) -> Callable:
+        return self._build_forward_fn(pattern=None)
 
     @property
     def s11_fn(self) -> Callable:
@@ -258,6 +395,54 @@ class InverseDesignProblem:
             return jnp.sum(p * weights) / jnp.sum(weights)
         return jnp.mean(p)
 
+    # -- far-field (pattern) objective ---------------------------------------
+
+    def pattern_fn(
+        self,
+        theta_deg: Sequence[float] = (0.0,),
+        phi_deg: Sequence[float] = (0.0,),
+    ) -> Callable:
+        """``rho → (s11 (2, n_f), D (nθ·nφ,))`` — the differentiable
+        forward extended with far-field directivity at the given angles
+        (f0 only). Routed through the NF2FF surface-equivalence math
+        (VERDICT r4 next #9): the loop accumulates the Huygens-face
+        tangential DFTs and :func:`_directivity_ri` applies the
+        radiation integrals, so ``jax.grad`` carries pattern sensitivity
+        back through the transform AND the full time loop. Built (and
+        cached) per angle grid."""
+        key = (tuple(float(t) for t in np.atleast_1d(theta_deg)),
+               tuple(float(p) for p in np.atleast_1d(phi_deg)))
+        if self._pattern_fns is None:
+            self._pattern_fns = {}
+        if key not in self._pattern_fns:
+            consts = _pattern_consts(
+                self.sim.faces, np.asarray(key[0]), np.asarray(key[1]),
+                self.f0,
+            )
+            # builders run jnp ops (static conversion in _make_run_fn);
+            # when the first call arrives under a caller's jit trace,
+            # those must evaluate eagerly or the cached closure captures
+            # leaked tracers (same hazard prepare_patch_inverse defuses
+            # by building _s11_fn eagerly)
+            with jax.ensure_compile_time_eval():
+                self._pattern_fns[key] = self._build_forward_fn(
+                    pattern=consts
+                )
+        return self._pattern_fns[key]
+
+    def broadside_gain_loss(self, rho: jnp.ndarray) -> jnp.ndarray:
+        """Negative broadside realized gain: ``−D(θ=0)·(1−|S11(f0)|²)``.
+
+        The matched objective for "make the patch radiate harder
+        upward": directivity alone would reward detuning the feed
+        (P_rad shrinks faster than U), so the mismatch factor keeps the
+        optimizer honest about accepted power."""
+        fwd = self.pattern_fn((0.0,), (0.0,))
+        s11, D = fwd(rho)
+        i_f0 = int(np.argmin(np.abs(np.asarray(self.freqs_hz) - self.f0)))
+        p_f0 = s11[0, i_f0] ** 2 + s11[1, i_f0] ** 2
+        return -(D[0] * (1.0 - p_f0))
+
     # -- optimization -------------------------------------------------------
 
     def optimize(
@@ -269,11 +454,16 @@ class InverseDesignProblem:
         beta_sharpen: float = 1.0,
         weights: Optional[np.ndarray] = None,
         callback: Optional[Callable] = None,
+        objective: str = "s11_band",
     ) -> "InverseDesignResult":
         """Adam ascent on logits θ with ``rho = sigmoid(β·θ)``.
 
         ``rho0`` seeds the density (default 0.5 everywhere); ``callback``
         (if given) receives ``(iteration, loss, rho)`` per step.
+        ``objective`` picks the loss: ``"s11_band"`` (mean |S11|² over
+        ``freqs_hz``, optionally weighted) or ``"broadside_gain"``
+        (negative broadside realized gain at f0 —
+        :meth:`broadside_gain_loss`; ``weights`` is ignored).
         """
         import optax
 
@@ -283,17 +473,38 @@ class InverseDesignProblem:
         theta = jnp.asarray(np.log(rho0 / (1 - rho0)) / beta_sharpen)
         w = None if weights is None else jnp.asarray(weights, jnp.float32)
 
-        def loss_of_theta(th):
-            return self.loss(jax.nn.sigmoid(beta_sharpen * th), weights=w)
+        if objective == "s11_band":
+            # weights ride as a jit argument, not a closure constant, so
+            # re-optimizing with different weights reuses the compile
+            def loss_of_theta(th, w_arr):
+                return self.loss(jax.nn.sigmoid(beta_sharpen * th),
+                                 weights=w_arr)
+        elif objective == "broadside_gain":
+            def loss_of_theta(th, w_arr):
+                del w_arr
+                return self.broadside_gain_loss(
+                    jax.nn.sigmoid(beta_sharpen * th)
+                )
+        else:
+            raise ValueError(
+                f"unknown objective {objective!r} "
+                "(expected 's11_band' or 'broadside_gain')"
+            )
 
         if self._loss_grad is None:
-            self._loss_grad = jax.jit(jax.value_and_grad(loss_of_theta))
+            self._loss_grad = {}
+        cache_key = (objective, beta_sharpen, weights is not None)
+        if cache_key not in self._loss_grad:
+            self._loss_grad[cache_key] = jax.jit(
+                jax.value_and_grad(loss_of_theta)
+            )
+        loss_grad = self._loss_grad[cache_key]
         opt = optax.adam(lr)
         opt_state = opt.init(theta)
         history: List[float] = []
         t0 = time.perf_counter()
         for it in range(n_iters):
-            val, g = self._loss_grad(theta)
+            val, g = loss_grad(theta, w)
             updates, opt_state = opt.update(g, opt_state)
             theta = optax.apply_updates(theta, updates)
             history.append(float(val))
@@ -309,19 +520,26 @@ class InverseDesignProblem:
             freqs_hz=np.asarray(self.freqs_hz),
             wall_s=time.perf_counter() - t0,
             problem=self,
+            objective=objective,
         )
 
     # -- validation through the standard engine -----------------------------
 
-    def validate(self, rho: np.ndarray, threshold: float = 0.5) -> dict:
+    def validate(self, rho: np.ndarray, threshold: float = 0.5,
+                 pattern: bool = False) -> dict:
         """Re-run the *binarized* design through the standard engine path.
 
         Swaps hard-overlay coefficients into the base sim (the run
         function takes coefficients as arguments, so no rebuild is
         needed), runs with the configured termination criterion, and
         restores the base coefficients afterwards. Returns the engine's
-        S11 sweep and resonance for the thresholded design.
-        """
+        S11 sweep and resonance for the thresholded design. With
+        ``pattern=True`` the engine's own NF2FF accumulators go through
+        the standard transform (``post/nf2ff.py``) at f0 and the dict
+        gains ``broadside_directivity`` (linear, θ=0), ``Dmax``, and
+        ``broadside_realized_gain_dbi`` (directivity × (1−|S11(f0)|²) in
+        dBi) — the independently-validated check on what the adjoint
+        pattern objective optimized."""
         hard = (np.asarray(rho) >= threshold).astype(np.float32)
         sim = self.sim
         saved = sim.coeffs
@@ -340,13 +558,36 @@ class InverseDesignProblem:
         finally:
             sim.coeffs = saved
         f_res, s11_db = find_resonance(spec, self.f0)
-        return {
+        result = {
             "spectra": spec,
             "f_res_hz": f_res,
             "s11_db": s11_db,
             "steps": int(out["steps"]),
             "rho_binary": hard,
         }
+        if pattern:
+            from ..post.nf2ff import nf2ff_transform, select_face_freqs
+
+            fi = int(np.argmin(np.abs(sim.nf_freqs_hz - self.f0)))
+            ff = nf2ff_transform(
+                sim.faces,
+                select_face_freqs(out["nf_e"], fi),
+                select_face_freqs(out["nf_h"], fi),
+                sim.dft_dt,
+                sim.nf_freqs_hz[fi : fi + 1],
+                np.arange(0.0, 91.0, 5.0),
+                np.array([0.0, 90.0]),
+            )
+            d_bs = float(ff.directivity[0, 0, 0])
+            i_f0 = int(np.argmin(np.abs(spec.freq_hz - self.f0)))
+            mismatch = 1.0 - min(abs(spec.s11[i_f0]) ** 2, 1.0)
+            result["far_field"] = ff
+            result["broadside_directivity"] = d_bs
+            result["Dmax"] = float(ff.Dmax[0])
+            result["broadside_realized_gain_dbi"] = float(
+                10.0 * np.log10(max(d_bs * mismatch, 1e-12))
+            )
+        return result
 
 
 @dataclass
@@ -357,6 +598,7 @@ class InverseDesignResult:
     freqs_hz: np.ndarray
     wall_s: float
     problem: InverseDesignProblem
+    objective: str = "s11_band"
 
     def s11_db(self) -> np.ndarray:
         return 20.0 * np.log10(np.maximum(np.abs(self.s11), 1e-12))

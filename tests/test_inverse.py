@@ -139,3 +139,97 @@ def test_optimize_reduces_loss_and_validates(problem):
     r = problem.region
     base = problem.overlay_coeffs(jnp.zeros(r.shape, jnp.float32))
     np.testing.assert_array_equal(got, np.asarray(base["ca_ex"]))
+
+
+def test_directivity_ri_matches_nf2ff(problem):
+    """The traced far-field twin (_directivity_ri) must reproduce the
+    validated NumPy transform (post/nf2ff.py) on the same inputs: random
+    face accumulators, a θ×φ grid. Pins the pattern objective's math to
+    the engine's standard NF2FF chain (the dt factor cancels in D)."""
+    from fdtd_solver_antennas_tpu.post.nf2ff import nf2ff_transform
+    from fdtd_solver_antennas_tpu.solvers.inverse import (
+        _directivity_ri,
+        _pattern_consts,
+    )
+
+    sim = problem.sim
+    theta = np.arange(0.0, 91.0, 15.0)
+    phi = np.array([0.0, 90.0])
+    f0 = problem.f0
+    from fdtd_solver_antennas_tpu.physics import ETA0
+
+    rng = np.random.default_rng(3)
+    face_e, face_h, nf_e, nf_h = [], [], [], []
+    for f in sim.faces:
+        nu, nv = f.u1 - f.u0, f.v1 - f.v0
+        ae = rng.standard_normal((2, 2, nu, nv)).astype(np.float32)
+        # outward-propagating local plane wave: H = (n̂ × E)/η0, so the
+        # Poynting flux is positive on every face (a random independent
+        # H would give P_rad ≤ 0, which the transform rightly NaNs).
+        # With û×v̂ = s·n̂: n̂×û = s·v̂ and n̂×v̂ = −s·û.
+        uh = np.zeros(3)
+        uh[f.u_axis] = 1.0
+        vh = np.zeros(3)
+        vh[f.v_axis] = 1.0
+        s = float(np.dot(np.cross(uh, vh), f.normal))
+        ah = np.stack(
+            [-s * ae[:, 1] / ETA0, s * ae[:, 0] / ETA0], axis=1
+        ).astype(np.float32)
+        face_e.append(jnp.asarray(ae))
+        face_h.append(jnp.asarray(ah))
+        # transform layout: (nf=1, 2 u/v, nu, nv) complex
+        nf_e.append((ae[0] + 1j * ae[1])[None])
+        nf_h.append((ah[0] + 1j * ah[1])[None])
+
+    consts = _pattern_consts(sim.faces, theta, phi, f0)
+    D, p_rad = _directivity_ri(consts, face_e, face_h)
+    ff = nf2ff_transform(
+        sim.faces, nf_e, nf_h, sim.dft_dt, np.array([f0]), theta, phi
+    )
+    assert float(p_rad) != 0.0
+    np.testing.assert_allclose(
+        np.asarray(D).reshape(len(theta), len(phi)),
+        ff.directivity[0],
+        rtol=2e-3,
+        err_msg="traced directivity drifted from the NumPy NF2FF chain",
+    )
+
+
+@pytest.mark.slow
+def test_broadside_gradient_matches_finite_difference(problem):
+    """jax.grad of the broadside realized-gain loss — through the NF2FF
+    radiation integrals AND the full FDTD time loop — must match central
+    finite differences (VERDICT r4 next #9)."""
+    rng = np.random.default_rng(11)
+    rho = jnp.asarray(
+        np.clip(0.5 + 0.1 * rng.standard_normal(problem.region.shape), 0, 1),
+        jnp.float32,
+    )
+    loss = jax.jit(problem.broadside_gain_loss)
+    grad = jax.jit(jax.grad(problem.broadside_gain_loss))(rho)
+    assert np.isfinite(np.asarray(grad)).all()
+    g = np.asarray(grad)
+    i, j = np.unravel_index(np.argmax(np.abs(g)), g.shape)
+    eps = 5e-2
+    lp = float(loss(rho.at[i, j].add(+eps)))
+    lm = float(loss(rho.at[i, j].add(-eps)))
+    fd = (lp - lm) / (2 * eps)
+    assert fd != 0.0
+    assert abs(fd - g[i, j]) <= 0.05 * abs(fd) + 1e-8, (fd, g[i, j])
+
+
+@pytest.mark.slow
+def test_optimize_broadside_lifts_gain(problem):
+    """A few Adam steps on the broadside objective must increase the
+    (soft-model) realized gain, and the binarized design must validate
+    through the standard engine + NF2FF with finite broadside output."""
+    res = problem.optimize(n_iters=3, lr=0.1, objective="broadside_gain")
+    assert res.objective == "broadside_gain"
+    # loss is NEGATIVE realized gain: it must decrease (gain rises)
+    assert res.history[-1] < res.history[0]
+    val = problem.validate(res.rho, pattern=True)
+    assert val["broadside_directivity"] > 0.0
+    assert np.isfinite(val["broadside_realized_gain_dbi"])
+    assert np.isfinite(val["Dmax"]) and val["Dmax"] >= val[
+        "broadside_directivity"
+    ] - 1e-9
