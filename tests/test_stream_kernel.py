@@ -345,3 +345,20 @@ def test_stream_vmap_batches_geometry():
     # distinct geometries must give distinct spectra (the broadcast bug)
     uf = np.asarray(out["uf"])
     assert not np.allclose(uf[0], uf[1], rtol=1e-3)
+
+
+def test_pick_stream_layout_force_bx():
+    """The stream_bx escape hatch must pin the block height (the
+    operating-point sweeps in examples/stream_tune.py rely on it) while
+    leaving the orientation/T search intact."""
+    from fdtd_solver_antennas_tpu.ops.fdtd_pallas import pick_stream_layout
+
+    # tall-patch-like dims: py=121, pz=160, one source comp, MUR
+    auto = pick_stream_layout(121, 160, 1, 161, True)
+    assert auto[1] > 0
+    for bx in (4, 8):
+        swap, got_bx, t = pick_stream_layout(
+            121, 160, 1, 161, True, force_bx=bx
+        )
+        assert got_bx == bx, (bx, got_bx)
+        assert 1 <= t <= bx - 1
