@@ -116,7 +116,8 @@ def main() -> None:
     inv_p = sub.add_parser(
         "inverse",
         help="adjoint topology optimization of the patch metallization "
-        "against the S11 band (optimize -> threshold -> validate)",
+        "against the S11 band or broadside realized gain "
+        "(optimize -> threshold -> validate)",
     )
     _add_common_antenna_args(inv_p)
     inv_p.add_argument("--iters", type=int, default=40)
@@ -129,6 +130,13 @@ def main() -> None:
     inv_p.add_argument(
         "--mesh-divisor", type=float, default=20.0,
         help="design-region resolution: cells per wavelength",
+    )
+    inv_p.add_argument(
+        "--objective", choices=["s11_band", "broadside_gain"],
+        default="s11_band",
+        help="loss to optimize: mean |S11|^2 over the band, or negative "
+        "broadside realized gain D(0)*(1-|S11(f0)|^2) through the "
+        "differentiable NF2FF transform",
     )
     inv_p.add_argument(
         "--beta", type=float, default=4.0,
@@ -241,11 +249,13 @@ def main() -> None:
         )
         res = prob.optimize(
             n_iters=args.iters, lr=args.lr, beta_sharpen=args.beta,
+            objective=args.objective,
             callback=lambda it, v, _r: print(
                 f"  iter {it + 1}/{args.iters}  loss={v:.5f}"
             ),
         )
-        val = prob.validate(res.rho)
+        pattern = args.objective == "broadside_gain"
+        val = prob.validate(res.rho, pattern=pattern)
         spec = val["spectra"]
         summary = {
             "loss_initial": res.history[0],
@@ -261,6 +271,14 @@ def main() -> None:
             "validated_steps": val["steps"],
             "optimize_wall_s": res.wall_s,
         }
+        if pattern:
+            summary["objective"] = "broadside_gain"
+            summary["validated_broadside_directivity"] = val[
+                "broadside_directivity"
+            ]
+            summary["validated_broadside_realized_gain_dbi"] = val[
+                "broadside_realized_gain_dbi"
+            ]
         print(json.dumps(summary, indent=2))
         np.savez(
             outdir / "inverse_design.npz",
