@@ -165,6 +165,11 @@ class FDTDConfig:
     # (the traffic-model pick); an int pins it — the tuning escape hatch
     # the (Bx, T) operating-point sweeps use (examples/stream_tune.py).
     stream_bx: int | None = None
+    # Chunk-kernel lane packing: None/True → fused z-major packing
+    # (lane = z·Py + y, ≤1 tile of lane padding, no z ≤ 128 wall —
+    # round 5, see build_pallas_chunk_stepper); False → the per-y
+    # 128-lane tiled layout (round ≤4; comparison/escape hatch).
+    chunk_fused: bool | None = None
 
     def pml_cells(self) -> int:
         """0 when not a PML boundary, else the slab thickness in cells."""
@@ -430,6 +435,7 @@ class PreparedSimulation:
     stream_block: int = 0  # x-block height of the streaming kernel
     stream_T: int = 1  # leapfrog steps per streaming-kernel invocation
     stream_swap: bool = False  # resolved lane orientation (y↔z reflected)
+    chunk_fused: bool = False  # resolved chunk-kernel lane packing
     field_sharding: object = None  # optional jax.sharding.NamedSharding
     _run_fn: object = None
     _host_run: object = None  # host-driven chunk pipeline (XLA/stream)
@@ -1040,10 +1046,18 @@ def _stream_prepass(cfg, grid_shape, padded_shape, scene):
     if cfg.pallas_mode != "stream":
         n_rows = len(scene.ports) + MSLRuntime.N_ROWS * len(scene.msl_ports)
         n_resident = 18 + max(1, n_src) + (24 if has_pml else 0)
-        resident = n_resident * padded_shape[0] * padded_shape[1] * 128 * 4
+        if cfg.chunk_fused is not False:
+            from .fdtd_pallas import chunk_fused_cols
+
+            cols = chunk_fused_cols(padded_shape[1], padded_shape[2])
+            z_ok = True  # fused packing has no z ≤ 128 wall
+        else:
+            cols = padded_shape[1] * 128
+            z_ok = padded_shape[2] <= 128
+        resident = n_resident * padded_shape[0] * cols * 4
         budget = (72 if has_pml else 48) * 1024 * 1024
         chunk_takes_it = (
-            padded_shape[2] <= 128
+            z_ok
             and n_rows <= MAX_CHUNK_PROBE_ROWS
             and (cfg.use_pallas is True or resident <= budget)
         )
@@ -1216,11 +1230,19 @@ def _resolve_use_pallas(sim: "PreparedSimulation") -> bool:
         )
         return False
     px, py, pz = sim.padded_shape or sim.grid.shape
-    if pz > 128:
+    # fused lane packing (round 5): lane = z·Py + y, C = ceil(Py·Pz/128)
+    # lane tiles — cuts the tiled layout's per-y 128-lane padding tax
+    # (2.71× on the canonical patch) to ≤1 tile total, and removes the
+    # z ≤ 128 eligibility wall. Default on; chunk_fused=False keeps the
+    # validated tiled layout (tests compare the two).
+    fused = cfg.chunk_fused is not False
+    if not fused and pz > 128:
         sim.pallas_mode_reason = (
-            f"chunk kernel needs z ≤ 128 lanes (padded z = {pz})"
+            f"chunk kernel needs z ≤ 128 lanes (padded z = {pz}; "
+            "tiled layout forced by chunk_fused=False)"
         )
         return False
+    sim.chunk_fused = fused
     # the chunk kernel's SMEM probe buffers size themselves from the
     # sim's probe-row count (round 4 lifted the old 8-row cap so e.g. a
     # 3×3 array's 9 ports keep the fast path); the remaining cap bounds
@@ -1241,7 +1263,12 @@ def _resolve_use_pallas(sim: "PreparedSimulation") -> bool:
     )
     has_pml = cfg.pml_cells() > 0
     n_resident = 18 + n_src_mats + (24 if has_pml else 0)
-    resident = n_resident * px * py * 128 * 4
+    if fused:
+        from .fdtd_pallas import chunk_fused_cols
+
+        resident = n_resident * px * chunk_fused_cols(py, pz) * 4
+    else:
+        resident = n_resident * px * py * 128 * 4
     # validated on v5e: MUR canonical ~30 MB OK, unit 5.2 MB fails;
     # PML canonical 68 MB OK (5.98 Gcell/s), resident ≥ 99 MB fails
     budget = (72 if has_pml else 48) * 1024 * 1024
@@ -1520,8 +1547,10 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None,
             from .fdtd_pallas import build_pallas_chunk_stepper
 
             pallas_chunk, _pl_to_flat, _pl_from_flat, _pl_n_sub = (
-                build_pallas_chunk_stepper(sim, inv_p, inv_d, mur_coef, pml)
+                build_pallas_chunk_stepper(sim, inv_p, inv_d, mur_coef, pml,
+                                           fused=sim.chunk_fused)
             )
+            _flat_shape = pallas_chunk.flat_shape
             pallas_step = True  # flat-field carry mode marker
 
     # layout converter for the source operands: the resolved Pallas
@@ -2038,7 +2067,14 @@ def _make_run_fn(sim: PreparedSimulation, inv_p, inv_d, mur_coef, pml=None,
                     carry["psi_e"] = dict(zip(PSI_KEYS, psi_e_out))
                     carry["psi_h"] = dict(zip(PSI_KEYS, psi_h_out))
                 fe_parts, fh_parts = [], []
-                xfr = xf.reshape(n_sub, 2, 4, Py, 128)
+                if pallas_chunk.fused:
+                    # fused rows are z-major (lane = z·Py + y): unpack to
+                    # (Pz, Py) and swap to the (u=y, v=z) face order
+                    xfr = jnp.swapaxes(
+                        xf[..., :Py * Pz].reshape(n_sub, 2, 4, Pz, Py),
+                        -1, -2)
+                else:
+                    xfr = xf.reshape(n_sub, 2, 4, Py, 128)
                 for side, face in enumerate(faces[:2]):
                     win = xfr[:, side, :, face.u0:face.u1, face.v0:face.v1]
                     fe_parts.append(win[:, 0:2].reshape(n_sub, -1))

@@ -1368,7 +1368,13 @@ PSI_KEYS = ("xy", "xz", "yz", "yx", "zx", "zy")
 COEF_KEYS = ("ca_ex", "cb_ex", "ca_ey", "cb_ey", "ca_ez", "cb_ez")
 
 
-def build_pallas_chunk_stepper(sim, inv_p, inv_d, mur_coef, pml=None):
+def chunk_fused_cols(py: int, pz: int) -> int:
+    """Lane count of one fused-layout row: ``ceil(Py·Pz/128)·128``."""
+    return -(-(py * pz) // LANE) * LANE
+
+
+def build_pallas_chunk_stepper(sim, inv_p, inv_d, mur_coef, pml=None,
+                               fused=False):
     """One kernel invocation per termination chunk.
 
     The kernel runs a grid of ``n_sub`` sample intervals; each grid step
@@ -1403,11 +1409,39 @@ def build_pallas_chunk_stepper(sim, inv_p, inv_d, mur_coef, pml=None):
       yf:     (n_sub, 2, 4, R, 128)   lane tiles at the two y-face planes
       zf:     (n_sub, 2, 4, R, Py)    selected lanes at the two z-faces
     component order on axis=2: (E_u, E_v, H_u, H_v).
+
+    **Fused lane packing** (``fused=True``, round 5): the tiled layout
+    above gives every y its own 128-lane tile of which only ``Pz`` lanes
+    are valid — the canonical patch pays a 2.71× padding tax, and the
+    round-5 roofline (BASELINE.md) showed the kernel is bound by
+    cross-lane roll traffic, every roll paid on all 128 lanes. The fused
+    layout packs lanes **z-major**: lane ``ℓ = z·Py + y``, ``C =
+    ceil(Py·Pz/128)·128`` (≤1 tile of pad total). Neighbor access stays
+    two uniform lane rolls — y±1 = roll ∓1, z±1 = roll ∓Py — so the roll
+    *count* is unchanged while the padded-element count drops ~2.5×.
+    Seam reads (a roll crossing a y- or z-plane boundary into the
+    adjacent plane's valid data) are killed by the same invariant that
+    already kills the tiled layout's full-axis roll wrap-around: the
+    inverse spacings / cb are zero on every boundary and pad plane, so a
+    contaminated difference is always multiplied by zero. Two structural
+    consequences: the y-face MUR update becomes a masked lane blend
+    (exactly the z-face treatment — y planes are no longer tile-aligned
+    slices), and the y-face probe tangentials are gathered by one-hot
+    selection matmuls like the z-faces (output (n_sub, 2, 4, R, Pz)).
+    z ≤ 128 is no longer required — eligibility is VMEM-budget-only
+    (see fdtd._resolve_use_pallas).
     """
     Px, Py, Pz = sim.padded_shape or sim.grid.shape
-    if Pz > LANE:
+    if not fused and Pz > LANE:
         raise ValueError(f"Pz ≤ {LANE} required")
-    R, C = Px, Py * LANE
+    R = Px
+    NV = Py * Pz  # valid lanes per row (fused layout)
+    if fused:
+        C = chunk_fused_cols(Py, Pz)
+        RY, RZ = 1, Py  # lane-roll amounts for y+1 / z+1
+    else:
+        C = Py * LANE
+        RY, RZ = LANE, 1
     D = int(sim.probe_decim)
     n_sub = max(1, int(sim.cfg.check_every) // D)
     dtmu = np.float32(sim.dt / MU0)
@@ -1417,22 +1451,42 @@ def build_pallas_chunk_stepper(sim, inv_p, inv_d, mur_coef, pml=None):
     has_pml = pml is not None
     n_psi = 12 if has_pml else 0
 
-    def to_flat(a3):
-        return jnp.pad(a3, ((0, 0), (0, 0), (0, LANE - Pz))).reshape(R, C)
+    if fused:
+        def to_flat(a3):
+            a2 = jnp.swapaxes(a3, 1, 2).reshape(R, NV)
+            return jnp.pad(a2, ((0, 0), (0, C - NV)))
 
-    def from_flat(a2):
-        return a2.reshape(R, Py, LANE)[:, :, :Pz]
+        def from_flat(a2):
+            return jnp.swapaxes(a2[:, :NV].reshape(R, Pz, Py), 1, 2)
 
-    yy = np.repeat(np.arange(Py), LANE)
-    zz = np.tile(np.arange(LANE), Py)
-    z_valid = zz < Pz
+        ll = np.arange(C)
+        z_valid = ll < NV  # in-domain lane mask
+        zz = np.where(z_valid, ll // Py, 0)
+        yy = np.where(z_valid, ll % Py, 0)
+
+        def col_of(y, z):
+            return z * Py + y
+    else:
+        def to_flat(a3):
+            return jnp.pad(
+                a3, ((0, 0), (0, 0), (0, LANE - Pz))).reshape(R, C)
+
+        def from_flat(a2):
+            return a2.reshape(R, Py, LANE)[:, :, :Pz]
+
+        yy = np.repeat(np.arange(Py), LANE)
+        zz = np.tile(np.arange(LANE), Py)
+        z_valid = zz < Pz
+
+        def col_of(y, z):
+            return y * LANE + z
 
     def lane_vec(per_y=None, per_z=None):
         v = np.ones(C, np.float32)
         if per_y is not None:
             v *= np.asarray(per_y, np.float32)[yy]
         if per_z is not None:
-            vz = np.zeros(LANE, np.float32)
+            vz = np.zeros(int(zz.max()) + 1, np.float32)
             vz[:Pz] = np.asarray(per_z, np.float32)
             v *= vz[zz]
         v *= z_valid
@@ -1449,18 +1503,33 @@ def build_pallas_chunk_stepper(sim, inv_p, inv_d, mur_coef, pml=None):
     Qx, Qy, Qz = sim.grid.shape
     mz0 = np.zeros(C, np.float32)
     mz1 = np.zeros(C, np.float32)
-    mz0[(zz == 0) & (yy < Qy)] = 1.0
-    mz1[(zz == Qz - 1) & (yy < Qy)] = 1.0
+    mz0[(zz == 0) & (yy < Qy) & z_valid] = 1.0
+    mz1[(zz == Qz - 1) & (yy < Qy) & z_valid] = 1.0
     z_masks = [mz0.reshape(1, C), mz1.reshape(1, C)]
+    if fused:
+        # y-face MUR masks: y planes are not tile-aligned in the fused
+        # layout, so the y faces get the masked-blend treatment the
+        # z faces always had (instead of tile slices)
+        my0 = np.zeros(C, np.float32)
+        my1 = np.zeros(C, np.float32)
+        my0[(yy == 0) & (zz < Qz) & z_valid] = 1.0
+        my1[(yy == Qy - 1) & (zz < Qz) & z_valid] = 1.0
+        z_masks += [my0.reshape(1, C), my1.reshape(1, C)]
 
     # source-component key set (static); the matrices themselves enter
     # chunk_fn as runtime operands so re-excitation never re-traces
     src_comps = sorted(build_src_mats(sim, Px, Py, Pz))
     n_src = len(src_comps)
 
-    def _to_flat_np(a3):
-        a3 = np.pad(a3, ((0, 0), (0, 0), (0, LANE - Pz)))
-        return np.ascontiguousarray(a3.reshape(R, C))
+    if fused:
+        def _to_flat_np(a3):
+            a2 = np.swapaxes(np.asarray(a3), 1, 2).reshape(R, NV)
+            return np.ascontiguousarray(
+                np.pad(a2, ((0, 0), (0, C - NV))))
+    else:
+        def _to_flat_np(a3):
+            a3 = np.pad(a3, ((0, 0), (0, 0), (0, LANE - Pz)))
+            return np.ascontiguousarray(a3.reshape(R, C))
 
     # --- CPML b/c profiles as broadcast vectors ----------------------------
     # ψ_h uses half-position profiles, ψ_e node-position; y/z-graded ones
@@ -1491,9 +1560,9 @@ def build_pallas_chunk_stepper(sim, inv_p, inv_d, mur_coef, pml=None):
     v_lists, i_lists = port_probe_sources(sim)
     ports_meta = [
         dict(
-            v=[((comp, int(i), int(j) * LANE + int(k)), float(w))
+            v=[((comp, int(i), col_of(int(j), int(k))), float(w))
                for ((comp, i, j, k), w) in vl],
-            i=[((comp, int(i), int(j) * LANE + int(k)), float(w))
+            i=[((comp, int(i), col_of(int(j), int(k))), float(w))
                for ((comp, i, j, k), w) in il],
         )
         for vl, il in zip(v_lists, i_lists)
@@ -1508,7 +1577,7 @@ def build_pallas_chunk_stepper(sim, inv_p, inv_d, mur_coef, pml=None):
         S = np.zeros((C, 2 * Py), np.float32)
         for which, k in enumerate(lanes):
             for y in range(Py):
-                S[y * LANE + k, which * Py + y] = 1.0
+                S[col_of(y, k), which * Py + y] = 1.0
         return S
 
     S_lo = sel_matrix([k_lo - 1, k_lo])  # [:, :Py] = lane m−1, [:, Py:] = m
@@ -1517,6 +1586,21 @@ def build_pallas_chunk_stepper(sim, inv_p, inv_d, mur_coef, pml=None):
     cxs = {k: np.float32(v) for k, v in mur_coef.items()}
     x_rows = [f.m for f in faces if f.name.startswith("x_")]
     y_tiles = [f.m for f in faces if f.name.startswith("y_")]
+
+    # fused layout: y planes are lane-strided, so the y-face probe
+    # tangentials are gathered by one-hot selection matmuls (the z-face
+    # treatment); [:, :Pz] = plane m−1, [:, Pz:] = plane m, z-ordered
+    def sel_matrix_y(planes):
+        S = np.zeros((C, 2 * Pz), np.float32)
+        for which, m in enumerate(planes):
+            for z in range(Pz):
+                S[col_of(m, z), which * Pz + z] = 1.0
+        return S
+
+    if fused:
+        Sy_faces = [sel_matrix_y([m - 1, m]) for m in y_tiles]
+    else:
+        Sy_faces = []
 
     def up(a, axis, n):
         return pltpu.roll(a, a.shape[axis] - n, axis)
@@ -1529,10 +1613,16 @@ def build_pallas_chunk_stepper(sim, inv_p, inv_d, mur_coef, pml=None):
         (ca_ex, cb_ex, ca_ey, cb_ey, ca_ez, cb_ez) = refs[1:7]
         (iy_p_r, iz_p_r, iy_d_r, iz_d_r) = refs[7:11]
         (ix_p_r, ix_d_r) = refs[11:13]
-        (mz0_r, mz1_r) = refs[13:15]
-        s_lo_r, s_hi_r = refs[15:17]
-        pml_refs = refs[17 : 17 + len(pml_vecs)]
-        o = 17 + len(pml_vecs)
+        n_msk = len(z_masks)
+        mask_refs = refs[13:13 + n_msk]
+        mz0_r, mz1_r = mask_refs[0], mask_refs[1]
+        o = 13 + n_msk
+        s_lo_r, s_hi_r = refs[o], refs[o + 1]
+        o += 2
+        sy_refs = refs[o : o + len(Sy_faces)]
+        o += len(Sy_faces)
+        pml_refs = refs[o : o + len(pml_vecs)]
+        o += len(pml_vecs)
         src_refs = refs[o : o + n_src]
         field_in = refs[o + n_src : o + n_src + 6]
         psi_in = refs[o + n_src + 6 : o + n_src + 6 + n_psi]
@@ -1564,12 +1654,12 @@ def build_pallas_chunk_stepper(sim, inv_p, inv_d, mur_coef, pml=None):
         def body(d, _):
             Ex, Ey, Ez = ex[:], ey[:], ez[:]
             Hx, Hy, Hz = hx[:], hy[:], hz[:]
-            dEz_y = (up(Ez, 1, LANE) - Ez) * iyp
-            dEy_z = (up(Ey, 1, 1) - Ey) * izp
-            dEx_z = (up(Ex, 1, 1) - Ex) * izp
+            dEz_y = (up(Ez, 1, RY) - Ez) * iyp
+            dEy_z = (up(Ey, 1, RZ) - Ey) * izp
+            dEx_z = (up(Ex, 1, RZ) - Ex) * izp
             dEz_x = (up(Ez, 0, 1) - Ez) * ixp
             dEy_x = (up(Ey, 0, 1) - Ey) * ixp
-            dEx_y = (up(Ex, 1, LANE) - Ex) * iyp
+            dEx_y = (up(Ex, 1, RY) - Ex) * iyp
             if has_pml:
                 # recursive-convolution ψ_h update (half-position profiles)
                 phxy = bh_y * ph_xy[:] + ch_y * dEz_y
@@ -1588,12 +1678,12 @@ def build_pallas_chunk_stepper(sim, inv_p, inv_d, mur_coef, pml=None):
                 Hyn = Hy - dtmu * (dEx_z - dEz_x)
                 Hzn = Hz - dtmu * (dEy_x - dEx_y)
             s_val = wf_ref[0, j * D + d]
-            dHz_y = (Hzn - dn(Hzn, 1, LANE)) * iyd
-            dHy_z = (Hyn - dn(Hyn, 1, 1)) * izd
-            dHx_z = (Hxn - dn(Hxn, 1, 1)) * izd
+            dHz_y = (Hzn - dn(Hzn, 1, RY)) * iyd
+            dHy_z = (Hyn - dn(Hyn, 1, RZ)) * izd
+            dHx_z = (Hxn - dn(Hxn, 1, RZ)) * izd
             dHz_x = (Hzn - dn(Hzn, 0, 1)) * ixd
             dHy_x = (Hyn - dn(Hyn, 0, 1)) * ixd
-            dHx_y = (Hxn - dn(Hxn, 1, LANE)) * iyd
+            dHx_y = (Hxn - dn(Hxn, 1, RY)) * iyd
             if has_pml:
                 pexy = be_y * pe_xy[:] + ce_y * dHz_y
                 pexz = be_z * pe_xz[:] + ce_z * dHy_z
@@ -1635,20 +1725,34 @@ def build_pallas_chunk_stepper(sim, inv_p, inv_d, mur_coef, pml=None):
                 ey[Qx - 1, :] = Ey[Qx - 2, :] + c1m * (Eyn[Qx - 2, :] - Ey[Qx - 1, :])
                 ez[Qx - 1, :] = Ez[Qx - 2, :] + c1m * (Ezn[Qx - 2, :] - Ez[Qx - 1, :])
                 c0m, c1m = cxs[(1, 0)], cxs[(1, 1)]
-                y0s, y1s = slice(0, LANE), slice(LANE, 2 * LANE)
-                yls = slice((Qy - 1) * LANE, Qy * LANE)
-                yps = slice((Qy - 2) * LANE, (Qy - 1) * LANE)
-                ex[:, y0s] = Ex[:, y1s] + c0m * (ex[:, y1s] - Ex[:, y0s])
-                ez[:, y0s] = Ez[:, y1s] + c0m * (ez[:, y1s] - Ez[:, y0s])
-                ex[:, yls] = Ex[:, yps] + c1m * (ex[:, yps] - Ex[:, yls])
-                ez[:, yls] = Ez[:, yps] + c1m * (ez[:, yps] - Ez[:, yls])
+                if fused:
+                    # lane-strided y planes: masked blend (z treatment).
+                    # Roll linearity folds each blend's two rolls into
+                    # one: up(Eo) + c·up(cur) = up(Eo + c·cur) — the
+                    # blend costs 1 roll per (comp, side), not 2.
+                    m0, m1 = mask_refs[2][:], mask_refs[3][:]
+                    keep = 1.0 - m0 - m1
+                    for ref, Eo in ((ex, Ex), (ez, Ez)):
+                        cur = ref[:]
+                        v0 = up(Eo + c0m * cur, 1, RY) - c0m * Eo
+                        v1 = dn(Eo + c1m * cur, 1, RY) - c1m * Eo
+                        ref[:] = cur * keep + m0 * v0 + m1 * v1
+                else:
+                    y0s, y1s = slice(0, LANE), slice(LANE, 2 * LANE)
+                    yls = slice((Qy - 1) * LANE, Qy * LANE)
+                    yps = slice((Qy - 2) * LANE, (Qy - 1) * LANE)
+                    ex[:, y0s] = Ex[:, y1s] + c0m * (ex[:, y1s] - Ex[:, y0s])
+                    ez[:, y0s] = Ez[:, y1s] + c0m * (ez[:, y1s] - Ez[:, y0s])
+                    ex[:, yls] = Ex[:, yps] + c1m * (ex[:, yps] - Ex[:, yls])
+                    ez[:, yls] = Ez[:, yps] + c1m * (ez[:, yps] - Ez[:, yls])
                 c0m, c1m = cxs[(2, 0)], cxs[(2, 1)]
                 m0, m1 = mz0_r[:], mz1_r[:]
                 keep = 1.0 - m0 - m1
                 for ref, Eo in ((ex, Ex), (ey, Ey)):
                     cur = ref[:]
-                    v0 = up(Eo, 1, 1) + c0m * (up(cur, 1, 1) - Eo)
-                    v1 = dn(Eo, 1, 1) + c1m * (dn(cur, 1, 1) - Eo)
+                    # single-roll blend (roll linearity, see y faces)
+                    v0 = up(Eo + c0m * cur, 1, RZ) - c0m * Eo
+                    v1 = dn(Eo + c1m * cur, 1, RZ) - c1m * Eo
                     ref[:] = cur * keep + m0 * v0 + m1 * v1
             return 0
 
@@ -1670,25 +1774,47 @@ def build_pallas_chunk_stepper(sim, inv_p, inv_d, mur_coef, pml=None):
         for side, m in enumerate(x_rows):
             ey_r = ey[m : m + 1, :]
             ez_r = ez[m : m + 1, :]
-            xf_o[0, side, 0, :] = (0.5 * (ey_r + up(ey_r, 1, 1)))[0]
-            xf_o[0, side, 1, :] = (0.5 * (ez_r + up(ez_r, 1, LANE)))[0]
+            xf_o[0, side, 0, :] = (0.5 * (ey_r + up(ey_r, 1, RZ)))[0]
+            xf_o[0, side, 1, :] = (0.5 * (ez_r + up(ez_r, 1, RY)))[0]
             hy_s = hy[m - 1 : m, :] + hy[m : m + 1, :]
             hz_s = hz[m - 1 : m, :] + hz[m : m + 1, :]
-            xf_o[0, side, 2, :] = (0.25 * (hy_s + up(hy_s, 1, LANE)))[0]
-            xf_o[0, side, 3, :] = (0.25 * (hz_s + up(hz_s, 1, 1)))[0]
+            xf_o[0, side, 2, :] = (0.25 * (hy_s + up(hy_s, 1, RY)))[0]
+            xf_o[0, side, 3, :] = (0.25 * (hz_s + up(hz_s, 1, RZ)))[0]
 
-        # y-faces: lane tiles, comps (E_u=Ex, E_v=Ez, H_u=Hx, H_v=Hz)
-        for side, m in enumerate(y_tiles):
-            t = slice(m * LANE, (m + 1) * LANE)
-            tm = slice((m - 1) * LANE, m * LANE)
-            ex_t = ex[:, t]
-            ez_t = ez[:, t]
-            yf_o[0, side, 0, :, :] = 0.5 * (ex_t + up(ex_t, 1, 1))
-            yf_o[0, side, 1, :, :] = 0.5 * (ez_t + up(ez_t, 0, 1))
-            hx_s = hx[:, tm] + hx[:, t]
-            hz_s = hz[:, tm] + hz[:, t]
-            yf_o[0, side, 2, :, :] = 0.25 * (hx_s + up(hx_s, 0, 1))
-            yf_o[0, side, 3, :, :] = 0.25 * (hz_s + up(hz_s, 1, 1))
+        # y-faces, comps (E_u=Ex, E_v=Ez, H_u=Hx, H_v=Hz): lane tiles in
+        # the tiled layout; one-hot selection matmuls (the z-face
+        # treatment) in the fused layout, where y planes are lane-strided
+        if fused:
+            for side, sy_r in enumerate(sy_refs):
+                Sy = sy_r[:]
+                ex_sel = jnp.dot(ex[:], Sy,
+                                 preferred_element_type=jnp.float32)
+                ez_sel = jnp.dot(ez[:], Sy,
+                                 preferred_element_type=jnp.float32)
+                hx_sel = jnp.dot(hx[:], Sy,
+                                 preferred_element_type=jnp.float32)
+                hz_sel = jnp.dot(hz[:], Sy,
+                                 preferred_element_type=jnp.float32)
+                ex_t = ex_sel[:, Pz:]
+                ez_t = ez_sel[:, Pz:]
+                yf_o[0, side, 0, :, :] = 0.5 * (ex_t + up(ex_t, 1, 1))
+                yf_o[0, side, 1, :, :] = 0.5 * (ez_t + up(ez_t, 0, 1))
+                hx_s = hx_sel[:, :Pz] + hx_sel[:, Pz:]
+                hz_s = hz_sel[:, :Pz] + hz_sel[:, Pz:]
+                yf_o[0, side, 2, :, :] = 0.25 * (hx_s + up(hx_s, 0, 1))
+                yf_o[0, side, 3, :, :] = 0.25 * (hz_s + up(hz_s, 1, 1))
+        else:
+            for side, m in enumerate(y_tiles):
+                t = slice(m * LANE, (m + 1) * LANE)
+                tm = slice((m - 1) * LANE, m * LANE)
+                ex_t = ex[:, t]
+                ez_t = ez[:, t]
+                yf_o[0, side, 0, :, :] = 0.5 * (ex_t + up(ex_t, 1, 1))
+                yf_o[0, side, 1, :, :] = 0.5 * (ez_t + up(ez_t, 0, 1))
+                hx_s = hx[:, tm] + hx[:, t]
+                hz_s = hz[:, tm] + hz[:, t]
+                yf_o[0, side, 2, :, :] = 0.25 * (hx_s + up(hx_s, 0, 1))
+                yf_o[0, side, 3, :, :] = 0.25 * (hz_s + up(hz_s, 1, 1))
 
         # z-faces: one-hot selection matmuls, comps (E_u=Ex, E_v=Ey,
         # H_u=Hx, H_v=Hy); S columns [:Py]=lane m−1, [Py:]=lane m
@@ -1717,6 +1843,7 @@ def build_pallas_chunk_stepper(sim, inv_p, inv_d, mur_coef, pml=None):
         + [jnp.asarray(v) for v in col_vecs]
         + [jnp.asarray(v) for v in z_masks]
         + [jnp.asarray(S_lo), jnp.asarray(S_hi)]
+        + [jnp.asarray(v) for v in Sy_faces]
         + [jnp.asarray(v) for v in pml_vecs]
     )
 
@@ -1743,11 +1870,12 @@ def build_pallas_chunk_stepper(sim, inv_p, inv_d, mur_coef, pml=None):
     smem_full = pl.BlockSpec(
         (n_sub, n_prows), lambda j: (0, 0), memory_space=pltpu.SMEM
     )
+    yf_lanes = Pz if fused else LANE
     out_specs = (
         tuple([const((R, C))] * (6 + n_psi))
         # pv/pi are scalar-indexed writes → SMEM (VMEM cannot store scalars)
         + (smem_full, smem_full,
-           stepped((2, 4, C)), stepped((2, 4, R, LANE)),
+           stepped((2, 4, C)), stepped((2, 4, R, yf_lanes)),
            stepped((2, 4, R, Py)))
     )
     out_shape = (
@@ -1757,7 +1885,7 @@ def build_pallas_chunk_stepper(sim, inv_p, inv_d, mur_coef, pml=None):
             jax.ShapeDtypeStruct((n_sub, n_prows), jnp.float32),
             jax.ShapeDtypeStruct((n_sub, n_prows), jnp.float32),
             jax.ShapeDtypeStruct((n_sub, 2, 4, C), jnp.float32),
-            jax.ShapeDtypeStruct((n_sub, 2, 4, R, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((n_sub, 2, 4, R, yf_lanes), jnp.float32),
             jax.ShapeDtypeStruct((n_sub, 2, 4, R, Py), jnp.float32),
         )
     )
@@ -1796,6 +1924,8 @@ def build_pallas_chunk_stepper(sim, inv_p, inv_d, mur_coef, pml=None):
     chunk_fn.src_to_flat_np = _to_flat_np
     chunk_fn.src_comps = src_comps
     chunk_fn.coef_keys = COEF_KEYS
+    chunk_fn.flat_shape = (R, C)
+    chunk_fn.fused = fused
     return chunk_fn, to_flat, from_flat, n_sub
 
 

@@ -220,12 +220,15 @@ def test_forced_pallas_mode_ineligible_raises():
     grid = _tiny_scene_grid()
     scene = Scene()
     scene.add_lumped_port(1, 50.0, [0, 0, 0], [0, 0, 3.0], direction="z")
-    # chunk forced but PML + >8 probe rows isn't the issue here: use a
-    # grid with z > 128 so the chunk kernel is structurally ineligible
+    # use a z > 128 grid with the TILED lane layout forced
+    # (chunk_fused=False) so the chunk kernel is structurally ineligible
+    # — under the round-5 fused packing the same grid is legal, which is
+    # pinned by test_pallas_kernel.py::test_fused_packing_lifts_z128_wall
     tall = _tiny_scene_grid(z_levels=np.linspace(-20, 25, 131))
     scene2 = Scene()
     scene2.add_lumped_port(1, 50.0, [0, 0, -10], [0, 0, -5], direction="z")
-    cfg = FDTDConfig(n_steps_max=100, use_pallas=True, pallas_mode="chunk")
+    cfg = FDTDConfig(n_steps_max=100, use_pallas=True, pallas_mode="chunk",
+                     chunk_fused=False)
     with pytest.raises(ValueError, match="pallas_mode"):
         build_simulation(
             scene2, tall, f0=3e9, fc=1.5e9, cfg=cfg,

@@ -71,6 +71,80 @@ def test_pallas_matches_xla(boundary):
             _close(v, out_ref["state"]["psi_e"][k])
 
 
+def test_fused_and_tiled_layouts_agree():
+    """The round-5 fused z-major lane packing (lane = z·Py + y) must
+    reproduce the round-≤4 per-y tiled layout exactly — same engine, two
+    relayouts. Pins every output surface: port DFTs, NF2FF accumulators
+    (all six face windows ride different extraction paths in the two
+    layouts), and the final fields."""
+    import dataclasses
+
+    sim_t = _build(use_pallas=True)
+    sim_t.cfg = dataclasses.replace(sim_t.cfg, chunk_fused=False)
+    from fdtd_solver_antennas_tpu.ops.fdtd import (
+        _resolve_use_pallas, rebuild_run_fn,
+    )
+
+    assert _resolve_use_pallas(sim_t) and not sim_t.chunk_fused
+    rebuild_run_fn(sim_t)
+    sim_f = _build(use_pallas=True)
+    assert sim_f.chunk_fused  # fused is the default packing
+    out_t, out_f = sim_t.run(), sim_f.run()
+    _close(out_f["uf"], out_t["uf"])
+    _close(out_f["if_"], out_t["if_"])
+    for a, b in zip(out_f["nf_e"], out_t["nf_e"]):
+        _close(a, b)
+    for a, b in zip(out_f["nf_h"], out_t["nf_h"]):
+        _close(a, b)
+    for fa, fb in zip(out_f["fields"], out_t["fields"]):
+        _close(fa, fb)
+
+
+def test_fused_packing_lifts_z128_wall():
+    """A z > 128 grid is chunk-eligible under the fused packing (the
+    tiled layout's one-lane-tile z limit no longer applies) and still
+    matches the XLA path."""
+    mb = MeshBuilder()
+    mb.add_line("x", [-30, 30, 0.0, -6.0])
+    mb.add_line("y", [-30, 30, 0.0])
+    mb.add_line("z", np.linspace(-40, 56, 140))
+    grid = mb.build(8.0)
+    scene = Scene()
+    scene.add_material_box("sub", 4.3, 0.005, [-20, -20, 0], [20, 20, 1.6], 0)
+    scene.add_metal_box("patch", [-15, -12, 1.6], [15, 12, 1.6], priority=10)
+    scene.add_metal_box("gnd", [-20, -20, 0], [20, 20, 0], priority=10)
+    scene.add_lumped_port(1, 50.0, [-6, 0, 0], [-6, 0, 1.6], direction="z")
+
+    def build(use_pallas):
+        cfg = FDTDConfig(
+            n_steps_max=60, check_every=60, end_criteria=1e-30,
+            probe_decimation=4, use_pallas=use_pallas,
+        )
+        return build_simulation(
+            scene, grid, f0=2.45e9, fc=1.225e9, cfg=cfg,
+            port_freqs_hz=np.linspace(2e9, 3e9, 5),
+            nf_freqs_hz=np.array([2.45e9]),
+        )
+
+    sim_pl = build(True)
+    assert sim_pl.grid.shape[2] > 128
+    assert sim_pl.pallas_mode == "chunk", sim_pl.pallas_mode_reason
+    assert sim_pl.chunk_fused
+    out_ref = build(False).run()
+    out_pl = sim_pl.run()
+    _close(out_pl["uf"], out_ref["uf"])
+    # the z-directed source leaves Hz ~1e-10 (pure numerical residue of
+    # a symmetric scene); scale every comp's atol by the global field
+    # magnitude so float-noise on a degenerate component can't trip it
+    fscale = max(float(np.abs(np.asarray(f)).max())
+                 for f in out_ref["fields"])
+    for fa, fb in zip(out_pl["fields"], out_ref["fields"]):
+        a, b = np.asarray(fa), np.asarray(fb)
+        sl = tuple(slice(0, min(sa, sb)) for sa, sb in zip(a.shape, b.shape))
+        np.testing.assert_allclose(
+            a[sl], b[sl], rtol=2e-4, atol=1e-5 * fscale)
+
+
 def test_pallas_two_ports_mixed_axes():
     """Two ports on different axes (z and x) must also match the XLA path —
     exercises multi-port source matrices and the scalar-read V/I paths."""
